@@ -1,0 +1,12 @@
+from .czt import czt, zoom_fft_2d, zoom_fft_3d  # noqa: F401
+from .interp import (  # noqa: F401
+    map_coordinates,
+    spline_filter,
+    spline_filter1d,
+    linear_gather_2d,
+    trilinear_gather_3d,
+)
+from .rotation import euler_matrix, rot_x, rot_y, rot_z  # noqa: F401
+from .transforms import *  # noqa: F401,F403
+from .filters import *  # noqa: F401,F403
+from .analysis import *  # noqa: F401,F403

@@ -1,0 +1,239 @@
+"""System/config utilities: option ordering, the colon param mini-language,
+resource probes, and misc encoders.
+
+Parity: /root/reference/src/helicon/lib/system.py (get_option_list:31-50,
+parse_param_str:52-93, validate_param_dict:96-122, available_cpu:210-245).
+TPU additions: ``available_devices`` probes the JAX backend instead of OpenMP.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Any
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "get_option_list",
+    "parse_param_str",
+    "validate_param_dict",
+    "available_cpu",
+    "available_devices",
+    "has_shiny",
+    "has_streamlit",
+    "has_curvelet_fdct",
+    "has_curvelet_udct",
+    "has_curvelet_udct_gpu",
+    "get_terminal_size",
+    "bytes2units",
+    "ceil_power_of_10",
+    "encode_numpy",
+    "encode_PIL_Image",
+]
+
+
+def get_option_list(argv: list[str]) -> list[str]:
+    """Return ``--option`` names in the order they appear on the command line.
+
+    The CLI option order IS the execution plan for the images2star/proc3d/
+    cryosparc pipelines, so ordering must be preserved exactly.
+    """
+    names = []
+    for token in argv:
+        if token.startswith("--"):
+            names.append(token.split("=", 1)[0].lstrip("-"))
+    return names
+
+
+def _coerce_value(v: str) -> Any:
+    if v.lower() == "true":
+        return 1
+    if v.lower() == "false":
+        return 0
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if len(v) > 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1]
+    return v
+
+
+def parse_param_str(param_str: str) -> tuple[str | None, dict[str, Any]]:
+    """Parse ``[name:]k1=v1:k2=v2`` into ``(name, {k1: v1, k2: v2})``.
+
+    Values are coerced: true/false -> 1/0, then int, then float, then a
+    quoted string has its quotes stripped; otherwise kept verbatim. A
+    segment without ``=`` is the name if it comes first, otherwise it is
+    ignored with an error log.
+    """
+    name = None
+    d: dict[str, Any] = {}
+    for pi, seg in enumerate(param_str.split(":")):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            d[k] = _coerce_value(v)
+        elif pi == 0:
+            name = seg
+        else:
+            logger.error("failed to parse parameter %s. Ignored", seg)
+    return name, d
+
+
+def validate_param_dict(
+    param: dict[str, Any], param_ref: dict[str, Any]
+) -> tuple[dict[str, Any], dict[str, Any], dict[str, Any]]:
+    """Coerce *param* against the typed defaults in *param_ref*.
+
+    Returns ``(final, changed, unsupported)`` where *final* has every key of
+    *param_ref* (user value coerced to the default's type, else the default),
+    *changed* holds the keys whose final value differs from the default, and
+    *unsupported* holds user keys absent from *param_ref*.
+    """
+    unsupported = {k: v for k, v in param.items() if k not in param_ref}
+    final = {
+        k: (type(ref)(param[k]) if k in param else ref)
+        for k, ref in param_ref.items()
+    }
+    changed = {k: v for k, v in final.items() if v != param_ref[k]}
+    return final, changed, unsupported
+
+
+def available_cpu(mem_gb_per_cpu: float | None = None) -> int:
+    """Number of usable host CPUs (SLURM-aware, load-aware, memory-capped)."""
+    if "SLURM_CPUS_ON_NODE" in os.environ:
+        cpu = int(os.environ["SLURM_CPUS_ON_NODE"])
+    else:
+        try:
+            import psutil
+
+            cpu = max(1, int(psutil.cpu_count() * (1 - psutil.cpu_percent() / 100)))
+        except ImportError:
+            cpu = os.cpu_count() or 1
+    if mem_gb_per_cpu is not None:
+        try:
+            import psutil
+
+            mem = psutil.virtual_memory()
+            cpu = max(1, min(cpu, int(mem.available / 1024**3 / mem_gb_per_cpu)))
+        except ImportError:
+            pass
+    return cpu
+
+
+def available_devices() -> int:
+    """Number of JAX accelerator devices visible to this process."""
+    import jax
+
+    return jax.device_count()
+
+
+def has_shiny() -> bool:
+    try:
+        import shiny  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def has_streamlit() -> bool:
+    try:
+        import streamlit  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def has_curvelet_fdct() -> bool:
+    """The TPU build ships its own JAX UDCT; external FDCT is never required."""
+    return False
+
+
+def has_curvelet_udct() -> bool:
+    """JAX-based UDCT curvelets are always available in this build."""
+    return True
+
+
+def has_curvelet_udct_gpu() -> bool:
+    """Curvelets run on the default JAX backend (TPU when present)."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def get_terminal_size() -> tuple[int, int]:
+    size = shutil.get_terminal_size()
+    return (size.lines, size.columns)
+
+
+def bytes2units(
+    nbytes: float | int, to: str | None = None, bsize: int = 1024
+) -> tuple[float, str]:
+    """Convert a byte count to ``(value, unit)`` like ``(1.5, "GB")``."""
+    order = ["k", "m", "g", "t", "p", "e"]
+    labels = {"k": "kB", "m": "MB", "g": "GB", "t": "TB", "p": "PB", "e": "EB"}
+    if to is not None:
+        u = to
+        x = nbytes / (bsize ** (order.index(to) + 1))
+    else:
+        u = order[-1]
+        x = nbytes
+        for cand in order:
+            x = nbytes / (bsize ** (order.index(cand) + 1))
+            if x < bsize:
+                u = cand
+                break
+    return (x, labels[u])
+
+
+def ceil_power_of_10(n: float | int) -> int:
+    """Smallest power of 10 that is >= n (with 10 as the floor)."""
+    import math
+
+    if n < 0:
+        raise ValueError(f"n={n} while n>0 is required")
+    if n <= 1:
+        return 10
+    return 10 ** math.ceil(math.log10(n))
+
+
+def encode_numpy(img: np.ndarray, hflip: bool = False, vflip: bool = False) -> str:
+    """Encode an array as a base64 JPEG data URL (normalized to uint8)."""
+    if img.dtype != np.uint8:
+        vmin, vmax = float(img.min()), float(img.max())
+        if vmax > vmin:
+            img = (255 * (img - vmin) / (vmax - vmin)).astype(np.uint8)
+        else:
+            img = np.zeros_like(img, dtype=np.uint8)
+    if hflip:
+        img = img[:, ::-1]
+    if vflip:
+        img = img[::-1, :]
+    from PIL import Image
+
+    return encode_PIL_Image(Image.fromarray(img))
+
+
+def encode_PIL_Image(img, hflip: bool = False, vflip: bool = False) -> str:
+    import base64
+    import io
+
+    from PIL import ImageOps
+
+    if hflip:
+        img = ImageOps.mirror(img)
+    if vflip:
+        img = ImageOps.flip(img)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return f"data:image/jpeg;base64, {base64.b64encode(buf.getvalue()).decode()}"
