@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fft as hfft
+
 __all__ = [
     "calc_fsc",
     "calc_fsc_from_fft",
@@ -114,9 +116,9 @@ def calc_fsc(map1, map2, apix, F1=None, F2=None, shell_flat=None, n=None):
     else:
         labels = np.asarray(shell_flat).reshape((n, n, n // 2 + 1))
     if F1 is None:
-        F1 = jnp.fft.rfftn(jnp.asarray(map1, jnp.float32))
+        F1 = hfft.rfftn(jnp.asarray(map1, jnp.float32))
     if F2 is None:
-        F2 = jnp.fft.rfftn(jnp.asarray(map2, jnp.float32))
+        F2 = hfft.rfftn(jnp.asarray(map2, jnp.float32))
     fsc = np.asarray(_binned_fsc(jnp.asarray(F1), jnp.asarray(F2), labels, n // 2 + 1))
     qx_max = np.fft.rfftfreq(n).max()
     saxis = np.arange(n // 2 + 1) * df
@@ -132,8 +134,8 @@ def calc_fsc_from_fft(F1, F2, n, apix):
 def calc_fsc_per_shell(map1, map2, apix):
     """EMAN2-style per-shell FSC over the full (fftn) grid; index = shell."""
     n = map1.shape[0]
-    F1 = jnp.fft.fftn(jnp.asarray(map1, jnp.float32))
-    F2 = jnp.fft.fftn(jnp.asarray(map2, jnp.float32))
+    F1 = hfft.fftn(jnp.asarray(map1, jnp.float32))
+    F2 = hfft.fftn(jnp.asarray(map2, jnp.float32))
     k2 = np.fft.fftfreq(n) ** 2
     shell = np.round(
         np.sqrt(k2[:, None, None] + k2[None, :, None] + k2[None, None, :]) * n
@@ -148,8 +150,8 @@ def calc_frc_2d(img1, img2, apix):
         raise ValueError(f"Image shapes must match: {img1.shape} vs {img2.shape}")
     h, w = img1.shape
     n_shells = min(h, w) // 2
-    F1 = jnp.fft.fft2(jnp.asarray(img1, jnp.float32))
-    F2 = jnp.fft.fft2(jnp.asarray(img2, jnp.float32))
+    F1 = hfft.fft2(jnp.asarray(img1, jnp.float32))
+    F2 = hfft.fft2(jnp.asarray(img2, jnp.float32))
     kx = np.fft.fftfreq(w) ** 2
     ky = np.fft.fftfreq(h) ** 2
     kr = np.sqrt(ky[:, None] + kx[None, :])

@@ -17,6 +17,7 @@ evaluated with zero-padded FFTs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,25 @@ def czt(x: jnp.ndarray, m: int, f0: float, df: float, axis: int = -1) -> jnp.nda
     x = jnp.asarray(x)
     axis = axis % x.ndim
     n = x.shape[axis]
+
+    from . import fft as _fft
+
+    if _fft.use_matmul_dft():
+        # TPU backend without the FFT HLO: evaluate the m target
+        # frequencies directly as an (m, n) DFT matmul on the MXU —
+        # cheaper than chirp-Z via emulated FFTs and exact.
+        j = np.arange(n, dtype=np.float64)
+        k = np.arange(m, dtype=np.float64)
+        ang = -2.0 * np.pi * np.mod(np.outer(f0 + k * df, j), 1.0)
+        c = jnp.asarray(np.cos(ang), jnp.float32)
+        s = jnp.asarray(np.sin(ang), jnp.float32)
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32)
+        mv = lambda mat, v: jnp.moveaxis(
+            jnp.tensordot(mat, jnp.moveaxis(v, axis, 0), axes=([1], [0])), 0, axis
+        )
+        return jax.lax.complex(mv(c, xr) - mv(s, xi), mv(s, xr) + mv(c, xi))
+
     L = _next_fast_len(n + m - 1)
 
     # Chirp phases are precomputed in float64 numpy (host, trace time) to

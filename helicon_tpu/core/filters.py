@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fft as hfft
+
 logger = logging.getLogger(__name__)
 
 __all__ = [
@@ -53,7 +55,7 @@ def calculate_structural_factor(
     work = threshold_data(data, thresh_value=thresh) if thresh else data
     if mask is not None:
         work = work * jnp.asarray(mask, jnp.float32)
-    F = jnp.fft.fftn(work)
+    F = hfft.fftn(work)
     amp2 = F.real**2 + F.imag**2
 
     qr = _fftfreq_radius(work.shape, apix)
@@ -85,7 +87,7 @@ def set_structural_factors(
         data, apix, thresh=thresh, mask=mask, return_fft=True
     )
     if mask is not None:
-        fft = jnp.fft.fftn(data)
+        fft = hfft.fftn(data)
 
     target_interp = _interp_fill0(
         jnp.asarray(qbins, jnp.float32),
@@ -96,7 +98,7 @@ def set_structural_factors(
 
     qr = jnp.asarray(_fftfreq_radius(data.shape, apix), jnp.float32)
     ratio_grid = _interp_fill0(qr, np.asarray(qbins, np.float32), ratio)
-    return jnp.real(jnp.fft.ifftn(fft * ratio_grid))
+    return jnp.real(hfft.ifftn(fft * ratio_grid))
 
 
 def match_structural_factors(
@@ -164,7 +166,7 @@ def low_high_pass_filter(data, low_pass_fraction: float = 0, high_pass_fraction:
     data = jnp.asarray(data, jnp.float32)
     if data.ndim not in (2, 3):
         raise ValueError("Input data must be a 2D or 3D array.")
-    fft = jnp.fft.fftn(data)
+    fft = hfft.fftn(data)
     R2 = jnp.asarray(_normalized_r2(data.shape))
     if 0 < low_pass_fraction < 1:
         f2 = np.log(2) / (low_pass_fraction**2)
@@ -172,12 +174,12 @@ def low_high_pass_filter(data, low_pass_fraction: float = 0, high_pass_fraction:
     if 0 < high_pass_fraction < 1:
         f2 = np.log(2) / (high_pass_fraction**2)
         fft = fft * jnp.fft.fftshift(1.0 - jnp.exp(-f2 * R2))
-    return jnp.real(jnp.fft.ifftn(fft))
+    return jnp.real(hfft.ifftn(fft))
 
 
 def _gaussian_blur(data, sigmas):
     """Separable FFT-domain Gaussian blur (anti-alias prefilter)."""
-    fft = jnp.fft.fftn(jnp.asarray(data, jnp.float32))
+    fft = hfft.fftn(jnp.asarray(data, jnp.float32))
     for ax, sigma in enumerate(sigmas):
         if sigma <= 0:
             continue
@@ -186,7 +188,7 @@ def _gaussian_blur(data, sigmas):
         shape = [1] * data.ndim
         shape[ax] = -1
         fft = fft * jnp.asarray(g).reshape(shape)
-    return jnp.real(jnp.fft.ifftn(fft))
+    return jnp.real(hfft.ifftn(fft))
 
 
 def down_scale(data, target_apix: float, apix_orig: float):
@@ -254,7 +256,7 @@ def randomize_phases_lowpass(data, apix: float, cutoff_res: float, return_fft: b
     reproducibility; otherwise a fresh seed is drawn from numpy.
     """
     data = jnp.asarray(data, jnp.float32)
-    F = jnp.fft.rfftn(data)
+    F = hfft.rfftn(data)
     amp = jnp.abs(F)
     phase = jnp.angle(F)
 
@@ -273,4 +275,4 @@ def randomize_phases_lowpass(data, apix: float, cutoff_res: float, return_fft: b
     F2 = amp * jnp.exp(1j * phase)
     if return_fft:
         return F2
-    return jnp.fft.irfftn(F2, s=data.shape)
+    return hfft.irfftn(F2, s=data.shape)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fft as hfft
+
 from .czt import zoom_fft_2d, zoom_fft_3d
 from .interp import map_coordinates
 from .rotation import euler_matrix
@@ -477,23 +479,23 @@ def fft_crop(data, output_size=None):
         ny, nx = data.shape
         ony, onx = output_size
         assert ony <= ny and onx <= nx
-        fft = jnp.fft.rfft2(data)
+        fft = hfft.rfft2(data)
         fft = jnp.fft.fftshift(fft, axes=0)[
             ny // 2 - ony // 2 : ny // 2 + ony // 2, : onx // 2 + 1
         ]
         fft = jnp.fft.fftshift(fft, axes=0)
-        return jnp.fft.irfft2(fft, s=(ony, onx))
+        return hfft.irfft2(fft, s=(ony, onx))
     nz, ny, nx = data.shape
     onz, ony, onx = output_size
     assert onz <= nz and ony <= ny and onx <= nx
-    fft = jnp.fft.rfftn(data)
+    fft = hfft.rfftn(data)
     fft = jnp.fft.fftshift(fft, axes=(0, 1))[
         nz // 2 - onz // 2 : nz // 2 + onz // 2,
         ny // 2 - ony // 2 : ny // 2 + ony // 2,
         : onx // 2 + 1,
     ]
     fft = jnp.fft.fftshift(fft, axes=(0, 1))
-    return jnp.fft.irfftn(fft, s=(onz, ony, onx))
+    return hfft.irfftn(fft, s=(onz, ony, onx))
 
 
 def fft_rescale(data, apix: float = 1.0, cutoff_res=None, output_size=None):
