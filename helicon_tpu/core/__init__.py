@@ -1,4 +1,11 @@
+from . import fft  # noqa: F401
 from .czt import czt, zoom_fft_2d, zoom_fft_3d  # noqa: F401
+from .denoise import (  # noqa: F401
+    denoise_image,
+    denoise_nl_means,
+    denoise_tv_chambolle,
+    denoise_wavelet,
+)
 from .interp import (  # noqa: F401
     map_coordinates,
     spline_filter,

@@ -1,0 +1,256 @@
+"""Host-side reconstruction geometry: sizes, masks, symmetry copy/pair lists.
+
+Replicates the reference's derivations (webApps/denovo3D/pipeline.py:232-349
+for sizes, solver_linear_regression.py:1561-1577 for projection copies and
+844-930 for symmetry pairs) but produces *static* arrays so the device code
+compiles once per geometry and is vmapped over (twist, rise) candidates:
+per-candidate copy/pair lists are padded to fixed lengths with validity
+flags instead of Python-loop early stopping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+
+import numpy as np
+
+__all__ = [
+    "ReconstructionGeometry",
+    "derive_geometry",
+    "halton_permutation",
+    "select_copies",
+    "select_pairs",
+    "sorted_hsym_csym_pairs",
+]
+
+
+def halton_permutation(n: int) -> np.ndarray:
+    """Index sequence drawn from an unscrambled 1D Halton (van der Corput,
+    base 2) sequence, matching scipy.stats.qmc.Halton.integers as used by
+    the reference (solver_linear_regression.py:1570-1575).
+
+    May repeat/omit indices — the reference has the same property.
+    """
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    try:
+        from scipy.stats import qmc
+
+        h = qmc.Halton(d=1, scramble=False)
+        return h.integers(l_bounds=0, u_bounds=n, n=n).ravel().astype(np.int64)
+    except Exception:
+        # van der Corput base 2 fallback
+        out = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            f, r, x = 1.0, 0.0, i + 1
+            while x > 0:
+                f /= 2.0
+                r += f * (x % 2)
+                x //= 2
+            out[i] = min(int(r * n), n - 1)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructionGeometry:
+    """Static geometry of one reconstruction problem (all sizes in pixels).
+
+    d2/l2: 2D region diameter (rows j, ray depth k) and length (columns i).
+    d3/l3: 3D volume diameter and length (volume shape = (l3, d3, d3)).
+    """
+
+    d2: int
+    l2: int
+    d3: int
+    l3: int
+    rmin: float
+    rmax: float
+    scale2d_to_3d: float
+    csym: int = 1
+
+    @property
+    def volume_shape(self):
+        return (self.l3, self.d3, self.d3)
+
+    def cylindrical_mask(self) -> np.ndarray:
+        """Reference get_cylindrical_mask semantics (analysis.py:731-774)."""
+        from ..core.analysis import get_cylindrical_mask
+
+        return np.asarray(
+            get_cylindrical_mask(
+                nz=self.l3, ny=self.d3, nx=self.d3, rmin=self.rmin, rmax=self.rmax
+            )
+        )
+
+    def cell_valid_mask(self) -> np.ndarray:
+        """mask[z:z+2, y:y+2, x:x+2].all() per cell — the trilinear
+        all-8-corners-in-mask validity test as one static volume."""
+        m = self.cylindrical_mask()
+        c = (
+            m[:-1, :-1, :-1]
+            & m[1:, :-1, :-1]
+            & m[:-1, 1:, :-1]
+            & m[:-1, :-1, 1:]
+            & m[1:, 1:, :-1]
+            & m[1:, :-1, 1:]
+            & m[:-1, 1:, 1:]
+            & m[1:, 1:, 1:]
+        )
+        out = np.zeros_like(m)
+        out[:-1, :-1, :-1] = c
+        return out
+
+    def hsym_max_data(self, rise_pixel: float) -> int:
+        """Reference: max(1, int(ceil(l3 + l2) / 2 / rise_pixel))
+        (solver:1561) — the int() of the float ratio."""
+        return max(1, int((self.l3 + self.l2) / 2 / rise_pixel))
+
+    def hsym_max_pairs(self, rise_pixel: float) -> int:
+        """Reference sorted_hsym_csym_pairs: max(1, ceil(l3/(2*rise)))
+        (solver:955)."""
+        return max(1, int(np.ceil(self.l3 / (2 * rise_pixel))))
+
+
+def derive_geometry(
+    image_shape,
+    target_apix2d: float,
+    target_apix3d: float,
+    reconstruct_diameter: float,
+    reconstruct_length: float,
+    tube_diameter_inner: float = 0.0,
+    tube_length: float = -1,
+    csym: int = 1,
+) -> ReconstructionGeometry:
+    """Pixel-size bookkeeping from physical sizes (pipeline.py:297-331).
+
+    All inputs in Angstroms except image_shape (pixels at target_apix2d).
+    """
+    ny, nx = image_shape
+    d3 = int(round(reconstruct_diameter / target_apix3d))
+    d3 += d3 % 2
+    d3_inner = int(round(tube_diameter_inner / target_apix3d))
+    d2 = int(round(reconstruct_diameter / target_apix2d))
+    d2 += d2 % 2
+    l2_angstrom = (
+        tube_length if 0 < tube_length < nx * target_apix2d else nx * target_apix2d
+    )
+    l2 = int(l2_angstrom / target_apix2d)
+    l2 += l2 % 2
+    l3 = int(np.ceil(reconstruct_length / target_apix3d))
+    l3 += l3 % 2
+    return ReconstructionGeometry(
+        d2=d2,
+        l2=l2,
+        d3=d3,
+        l3=l3,
+        rmin=d3_inner / 2,
+        rmax=d3 // 2 - 1,
+        scale2d_to_3d=target_apix2d / target_apix3d,
+        csym=csym,
+    )
+
+
+def select_copies(
+    geom: ReconstructionGeometry,
+    rise_pixel: float,
+    n_copies: int,
+    csym: int | None = None,
+):
+    """Per-candidate (hsym, csym) projection copies, reference ordering.
+
+    Order: sort by (|h|, c) then Halton-permute (solver:1561-1575); pad
+    (with valid=False) or truncate to the static n_copies.
+    Returns (h[i32 n_copies], c[i32 n_copies], valid[bool n_copies]).
+    """
+    csym = geom.csym if csym is None else csym
+    hmax = geom.hsym_max_data(rise_pixel)
+    hcs = list(itertools.product(range(-hmax, hmax + 1), range(csym)))
+    hcs.sort(key=lambda x: (abs(x[0]), x[1]))
+    idx = halton_permutation(len(hcs))
+    hcs = [hcs[int(i)] for i in idx]
+    h = np.zeros(n_copies, np.int32)
+    c = np.zeros(n_copies, np.int32)
+    v = np.zeros(n_copies, bool)
+    m = min(n_copies, len(hcs))
+    if m:
+        arr = np.asarray(hcs[:m], np.int32)
+        h[:m], c[:m] = arr[:, 0], arr[:, 1]
+        v[:m] = True
+    return h, c, v
+
+
+def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
+    """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
+    as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
+    |h2|) (stable, ties keep combinations order) then Halton-permuted."""
+    hmax = max(1, int(np.ceil(nz / (2 * rise_pixel))))
+    hs = np.arange(-hmax, hmax + 1)
+    H, C = np.meshgrid(hs, np.arange(csym), indexing="ij")
+    H, C = H.ravel(), C.ravel()  # itertools.product order
+    i1, i2 = np.triu_indices(len(H), k=1)  # combinations order
+    h1, c1, h2, c2 = H[i1], C[i1], H[i2], C[i2]
+    a1 = twist * h1 + c1 * 360.0 / csym
+    a2 = twist * h2 + c2 * 360.0 / csym
+    angle = np.round(np.abs((a2 - a1 + 180.0) % 360.0 - 180.0), 2)
+    order = np.lexsort(
+        (np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2), angle)
+    )
+    idx = halton_permutation(len(order))
+    sel = order[idx]
+    return np.stack([h1[sel], c1[sel], h2[sel], c2[sel]], axis=1).astype(np.int32)
+
+
+def sorted_hsym_csym_pairs(twist: float, rise_pixel: float, csym: int, nz: int):
+    """Angle-sorted + Halton-permuted pairs of symmetry operations
+    (solver:933-1000). Returns list of ((h1, c1), (h2, c2))."""
+    t = _pair_table(twist, rise_pixel, csym, nz)
+    return [((int(r[0]), int(r[1])), (int(r[2]), int(r[3]))) for r in t]
+
+
+def select_pairs(
+    geom: ReconstructionGeometry,
+    twist: float,
+    rise_pixel: float,
+    n_pairs: int,
+    csym: int | None = None,
+):
+    """Per-candidate symmetry-constraint pairs, padded to static n_pairs.
+
+    Returns (hc[i32 (n_pairs, 4)] rows [h1, c1, h2, c2], valid[bool]).
+    """
+    csym = geom.csym if csym is None else csym
+    t = _pair_table(twist, rise_pixel, csym, geom.l3)
+    hc = np.zeros((n_pairs, 4), np.int32)
+    v = np.zeros(n_pairs, bool)
+    m = min(n_pairs, len(t))
+    hc[:m] = t[:m]
+    v[:m] = True
+    return hc, v
+
+
+def estimate_copy_pair_counts(
+    geom: ReconstructionGeometry,
+    rise_pixel_min: float,
+    sym_oversample: int,
+    max_equations: int = 2**26,
+):
+    """Static (n_copies, n_pairs) sized for the worst candidate in a grid.
+
+    Mirrors the reference's equation budget: both matrix builders stop at
+    min(max_equations, max(n_2d_pixels, n_3d_voxels) * sym_oversample)
+    rows (solver:131-172); copies contribute <= l2*d2 rows each, pairs
+    <= n_mask_voxels rows each.
+    """
+    n2d = geom.d2 * geom.l2
+    n3d = int(geom.cylindrical_mask().sum())
+    target = min(max_equations, int(max(n2d, n3d) * max(1, sym_oversample)))
+    n_copies = int(np.ceil(target / max(1, n2d))) + 1
+    hmax = geom.hsym_max_data(rise_pixel_min)
+    n_copies = min(n_copies, (2 * hmax + 1) * geom.csym)
+    n_pairs = int(np.ceil(target / max(1, n3d))) + 1
+    hmax_p = geom.hsym_max_pairs(rise_pixel_min)
+    n_ops = (2 * hmax_p + 1) * geom.csym
+    n_pairs = min(n_pairs, n_ops * (n_ops - 1) // 2)
+    return max(1, n_copies), max(1, n_pairs)

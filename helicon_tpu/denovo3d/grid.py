@@ -1,0 +1,320 @@
+"""Candidate-grid driver: vmapped, device-sharded (twist, rise) search.
+
+Reference: webApps/denovo3D/app.py run_denovo3D_reconstruction
+(2286-2452) fans the grid out over a host ThreadPool, one scipy/sklearn
+solve per thread. Here the whole grid is a single jitted computation:
+candidates are batched, vmapped, and sharded over a 1D device mesh
+("candidates" axis) with jax.sharding — the TPU-idiomatic replacement for
+the reference's task parallelism (SURVEY.md section 2h).
+
+Deviation (documented): the reference grows the reconstruction length
+with each candidate's rise (reconstruct_length_rise * rise); a vmapped
+grid needs one static geometry, so the volume length is derived from
+max(rises) for every candidate. Scores remain comparable across the grid
+because the objective normalizes by the populated equations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..angular import set_to_periodic_range
+from ..core.filters import down_scale
+from .geometry import (
+    ReconstructionGeometry,
+    estimate_copy_pair_counts,
+    select_copies,
+    select_pairs,
+)
+from .pipeline import _pixel_geometry, auto_sym_oversample, derive_task_geometry, prepare_data
+from .solver import SolveConfig, _solve_candidate_impl, solve_candidate
+
+__all__ = ["build_candidate_grid", "reconstruct_grid", "GridResult"]
+
+
+def build_candidate_grid(
+    twist_min: float,
+    twist_max: float,
+    twist_step: float,
+    rise_min: float,
+    rise_max: float,
+    rise_step: float,
+    handedness: str = "both",
+    tube_length: float = math.inf,
+):
+    """(twist, rise) candidate list with the reference's filters
+    (app.py:2308-2334, 2389-2404): degenerate twist/rise and
+    rise >= tube_length/2 dropped; handedness forcing for single-twist
+    searches. Returns (twists, rises) float32 arrays of equal length.
+    """
+    if handedness.startswith("left") and twist_max == twist_min:
+        twists = [-abs(twist_max)]
+    elif handedness.startswith("right") and twist_max == twist_min:
+        twists = [abs(twist_max)]
+    elif twist_min < twist_max:
+        twists = np.arange(twist_min, twist_max + twist_step / 2, twist_step)
+    else:
+        twists = [twist_min]
+    if rise_min < rise_max:
+        rises = np.arange(rise_min, rise_max + rise_step / 2, rise_step)
+    else:
+        rises = [rise_min]
+
+    out_t, out_r = [], []
+    for t in twists:
+        t = round(set_to_periodic_range(float(t), min=-180, max=180), 6)
+        for r in rises:
+            if abs(t) < 0.01 or abs(r) < 0.01 or abs(r) >= tube_length / 2:
+                continue
+            out_t.append(t)
+            out_r.append(float(r))
+    return np.asarray(out_t, np.float32), np.asarray(out_r, np.float32)
+
+
+@dataclasses.dataclass
+class GridResult:
+    twists: np.ndarray
+    rises: np.ndarray
+    scores: np.ndarray
+    geom: ReconstructionGeometry
+    target_apix2d: float
+    target_apix3d: float
+    best_index: int = -1
+    best_volume: np.ndarray | None = None
+
+    def top(self, n: int = 10):
+        """(twist, rise, score) rows of the n best candidates."""
+        order = np.argsort(-self.scores)[:n]
+        return np.stack(
+            [self.twists[order], self.rises[order], self.scores[order]], axis=1
+        )
+
+
+def _candidate_tables(geom, twists, rises, n_copies, n_pairs):
+    """Host-side per-candidate symmetry copy/pair tables (padded)."""
+    apix_ratio = 1.0  # rises already in 3D pixels here
+    n = len(twists)
+    ch = np.zeros((n, n_copies), np.int32)
+    cc = np.zeros((n, n_copies), np.int32)
+    cv = np.zeros((n, n_copies), bool)
+    phc = np.zeros((n, n_pairs, 4), np.int32)
+    pv = np.zeros((n, n_pairs), bool)
+    copy_cache = {}
+    for i in range(n):
+        r = float(rises[i])
+        if r not in copy_cache:
+            copy_cache[r] = select_copies(geom, r, n_copies)
+        ch[i], cc[i], cv[i] = copy_cache[r]
+        phc[i], pv[i] = select_pairs(geom, float(twists[i]), r, n_pairs)
+    return ch, cc, cv, phc, pv
+
+
+def reconstruct_grid(
+    image,
+    apix: float,
+    twists,
+    rises,
+    csym: int = 1,
+    tilt: float = 0.0,
+    psi: float = 0.0,
+    dy: float = 0.0,
+    low_pass: float = -1,
+    transpose: int = 0,
+    horizontalize: int = 0,
+    denoise: str = "",
+    target_apix2d: float = -1,
+    target_apix3d: float = -1,
+    tube_diameter: float = -1,
+    tube_diameter_inner: float = 0.0,
+    tube_length: float = -1,
+    reconstruct_length_rise: float = 3.0,
+    thresh_fraction: float = -1,
+    positive_constraint: int = -1,
+    sym_oversample: int = -1,
+    interpolation: str = "nn",
+    algorithm: dict | None = None,
+    cg_iters: int = 120,
+    fista_iters: int = 60,
+    batch_size: int | None = None,
+    devices=None,
+    return_best_volume: bool = True,
+) -> GridResult:
+    """Score every (twist, rise) candidate for one class-average image.
+
+    The flagship TPU workload: one jit compilation, vmapped over
+    candidates, sharded over `devices` (default: all local devices).
+    """
+    algorithm = algorithm or dict(model="lsq")
+    twists = np.asarray(twists, np.float32)
+    rises = np.asarray(rises, np.float32)
+    assert twists.shape == rises.shape and twists.ndim == 1
+    n_cand = len(twists)
+
+    data = prepare_data(image, apix, denoise, low_pass, transpose, horizontalize)
+    ny0, nx0 = data.shape
+
+    estimated_diameter = None
+    if tube_diameter < 0:
+        from ..core.analysis import estimate_helix_rotation_center_diameter
+
+        _, _, estimated_diameter = estimate_helix_rotation_center_diameter(data)
+
+    rise_ref = float(np.max(rises))
+    g = derive_task_geometry(
+        (ny0, nx0),
+        apix,
+        rise_ref,
+        (float(np.min(rises)), float(np.max(rises))),
+        (-abs(tilt), abs(tilt)),
+        tube_length,
+        tube_diameter,
+        tube_diameter_inner,
+        reconstruct_length_rise * rise_ref,
+        target_apix2d,
+        target_apix3d,
+        estimated_diameter,
+    )
+    target_apix2d = g["target_apix2d"]
+    data = np.asarray(down_scale(data, target_apix2d, apix))
+    ny, nx = data.shape
+    pg = _pixel_geometry(g, (ny, nx), rise_ref)
+    target_apix3d = pg["target_apix3d"]
+
+    geom = ReconstructionGeometry(
+        d2=pg["d2"],
+        l2=pg["l2"],
+        d3=pg["d3"],
+        l3=pg["l3"],
+        rmin=pg["d3_inner"] / 2,
+        rmax=pg["d3"] // 2 - 1,
+        scale2d_to_3d=target_apix2d / target_apix3d,
+        csym=int(csym),
+    )
+
+    if sym_oversample <= 0:
+        sym_oversample = auto_sym_oversample(pg["l3"], pg["d3"], pg["d3_inner"])
+
+    rise_pixels = rises / target_apix3d
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(np.min(rise_pixels)), sym_oversample
+    )
+    ch, cc, cv, phc, pv = _candidate_tables(
+        geom, twists, rise_pixels, n_copies, n_pairs
+    )
+
+    region = data[
+        ny // 2 - geom.d2 // 2 : ny // 2 + geom.d2 // 2,
+        nx // 2 - geom.l2 // 2 : nx // 2 + geom.l2 // 2,
+    ]
+
+    model = algorithm.get("model", "lsq")
+    l1 = l2r = 0.0
+    if model in ("lasso", "elasticnet"):
+        alpha = float(algorithm.get("alpha", 1e-4))
+        l1_ratio = 1.0 if model == "lasso" else float(algorithm.get("l1_ratio", 0.5))
+        n_rows = geom.d2 * geom.l2 * n_copies
+        l1 = alpha * l1_ratio * n_rows
+        l2r = alpha * (1.0 - l1_ratio) * n_rows
+    elif model in ("ridge", "ard"):
+        l2r = float(algorithm.get("alpha", 1.0))
+    cfg = SolveConfig(
+        interpolation=interpolation,
+        model=model,
+        cg_iters=cg_iters,
+        fista_iters=fista_iters,
+        thresh_fraction=float(thresh_fraction),
+        positive_constraint=int(positive_constraint),
+        l1_reg=float(l1),
+        l2_reg=float(l2r),
+    )
+
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if batch_size is None:
+        batch_size = max(n_dev, min(n_cand, 8 * n_dev))
+    batch_size = max(1, (batch_size // n_dev) * n_dev)
+
+    def one(tw, ri, a, b, c, d, e):
+        out = _solve_candidate_impl(
+            geom,
+            cfg,
+            jnp.asarray(region),
+            tw,
+            ri,
+            a,
+            b,
+            c,
+            d,
+            e,
+            jnp.float32(tilt),
+            jnp.float32(psi),
+            jnp.float32(dy / target_apix2d),
+        )
+        return out["score"]
+
+    vsolve = jax.jit(jax.vmap(one))
+
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("candidates",))
+        shard = NamedSharding(mesh, P("candidates"))
+        put = lambda x: jax.device_put(x, shard)
+    else:
+        put = jnp.asarray
+
+    scores = np.zeros(n_cand, np.float32)
+    for start in range(0, n_cand, batch_size):
+        end = min(start + batch_size, n_cand)
+        sl = slice(start, end)
+        pad = batch_size - (end - start)
+
+        def pad_to(x):
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            return put(x)
+
+        s = vsolve(
+            pad_to(twists[sl]),
+            pad_to(rise_pixels[sl]),
+            pad_to(ch[sl]),
+            pad_to(cc[sl]),
+            pad_to(cv[sl]),
+            pad_to(phc[sl]),
+            pad_to(pv[sl]),
+        )
+        scores[sl] = np.asarray(s)[: end - start]
+
+    result = GridResult(
+        twists=twists,
+        rises=rises,
+        scores=scores,
+        geom=geom,
+        target_apix2d=float(target_apix2d),
+        target_apix3d=float(target_apix3d),
+    )
+    result.best_index = int(np.argmax(scores))
+    if return_best_volume and n_cand:
+        bi = result.best_index
+        out = solve_candidate(
+            geom,
+            cfg,
+            jnp.asarray(region),
+            jnp.float32(twists[bi]),
+            jnp.float32(rise_pixels[bi]),
+            jnp.asarray(ch[bi]),
+            jnp.asarray(cc[bi]),
+            jnp.asarray(cv[bi]),
+            jnp.asarray(phc[bi]),
+            jnp.asarray(pv[bi]),
+            jnp.float32(tilt),
+            jnp.float32(psi),
+            jnp.float32(dy / target_apix2d),
+        )
+        result.best_volume = np.asarray(out["rec3d"])
+    return result

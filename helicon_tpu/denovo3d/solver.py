@@ -1,0 +1,405 @@
+"""Matrix-free bounded least-squares solver for denovo3D candidates.
+
+Reference: solver_linear_regression.py lsq_reconstruct (31-547) +
+solve_equations (205-342). The explicit sparse system is replaced by the
+operators in :mod:`projector`; the solve is conjugate gradients on the
+normal equations followed by FISTA (projected accelerated gradient with
+an optional L1 prox), which handles the reference's solver zoo:
+
+  model        reference                     here
+  -----        ---------                     ----
+  lsq          scipy lsq_linear [0, max b]   CG + FISTA with box projection
+  lreg         sklearn LinearRegression      CG (lambda1 = lambda2 = 0)
+  ridge        sklearn Ridge(alpha)          CG with lambda2 = alpha
+  lasso        sklearn Lasso(alpha)          FISTA, lambda1 = n*alpha
+  elasticnet   sklearn ElasticNet            FISTA, l1/l2 split as sklearn
+  ard          sklearn ARDRegression         falls back to ridge
+
+Deviations (documented): no fit_intercept (the reference centers via
+sklearn; the data here is background-subtracted so the intercept is ~0);
+symmetry-pair rows are not dedup'd (duplicate rows only reweight the
+regularization); equation subsets chosen by copy/pair count instead of
+exact row count.
+
+Scores use the reference's definitions verbatim: cosine(A.x, b) over the
+data rows (solver:484-530), optional FSC half-splits by pixel id with
+combined score s0/2 + (s1+s2)/4 (solver:527-530).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import (
+    ReconstructionGeometry,
+    estimate_copy_pair_counts,
+    select_copies,
+    select_pairs,
+)
+from .projector import build_problem
+
+__all__ = ["SolveConfig", "lsq_reconstruct", "solve_candidate"]
+
+
+class SolveConfig(NamedTuple):
+    """Static solver configuration (hashable -> jit static arg)."""
+
+    interpolation: str = "nn"
+    model: str = "lsq"
+    cg_iters: int = 120
+    fista_iters: int = 120
+    power_iters: int = 12
+    fsc_test: int = 0
+    score_metric: str = "cosine"
+    thresh_fraction: float = -1.0
+    positive_constraint: int = -1
+    l2_reg: float = 0.0  # lambda2 (absolute, already scaled)
+    l1_reg: float = 0.0  # lambda1 (absolute, already scaled)
+
+
+def _cosine(a, b):
+    num = jnp.vdot(a, b)
+    den = jnp.linalg.norm(a) * jnp.linalg.norm(b)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+
+def _cg(N, rhs, iters: int):
+    """Fixed-iteration conjugate gradients for N x = rhs, x0 = 0."""
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    p0 = rhs
+    rs0 = jnp.vdot(r0, r0)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Np = N(p)
+        pNp = jnp.vdot(p, Np)
+        alpha = jnp.where(pNp > 0, rs / jnp.maximum(pNp, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Np
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rs0), None, length=iters)
+    return x
+
+
+def _power_iteration(N, shape, iters: int):
+    """Largest eigenvalue of the PSD operator N (for the FISTA step)."""
+    v = jnp.ones(shape, jnp.float32)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    def body(v, _):
+        w = N(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
+
+    v, _ = jax.lax.scan(body, v, None, length=iters)
+    return jnp.vdot(v, N(v))
+
+
+def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
+    """FISTA on 0.5 x.N.x - rhs.x + l1 |x|_1 with box projection."""
+    eta = 1.0 / jnp.maximum(lipschitz, 1e-20)
+
+    def prox(v):
+        v = jnp.sign(v) * jnp.maximum(jnp.abs(v) - eta * l1, 0.0)
+        return jnp.clip(v, lb, ub)
+
+    def body(carry, _):
+        x, y, t = carry
+        g = N(y) - rhs
+        x_new = prox(y - eta * g)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return (x_new, y_new, t_new), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (jnp.clip(x0, lb, ub), jnp.clip(x0, lb, ub), 1.0), None, length=iters
+    )
+    return x
+
+
+def _solve_one_weighting(ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val):
+    """Solve with the given data-row weighting; return (x, score)."""
+    P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
+    b_eff = ops["b"][None] * rowv
+
+    def N(v):
+        out = PT(P(v) * rowv) + ST(S(v))
+        if cfg.l2_reg:
+            out = out + cfg.l2_reg * v
+        return out * mask_f
+
+    rhs = PT(b_eff) * mask_f
+
+    x = _cg(N, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
+
+    if cfg.fista_iters > 0:
+        lb = jnp.where(positive, 0.0, -jnp.inf)
+        ub = jnp.where(positive, ub_val, jnp.inf)
+        L = _power_iteration(N, rhs.shape, cfg.power_iters)
+        x = _fista(N, rhs, x, lb, ub, cfg.l1_reg, cfg.fista_iters, L)
+    x = x * mask_f
+
+    pred = P(x) * rowv
+    if cfg.thresh_fraction >= 0:
+        pred = jnp.clip(pred, 0.0, None)
+    score = _cosine(pred.ravel(), b_eff.ravel())
+    return x, score
+
+
+def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):
+    """Data-row pixel-id split masks of shape (1, l2, d2) (solver:176-203).
+
+    pid = i * d2 + j; mode 1 random, 2 even/odd, 3 halves,
+    4 outer-thirds vs center.
+    """
+    l2, d2 = geom.l2, geom.d2
+    pid = jnp.arange(l2 * d2).reshape(l2, d2)
+    n = l2 * d2
+    if mode == 1:
+        perm = jax.random.permutation(key, n)
+        rank = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+        set1 = (rank < n // 2).reshape(l2, d2)
+    elif mode == 2:
+        set1 = pid % 2 == 0
+    elif mode == 3:
+        set1 = pid < n // 2
+    else:
+        set1 = (pid < n // 3) | (pid >= 2 * n // 3)
+    return set1[None].astype(jnp.float32), (~set1[None]).astype(jnp.float32)
+
+
+def _solve_candidate_impl(
+    geom: ReconstructionGeometry,
+    cfg: SolveConfig,
+    image_region,
+    twist_degree,
+    rise_pixel,
+    copies_h,
+    copies_c,
+    copies_valid,
+    pairs_hc,
+    pairs_valid,
+    tilt_degree=0.0,
+    psi_degree=0.0,
+    dy_pixel=0.0,
+    key=None,
+):
+    """Jitted single-candidate reconstruction. vmap over the array args
+    (twist/rise/copies/pairs[/tilt/psi/dy]) for a candidate grid.
+
+    Returns dict(rec3d, rec3d_half1, rec3d_half2, score, scores).
+    """
+    mask = geom.cylindrical_mask()  # numpy at trace time -> jit constant
+    cellok = geom.cell_valid_mask()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    ops = build_problem(
+        geom,
+        image_region,
+        twist_degree,
+        rise_pixel,
+        copies_h,
+        copies_c,
+        copies_valid,
+        pairs_hc,
+        pairs_valid,
+        tilt_degree,
+        psi_degree,
+        dy_pixel,
+        cfg.interpolation,
+        mask,
+        cellok,
+    )
+    mask_f = jnp.asarray(mask, jnp.float32)
+    rowv = ops["row_valid"].astype(jnp.float32)
+
+    # positivity: explicit flag, or auto when pitch > 2 * volume length
+    # (solver:351-356)
+    pitch_pixel = jnp.round(rise_pixel * 360.0 / jnp.abs(twist_degree))
+    positive = jnp.where(
+        cfg.positive_constraint > 0,
+        True,
+        jnp.where(
+            cfg.positive_constraint < 0, pitch_pixel > 2 * geom.l3, False
+        ),
+    )
+    b_eff_full = ops["b"][None] * rowv
+    ub_val = jnp.max(b_eff_full)
+
+    x, score = _solve_one_weighting(ops, rowv, mask_f, cfg, positive, ub_val)
+    scores = [score]
+    halves = []
+    if cfg.fsc_test >= 1:
+        m1, m2 = _pid_split_masks(geom, cfg.fsc_test, key)
+        for m in (m1, m2):
+            xh, sh = _solve_one_weighting(
+                ops, rowv * m, mask_f, cfg, positive, ub_val
+            )
+            halves.append(xh)
+            scores.append(sh)
+        combined = scores[0] / 2 + (scores[1] + scores[2]) / 4
+    else:
+        combined = score
+        halves = [jnp.zeros_like(x), jnp.zeros_like(x)]
+
+    return dict(
+        rec3d=x,
+        rec3d_half1=halves[0],
+        rec3d_half2=halves[1],
+        score=combined,
+        scores=jnp.stack(scores),
+    )
+
+
+solve_candidate = functools.partial(
+    jax.jit, static_argnames=("geom", "cfg")
+)(_solve_candidate_impl)
+
+
+def lsq_reconstruct(
+    projection_image,
+    scale2d_to_3d,
+    twist_degree,
+    rise_pixel,
+    csym: int = 1,
+    tilt_degree: float = 0,
+    psi_degree: float = 0,
+    dy_pixel: float = 0,
+    thresh_fraction: float = -1,
+    positive_constraint: int = -1,
+    reconstruct_diameter_3d_inner_pixel: int = 0,
+    reconstruct_diameter_2d_pixel: int = -1,
+    reconstruct_diameter_3d_pixel: int = -1,
+    reconstruct_length_2d_pixel: int = -1,
+    reconstruct_length_3d_pixel: int = -1,
+    sym_oversample: int = 1,
+    interpolation: str = "nn",
+    fsc_test: int = 0,
+    score_metric: str = "cosine",
+    target_apix2d: float = 5.0,
+    verbose: int = 0,
+    algorithm=None,
+    refine_tilt_psi_dy_range=None,
+    cpu: int = 1,
+):
+    """Reference-compatible entry point (solver_linear_regression.py:31).
+
+    Host-side wrapper: derives the static geometry, selects symmetry
+    copies/pairs, calls the jitted solve_candidate, and reassembles
+    (rec3d, rec3d_half1, rec3d_half2), score. ``cpu`` is accepted and
+    ignored (XLA owns threading).
+    """
+    algorithm = algorithm or dict(model="lsq")
+    img = np.asarray(projection_image, np.float32)
+    ny, nx = img.shape
+    d2 = int(reconstruct_diameter_2d_pixel) if reconstruct_diameter_2d_pixel > 0 else ny
+    l2 = int(reconstruct_length_2d_pixel) if reconstruct_length_2d_pixel > 0 else nx
+    d3 = (
+        int(reconstruct_diameter_3d_pixel)
+        if reconstruct_diameter_3d_pixel > 0
+        else int(round(d2 * scale2d_to_3d))
+    )
+    l3 = (
+        int(reconstruct_length_3d_pixel)
+        if reconstruct_length_3d_pixel > 0
+        else int(round(l2 * scale2d_to_3d))
+    )
+    geom = ReconstructionGeometry(
+        d2=d2,
+        l2=l2,
+        d3=d3,
+        l3=l3,
+        rmin=reconstruct_diameter_3d_inner_pixel / 2,
+        rmax=d3 // 2 - 1,
+        scale2d_to_3d=float(scale2d_to_3d),
+        csym=int(csym),
+    )
+
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(rise_pixel), int(max(1, sym_oversample))
+    )
+    ch, cc, cv = select_copies(geom, float(rise_pixel), n_copies)
+    phc, pv = select_pairs(geom, float(twist_degree), float(rise_pixel), n_pairs)
+
+    region = img[
+        ny // 2 - d2 // 2 : ny // 2 + d2 // 2,
+        nx // 2 - l2 // 2 : nx // 2 + l2 // 2,
+    ]
+
+    model = algorithm.get("model", "lsq")
+    l1 = l2_reg = 0.0
+    n2d = geom.d2 * geom.l2
+    if model in ("lasso", "elasticnet"):
+        alpha = float(algorithm.get("alpha", 1e-4))
+        l1_ratio = 1.0 if model == "lasso" else float(algorithm.get("l1_ratio", 0.5))
+        # sklearn objective: 1/(2n) ||r||^2 + a*l1 |x| + a(1-l1)/2 |x|^2
+        n_rows = n2d * max(1, int(cv.sum()))
+        l1 = alpha * l1_ratio * n_rows
+        l2_reg = alpha * (1.0 - l1_ratio) * n_rows
+    elif model in ("ridge", "ard"):
+        l2_reg = float(algorithm.get("alpha", 1.0))
+
+    cfg = SolveConfig(
+        interpolation=interpolation,
+        model=model,
+        fsc_test=int(fsc_test),
+        score_metric=score_metric,
+        thresh_fraction=float(thresh_fraction),
+        positive_constraint=int(positive_constraint),
+        l1_reg=float(l1),
+        l2_reg=float(l2_reg),
+    )
+
+    tilt, psi, dy = float(tilt_degree), float(psi_degree), float(dy_pixel)
+    if refine_tilt_psi_dy_range:
+        from .refine import refine_tilt_psi_dy
+
+        tilt, psi, dy = refine_tilt_psi_dy(
+            geom,
+            cfg,
+            region,
+            float(twist_degree),
+            float(rise_pixel),
+            (ch, cc, cv),
+            (phc, pv),
+            tilt,
+            psi,
+            dy,
+            refine_tilt_psi_dy_range,
+        )
+        lsq_reconstruct._refined_params = dict(tilt=tilt, psi=psi, dy=dy)
+
+    out = solve_candidate(
+        geom,
+        cfg,
+        jnp.asarray(region),
+        jnp.float32(twist_degree),
+        jnp.float32(rise_pixel),
+        jnp.asarray(ch),
+        jnp.asarray(cc),
+        jnp.asarray(cv),
+        jnp.asarray(phc),
+        jnp.asarray(pv),
+        jnp.float32(tilt),
+        jnp.float32(psi),
+        jnp.float32(dy),
+    )
+    rec3d = np.asarray(out["rec3d"])
+    score = float(out["score"])
+    if fsc_test >= 1:
+        return (
+            rec3d,
+            np.asarray(out["rec3d_half1"]),
+            np.asarray(out["rec3d_half2"]),
+        ), score
+    return (rec3d, None, None), score

@@ -1,0 +1,258 @@
+"""Tests for the denovo3D solver stack.
+
+The key oracle: tiny geometries where the reference's sparse system can be
+built explicitly with plain numpy loops (same semantics as the numba
+kernels in solver_linear_regression.py:1403-1654 and 844-1298); the
+matrix-free operators must reproduce A.x exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from helicon_tpu.denovo3d import (
+    ReconstructionGeometry,
+    lsq_reconstruct,
+    select_copies,
+    select_pairs,
+)
+from helicon_tpu.denovo3d.projector import build_problem
+from helicon_tpu.denovo3d.solver import SolveConfig, _pid_split_masks
+
+
+def small_geom():
+    return ReconstructionGeometry(
+        d2=8, l2=12, d3=8, l3=8, rmin=0.0, rmax=3.0, scale2d_to_3d=1.0, csym=1
+    )
+
+
+def explicit_data_matrix(geom, twist, rise, copies, interpolation, mask):
+    """Reference-convention rows: for each copy (h, c) and 2D pixel
+    (i_len, j), sum interpolation weights along the ray k."""
+    d2, l2, d3, l3 = geom.d2, geom.l2, geom.d3, geom.l3
+    s = geom.scale2d_to_3d
+    csym = geom.csym
+    nvox = l3 * d3 * d3
+    rows = []
+    row_valid = []
+    for (h, c) in copies:
+        ang = np.deg2rad(twist * h + 360.0 * c / csym)
+        ca, sa = np.cos(ang), np.sin(ang)
+        for i in range(l2):
+            for j in range(d2):
+                w = np.zeros(nvox)
+                any_valid = False
+                for k in range(d2):
+                    x = -s * (k - d2 // 2)
+                    y = s * (j - d2 // 2)
+                    z = s * (i - l2 // 2)
+                    xr = x * ca + y * sa
+                    yr = -x * sa + y * ca
+                    zr = z - h * rise
+                    X = xr + d3 // 2
+                    Y = yr + d3 // 2
+                    Z = zr + l3 // 2
+                    if interpolation == "nn":
+                        zi, yi, xi = round(Z), round(Y), round(X)
+                        if not (0 <= zi <= l3 - 1 and 0 <= yi <= d3 - 1 and 0 <= xi <= d3 - 1):
+                            continue
+                        if not mask[zi, yi, xi]:
+                            continue
+                        any_valid = True
+                        w[(zi * d3 + yi) * d3 + xi] += 1.0
+                    else:
+                        zi, yi, xi = int(np.floor(Z)), int(np.floor(Y)), int(np.floor(X))
+                        if not (0 <= zi <= l3 - 2 and 0 <= yi <= d3 - 2 and 0 <= xi <= d3 - 2):
+                            continue
+                        ok = True
+                        for dz in (0, 1):
+                            for dy_ in (0, 1):
+                                for dx in (0, 1):
+                                    if not mask[zi + dz, yi + dy_, xi + dx]:
+                                        ok = False
+                        if not ok:
+                            continue
+                        any_valid = True
+                        fz, fy, fx = Z - zi, Y - yi, X - xi
+                        for dz in (0, 1):
+                            for dy_ in (0, 1):
+                                for dx in (0, 1):
+                                    wt = (
+                                        (fz if dz else 1 - fz)
+                                        * (fy if dy_ else 1 - fy)
+                                        * (fx if dx else 1 - fx)
+                                    )
+                                    w[((zi + dz) * d3 + yi + dy_) * d3 + xi + dx] += wt
+                rows.append(w)
+                row_valid.append(any_valid)
+    return np.asarray(rows), np.asarray(row_valid)
+
+
+@pytest.mark.parametrize("interpolation", ["nn", "linear"])
+def test_data_operator_matches_explicit_matrix(interpolation):
+    geom = small_geom()
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    twist, rise = 35.0, 2.3
+    copies = [(0, 0), (1, 0), (-1, 0), (2, 0)]
+    ch = np.array([h for h, _ in copies], np.int32)
+    cc = np.array([c for _, c in copies], np.int32)
+    cv = np.ones(len(copies), bool)
+    phc = np.zeros((1, 4), np.int32)
+    pv = np.zeros(1, bool)
+
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    x = rng.random(geom.volume_shape).astype(np.float32) * mask
+
+    ops = build_problem(
+        geom, region, jnp.float32(twist), jnp.float32(rise),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        interpolation=interpolation, mask=mask, cellok=cellok,
+    )
+    pred = np.asarray(ops["P"](jnp.asarray(x)))  # (C, l2, d2)
+
+    A, rv = explicit_data_matrix(geom, twist, rise, copies, interpolation, mask)
+    expected = (A @ x.ravel()).reshape(len(copies), geom.l2, geom.d2)
+    np.testing.assert_allclose(pred, expected, atol=1e-4)
+
+    got_rv = np.asarray(ops["row_valid"]).reshape(-1)
+    np.testing.assert_array_equal(got_rv, rv)
+
+
+@pytest.mark.parametrize("interpolation", ["nn", "linear"])
+def test_adjoint_consistency(interpolation):
+    geom = small_geom()
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    ch, cc, cv = select_copies(geom, 2.0, 5)
+    phc, pv = select_pairs(geom, 30.0, 2.0, 4)
+    rng = np.random.default_rng(1)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    ops = build_problem(
+        geom, region, jnp.float32(30.0), jnp.float32(2.0),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        interpolation=interpolation, mask=mask, cellok=cellok,
+    )
+    x = jnp.asarray(rng.random(geom.volume_shape), jnp.float32)
+    y = jnp.asarray(rng.random((5, geom.l2, geom.d2)), jnp.float32)
+    lhs = float(jnp.vdot(ops["P"](x), y))
+    rhs = float(jnp.vdot(x, ops["PT"](y)))
+    assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
+
+    r = jnp.asarray(rng.random((4,) + geom.volume_shape), jnp.float32)
+    lhs = float(jnp.vdot(ops["S"](x), r))
+    rhs = float(jnp.vdot(x, ops["ST"](r)))
+    assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
+
+
+def test_sym_operator_zero_on_symmetric_volume():
+    """A perfectly symmetric volume must satisfy every constraint row."""
+    geom = ReconstructionGeometry(
+        d2=10, l2=12, d3=10, l3=12, rmin=0.0, rmax=4.0, scale2d_to_3d=1.0, csym=1
+    )
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    twist, rise = 90.0, 3.0  # exact twist for a grid-friendly check
+
+    # build a volume invariant under (twist=90deg, rise=3px)
+    zc = np.arange(geom.l3) - geom.l3 // 2
+    yc = np.arange(geom.d3) - geom.d3 // 2
+    xc = np.arange(geom.d3) - geom.d3 // 2
+    Z, Y, X = np.meshgrid(zc, yc, xc, indexing="ij")
+    phi = np.arctan2(Y, X)
+    r = np.sqrt(X * X + Y * Y)
+    helical_phase = phi - np.deg2rad(twist) * Z / rise
+    vol = (np.cos(helical_phase) * np.exp(-((r - 2.5) ** 2))).astype(np.float32)
+
+    phc, pv = select_pairs(geom, twist, rise, 6)
+    ch = np.zeros(1, np.int32); cc = np.zeros(1, np.int32); cv = np.ones(1, bool)
+    region = np.zeros((geom.d2, geom.l2), np.float32)
+    ops = build_problem(
+        geom, region, jnp.float32(twist), jnp.float32(rise),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        interpolation="linear", mask=mask, cellok=cellok,
+    )
+    res = np.asarray(ops["S"](jnp.asarray(vol)))
+    assert np.abs(res).max() < 0.15  # trilinear interp error only
+    # a random volume must violate the constraints much more
+    rnd = np.random.default_rng(0).random(vol.shape).astype(np.float32)
+    res_rnd = np.asarray(ops["S"](jnp.asarray(rnd)))
+    assert np.abs(res_rnd).max() > 3 * np.abs(res).max()
+
+
+def test_select_copies_pairs_static_shapes():
+    geom = small_geom()
+    ch, cc, cv = select_copies(geom, 2.0, 7)
+    assert ch.shape == (7,) and cc.shape == (7,) and cv.shape == (7,)
+    assert cv.any()
+    phc, pv = select_pairs(geom, 30.0, 2.0, 9)
+    assert phc.shape == (9, 4) and pv.shape == (9,)
+    assert pv.any()
+    # determinism
+    ch2, cc2, cv2 = select_copies(geom, 2.0, 7)
+    np.testing.assert_array_equal(ch, ch2)
+
+
+def test_pid_split_masks_modes():
+    geom = small_geom()
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    for mode in (1, 2, 3, 4):
+        m1, m2 = _pid_split_masks(geom, mode, key)
+        tot = np.asarray(m1 + m2)
+        np.testing.assert_allclose(tot, 1.0)
+        frac = float(np.asarray(m1).mean())
+        assert 0.3 < frac < 0.7
+
+
+def test_lsq_reconstruct_recovers_truth():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=64, apix=2.0,
+        rng=0,
+    )
+    kwargs = dict(
+        projection_image=img, scale2d_to_3d=1.0, csym=1,
+        reconstruct_diameter_2d_pixel=24, reconstruct_diameter_3d_pixel=24,
+        reconstruct_length_2d_pixel=48, reconstruct_length_3d_pixel=16,
+        sym_oversample=2, interpolation="nn",
+    )
+    (_, _, _), score_true = lsq_reconstruct(
+        twist_degree=30.0, rise_pixel=3.0, **kwargs
+    )
+    (_, _, _), score_wrong = lsq_reconstruct(
+        twist_degree=55.0, rise_pixel=2.0, **kwargs
+    )
+    assert score_true > 0.9
+    assert score_true > score_wrong + 0.01
+
+
+def test_fsc_test_returns_halves():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=64, apix=2.0,
+        rng=0,
+    )
+    (rec, h1, h2), score = lsq_reconstruct(
+        projection_image=img, scale2d_to_3d=1.0, twist_degree=30.0,
+        rise_pixel=3.0, csym=1,
+        reconstruct_diameter_2d_pixel=24, reconstruct_diameter_3d_pixel=24,
+        reconstruct_length_2d_pixel=48, reconstruct_length_3d_pixel=16,
+        sym_oversample=2, interpolation="nn", fsc_test=2,
+    )
+    assert h1 is not None and h2 is not None
+    assert h1.shape == rec.shape
+    # the two half-maps should correlate (same underlying structure)
+    from helicon_tpu.core.analysis import cross_correlation_coefficient
+
+    cc = float(cross_correlation_coefficient(h1, h2))
+    assert cc > 0.2
