@@ -1,0 +1,67 @@
+"""Device-mesh utilities: candidate-grid sharding over TPU chips.
+
+The reference's only parallelism is single-host task fan-out
+(ThreadPool/ProcessPool/joblib, SURVEY.md section 2h) — there is no model
+to shard, so the TPU design shards the *candidate* (and image-batch) axis
+over a 1D ICI mesh with jax.sharding; per-candidate solves stay on-chip
+and scores come back with one gather. DP is the only meaningful axis;
+TP/PP/SP/EP have no counterpart in this workload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "candidate_mesh",
+    "candidate_sharding",
+    "distributed_reconstruct_grid",
+    "pad_to_multiple",
+    "shard_batch",
+]
+
+
+def candidate_mesh(devices=None, axis_name: str = "candidates") -> Mesh:
+    """1D mesh over all (or the given) local devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def candidate_sharding(mesh: Mesh, axis_name: str = "candidates") -> NamedSharding:
+    """Shard leading (candidate/batch) axis across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    """Pad by repeating the last slice so axis length % multiple == 0."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if not pad:
+        return x
+    last = np.take(x, [-1], axis=axis)
+    reps = [1] * x.ndim
+    reps[axis] = pad
+    return np.concatenate([x, np.tile(last, reps)], axis=axis)
+
+
+def shard_batch(arrays, mesh: Mesh, axis_name: str = "candidates"):
+    """device_put a pytree of per-candidate arrays with leading-axis
+    sharding (pad first with pad_to_multiple)."""
+    sh = candidate_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), arrays)
+
+
+def distributed_reconstruct_grid(image, apix, twists, rises, devices=None, **kwargs):
+    """Run the denovo3D candidate grid sharded over a device mesh.
+
+    Thin entry: the sharding lives inside reconstruct_grid (grid.py), this
+    just selects devices and sizes batches to the mesh.
+    """
+    from ..denovo3d import reconstruct_grid
+
+    devices = list(devices) if devices is not None else jax.devices()
+    return reconstruct_grid(
+        image, apix, twists, rises, devices=devices, **kwargs
+    )

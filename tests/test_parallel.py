@@ -1,0 +1,55 @@
+"""Mesh/sharding utilities + driver hooks on the virtual 8-CPU-device mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from helicon_tpu.parallel import (
+    candidate_mesh,
+    candidate_sharding,
+    pad_to_multiple,
+    shard_batch,
+)
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_to_multiple():
+    x = np.arange(10).reshape(10, 1)
+    y = pad_to_multiple(x, 8)
+    assert y.shape == (16, 1)
+    np.testing.assert_array_equal(y[10:], np.full((6, 1), 9))
+    assert pad_to_multiple(x, 5) is x
+
+
+def test_mesh_and_sharding():
+    mesh = candidate_mesh()
+    assert mesh.devices.shape == (8,)
+    sh = candidate_sharding(mesh)
+    x = np.arange(16, dtype=np.float32)
+    y = shard_batch(x, mesh)
+    assert np.asarray(y).shape == (16,)
+    assert len(y.sharding.device_set) == 8
+
+
+def test_graft_entry_compiles():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    score, vol = jax.jit(fn)(*args)
+    assert np.isfinite(float(score))
+    assert vol.shape == (12, 12, 12)
+
+
+def test_dryrun_multichip_small():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(4)
