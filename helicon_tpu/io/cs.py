@@ -1,0 +1,43 @@
+"""CryoSPARC .cs dataset files (no cryosparc-tools dependency).
+
+A .cs file is a numpy structured array; cryoSPARC v2/v3 wrote plain .npy
+(magic \\x93NUMPY), which is also what the reference test fixtures use
+(reference repo test.cs.npy; lib/io.py cs2dataframe loads via
+cryosparc-tools Dataset). The newer CSDAT streaming container is
+detected and rejected with a clear message (convert with
+cryosparc-tools' dataset.save_npy upstream).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["read_cs", "write_cs"]
+
+_NUMPY_MAGIC = b"\x93NUMPY"
+_CSDAT_MAGIC = b"\x94CSDAT"
+
+
+def read_cs(path) -> np.ndarray:
+    """Load a .cs structured array."""
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    if magic == _NUMPY_MAGIC:
+        return np.load(path, allow_pickle=False)
+    if magic == _CSDAT_MAGIC:
+        raise NotImplementedError(
+            f"{path}: CSDAT-format .cs container; export as .npy from "
+            "cryoSPARC (Dataset.save with NUMPY format) first"
+        )
+    raise ValueError(f"{path}: not a recognized .cs file (magic {magic!r})")
+
+
+def write_cs(path, data: np.ndarray):
+    """Save a structured array as a .cs (npy-format) file."""
+    data = np.asarray(data)
+    if data.dtype.names is None:
+        raise ValueError(".cs files must contain structured (record) arrays")
+    with open(path, "wb") as f:
+        np.save(f, data, allow_pickle=False)

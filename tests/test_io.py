@@ -1,0 +1,253 @@
+"""Round-trip tests for the native I/O layer (MRC, STAR, CS, metadata)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from helicon_tpu.io import (
+    dataframe2file,
+    dataframe2star,
+    dataframe_convert,
+    get_dataframe_convention,
+    get_image_number,
+    get_image_size,
+    images2dataframe,
+    mrc_header,
+    read_cs,
+    read_image_2d,
+    read_mrc,
+    read_star,
+    star2dataframe,
+    write_cs,
+    write_mrc,
+    write_star,
+)
+from helicon_tpu.io.metadata import (
+    _electron_wavelength,
+    clean_cs_micrograph_path,
+    dataframe_cryosparc_to_relion,
+    dataframe_relion_to_cryosparc,
+    getPixelSize,
+    setPixelSize,
+    star_build_opticsgroup,
+    star_dissolve_opticsgroup,
+)
+
+
+# ---------------------------------------------------------------- MRC
+
+
+def test_mrc_roundtrip_3d(tmp_path):
+    vol = np.random.default_rng(0).random((8, 10, 12)).astype(np.float32)
+    path = tmp_path / "vol.mrc"
+    write_mrc(path, vol, apix=1.5)
+    data, apix = read_mrc(path)
+    np.testing.assert_allclose(data, vol)
+    assert abs(apix - 1.5) < 1e-5
+    h = mrc_header(path)
+    assert h.shape == (8, 10, 12)
+    assert h.mode == 2
+
+
+def test_mrc_stack_and_slices(tmp_path):
+    stack = np.random.default_rng(1).random((5, 6, 7)).astype(np.float32)
+    path = tmp_path / "stack.mrcs"
+    write_mrc(path, stack, apix=2.0)
+    assert get_image_number(path) == 5
+    assert get_image_size(path) == (6, 7)
+    np.testing.assert_allclose(read_image_2d(path, 3), stack[3])
+    with pytest.raises(IndexError):
+        read_image_2d(path, 5)
+
+
+def test_mrc_int16_mode(tmp_path):
+    vol = (np.random.default_rng(2).integers(-100, 100, (4, 5, 6))).astype(np.int16)
+    path = tmp_path / "i16.mrc"
+    write_mrc(path, vol, apix=1.0)
+    assert mrc_header(path).mode == 1
+    data, _ = read_mrc(path)
+    np.testing.assert_array_equal(data, vol)
+
+
+# ---------------------------------------------------------------- STAR
+
+
+def test_star_roundtrip(tmp_path):
+    df = pd.DataFrame(
+        dict(
+            rlnImageName=["000001@a.mrcs", "000002@a.mrcs"],
+            rlnCoordinateX=[1.5, 2.5],
+            rlnClassNumber=[1, 2],
+        )
+    )
+    path = tmp_path / "t.star"
+    write_star(path, {"particles": df})
+    blocks = read_star(path)
+    assert "particles" in blocks
+    out = blocks["particles"]
+    assert list(out.columns) == list(df.columns)
+    np.testing.assert_allclose(out["rlnCoordinateX"], df["rlnCoordinateX"])
+    assert out["rlnClassNumber"].dtype.kind == "i"
+
+
+def test_star_key_value_block(tmp_path):
+    path = tmp_path / "kv.star"
+    path.write_text("data_general\n_rlnVoltage 300\n_rlnName abc\n")
+    blocks = read_star(path)
+    assert blocks["general"]["rlnVoltage"] == 300
+    assert blocks["general"]["rlnName"] == "abc"
+
+
+def test_star2dataframe_with_optics(tmp_path):
+    path = tmp_path / "optics.star"
+    path.write_text(
+        """
+data_optics
+
+loop_
+_rlnOpticsGroup #1
+_rlnVoltage #2
+_rlnImagePixelSize #3
+1 300.0 1.2
+
+data_particles
+
+loop_
+_rlnImageName #1
+_rlnOpticsGroup #2
+000001@s.mrcs 1
+000002@s.mrcs 1
+"""
+    )
+    df = star2dataframe(path)
+    assert len(df) == 2
+    assert df.attrs["convention"] == "relion"
+    assert df.attrs["optics"] is not None
+    assert getPixelSize(df) == 1.2
+
+
+def test_dataframe2star_v3_builds_optics(tmp_path, relion_df):
+    relion_df = relion_df.copy()
+    relion_df.attrs["convention"] = "relion"
+    relion_df["rlnVoltage"] = 300.0
+    relion_df["rlnImagePixelSize"] = 1.1
+    path = tmp_path / "out.star"
+    dataframe2star(relion_df, str(path), format="v3")
+    text = path.read_text()
+    assert "data_optics" in text and "data_particles" in text
+    back = star2dataframe(path)
+    assert len(back) == len(relion_df)
+    assert getPixelSize(back) == pytest.approx(1.1)
+
+
+# ---------------------------------------------------------------- CS
+
+
+def make_cs_array(n=4):
+    dt = np.dtype(
+        [
+            ("uid", "<u8"),
+            ("blob/idx", "<u4"),
+            ("blob/path", "S30"),
+            ("blob/psize_A", "<f4"),
+            ("ctf/accel_kv", "<f4"),
+            ("ctf/cs_mm", "<f4"),
+            ("ctf/amp_contrast", "<f4"),
+            ("ctf/df1_A", "<f4"),
+            ("ctf/df2_A", "<f4"),
+            ("ctf/df_angle_rad", "<f4"),
+        ]
+    )
+    arr = np.zeros(n, dt)
+    arr["uid"] = np.arange(n) + 1000
+    arr["blob/idx"] = np.arange(n)
+    arr["blob/path"] = b"J1/extract/stack.mrcs"
+    arr["blob/psize_A"] = 1.3
+    arr["ctf/accel_kv"] = 300
+    arr["ctf/cs_mm"] = 2.7
+    arr["ctf/amp_contrast"] = 0.1
+    arr["ctf/df1_A"] = 12000 + np.arange(n)
+    arr["ctf/df2_A"] = 11000 + np.arange(n)
+    arr["ctf/df_angle_rad"] = 0.5
+    return arr
+
+
+def test_cs_roundtrip(tmp_path):
+    arr = make_cs_array()
+    path = tmp_path / "p.cs"
+    write_cs(path, arr)
+    back = read_cs(path)
+    assert back.dtype.names == arr.dtype.names
+    np.testing.assert_array_equal(back["uid"], arr["uid"])
+
+
+def test_cs2dataframe_and_convert(tmp_path):
+    arr = make_cs_array()
+    path = tmp_path / "particles_sel.cs"
+    write_cs(path, arr)
+    df = images2dataframe(str(path))
+    assert df.attrs["convention"] == "cryosparc"
+    rel = dataframe_convert(df, target="relion")
+    assert rel.attrs["convention"] == "relion"
+    assert rel["rlnImageName"].iloc[0] == "000001@J1/extract/stack.mrcs"
+    assert rel["rlnDefocusU"].iloc[0] == pytest.approx(12000)
+    assert rel["rlnDefocusAngle"].iloc[0] == pytest.approx(np.rad2deg(0.5))
+
+
+def test_relion_to_cryosparc_roundtrip(relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    df["rlnImagePixelSize"] = 1.2
+    cs = dataframe_relion_to_cryosparc(df)
+    assert cs.attrs["convention"] == "cryosparc"
+    assert "blob/path" in cs and "ctf/df1_A" in cs
+    back = dataframe_cryosparc_to_relion(cs)
+    assert back["rlnDefocusU"].iloc[0] == pytest.approx(df["rlnDefocusU"].iloc[0])
+
+
+# ---------------------------------------------------------------- misc
+
+
+def test_electron_wavelength():
+    # 300 kV -> 0.0197 A (textbook value)
+    assert _electron_wavelength(300) == pytest.approx(0.0197, abs=2e-4)
+    assert _electron_wavelength(200) == pytest.approx(0.0251, abs=2e-4)
+
+
+def test_clean_cs_micrograph_path():
+    assert (
+        clean_cs_micrograph_path(
+            "J5/motioncorrected/123456789012345_mic_patch_aligned_doseweighted.mrc"
+        )
+        == "mic.mrc"
+    )
+
+
+def test_set_pixel_size(relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    df["rlnImagePixelSize"] = 1.0
+    setPixelSize(df, 2.0, update_defocus=True)
+    assert getPixelSize(df) == 2.0
+    assert df["rlnDefocusU"].iloc[0] == pytest.approx(48000.0)
+
+
+def test_optics_build_dissolve(relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    df["rlnVoltage"] = 300.0
+    df["rlnImagePixelSize"] = 1.5
+    star_build_opticsgroup(df)
+    assert df.attrs["optics"] is not None
+    assert "rlnVoltage" not in df
+    star_dissolve_opticsgroup(df)
+    assert df.attrs["optics"] is None
+    assert df["rlnVoltage"].iloc[0] == 300.0
+
+
+def test_dataframe2file_formats(tmp_path, relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    dataframe2file(df, str(tmp_path / "o.star"))
+    dataframe2file(df, str(tmp_path / "o.csv"))
+    assert (tmp_path / "o.star").exists() and (tmp_path / "o.csv").exists()

@@ -1,0 +1,122 @@
+"""Tests for EPU/groups/EMDB-dataset io modules (mock-based, no network)."""
+
+import gzip
+from unittest import mock
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from helicon_tpu.io import epu, groups
+
+
+EPU_NAME = "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff"
+EPU_OLD_NAME = "FoilHole_1464933_Data_427288_427290_20250502_213110_Fractions.mrc"
+
+
+def test_guess_software():
+    assert epu.guess_data_collection_software(EPU_NAME) == "EPU"
+    assert epu.guess_data_collection_software(EPU_OLD_NAME) == "EPU_old"
+    assert epu.guess_data_collection_software("random_name.mrc") is None
+
+
+def test_extract_beamshift_and_time():
+    assert epu.extract_beamshift(EPU_NAME) == "46"
+    ts = epu.extract_data_collection_time(EPU_NAME)
+    assert ts is not None and ts > 1.5e9
+    assert epu.extract_data_collection_time(EPU_OLD_NAME) is not None
+
+
+def test_assign_beamshift_groups():
+    names = [
+        f"FoilHole_28788144_Data_28764755_{bs}_20240328_192116_fractions.tiff"
+        for bs in (3, 7, 3, 12)
+    ]
+    mapping = epu.assign_beamshift_groups(names, software="EPU")
+    assert mapping[names[0]] == mapping[names[2]]
+    assert len(set(mapping.values())) == 3
+
+
+def test_epu_xml_beamshift(tmp_path):
+    xml = tmp_path / "FoilHole_1.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<MicroscopeImage xmlns:a="http://schemas.datacontract.org/2004/07/Fei.Types">
+  <microscopeData><optics><BeamShift>
+    <a:_x>0.012</a:_x><a:_y>-0.034</a:_y>
+  </BeamShift></optics></microscopeData>
+</MicroscopeImage>"""
+    )
+    x, y = epu.EPU_xml_2_beamshift(xml)
+    assert x == pytest.approx(0.012) and y == pytest.approx(-0.034)
+
+
+def test_groups_basics():
+    assert list(groups.per_micrograph_ids(["b", "a", "b"])) == [2, 1, 2]
+    np.testing.assert_array_equal(
+        groups.combine_groups([1, 1, 2, 2], [1, 2, 1, 1]), [1, 2, 3, 3]
+    )
+    m = groups.per_micrograph_mapping(["x", "y"])
+    assert m == {"x": 1, "y": 2}
+
+
+def test_assign_time_groups():
+    mics_unique = [
+        f"FoilHole_28788144_Data_28764755_{i}_20240328_1921{i:02d}_fractions.tiff"
+        for i in range(6)
+    ]
+    particles_mics = np.repeat(mics_unique, 2)
+    group_lookup = np.ones(len(particles_mics), int)
+    new_ids, t, ts = groups.assign_time_groups(
+        particles_mics, np.array([1]), group_lookup, time_group_size=3
+    )
+    assert len(np.unique(new_ids)) == 2
+    assert set(t) == set(mics_unique)
+
+
+def test_emdb_mirror(tmp_path, monkeypatch):
+    """Dataset layer with mocked network (reference test_emdb_mirror.py
+    pattern): entries and map downloads are faked on disk."""
+    import helicon_tpu.io.dataset as ds
+    from helicon_tpu.io.mrc import write_mrc
+
+    entries = pd.DataFrame(
+        dict(
+            emdb_id=["EMD-101", "EMD-102"],
+            title=["a", "b"],
+            method=["helical", "singleParticle"],
+            resolution=[3.0, 4.0],
+            pdb=["1abc", ""],
+            rise=[4.75, None],
+            twist=[-1.2, None],
+            csym=["C1", None],
+        )
+    )
+    entries["emd_id"] = entries["emdb_id"].str.split("-").str[-1]
+
+    def fake_download(url, target_file_name=None, return_filename=False, **k):
+        vol = np.zeros((4, 4, 4), np.float32)
+        raw = tmp_path / "tmp.map"
+        write_mrc(raw, vol, apix=1.1)
+        with open(raw, "rb") as f_in, gzip.open(target_file_name, "wb") as f_out:
+            f_out.write(f_in.read())
+        return target_file_name if return_filename else None
+
+    monkeypatch.setattr(ds, "get_emd_entries", lambda fields: entries)
+    monkeypatch.setattr(
+        ds, "update_helical_parameters_from_curated_table", lambda df: df
+    )
+    monkeypatch.setattr(ds, "download_file_from_url", fake_download)
+
+    ds.EMDB._instance = None  # reset the singleton for this test
+    emdb = ds.EMDB(cache_dir=tmp_path / "emdb")
+    try:
+        assert len(emdb) == 2
+        assert emdb.helical_structure_ids() == ["101"]
+        data, apix = emdb("EMD-101")
+        assert data.shape == (4, 4, 4)
+        assert apix == pytest.approx(1.1, abs=1e-5)
+        info = emdb.get_info("101")
+        assert info["method"] == "helical"
+    finally:
+        ds.EMDB._instance = None
