@@ -231,6 +231,7 @@ def reconstruct_grid(
         positive_constraint=int(positive_constraint),
         l1_reg=float(l1),
         l2_reg=float(l2r),
+        separable=(tilt == 0.0 and psi == 0.0),
     )
 
     devices = devices if devices is not None else jax.devices()

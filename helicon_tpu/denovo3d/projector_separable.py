@@ -1,0 +1,245 @@
+"""MXU-native separable projection/symmetry operators (tilt = psi = 0).
+
+When the candidate pose has no out-of-plane tilt or in-plane psi (the
+entire (twist, rise) grid search — app.py:2360-2363 fixes tilt=psi=dy=0),
+the per-copy sampling transform factorizes:
+
+    z' = s.i - h.rise              (depends only on the image column i)
+    (x', y') = R(theta).(-s.k, s.j - dy)   (depends only on (j, k))
+
+so one symmetry copy of the projection operator is two dense matmuls:
+
+    P_t(x) = Mz_t @ X @ W_t^T,   X = x reshaped (l3, d3*d3)
+
+with Mz_t (l2, l3) the 2-tap linear z-interpolation matrix and W_t
+(d2*d2, d3*d3) the 4-tap (or 1-tap nn) in-plane bilinear matrix, both
+including the cylindrical-mask validity (invalid taps get weight 0).
+Both matrices are x-independent and rebuilt per copy inside the scan from
+iota==index comparisons (VPU) — no scatter, no gather; all heavy work is
+(l2, d3^2) @ (d3^2, d2^2) matmuls on the MXU. The symmetry-pair operator
+factorizes identically on the volume grid.
+
+This replaces the gather formulation in projector.py on the hot path; the
+general path (tilt/psi != 0, pose refinement) still uses projector.py.
+Same sampling semantics -> identical predictions (tested against the
+explicit-matrix oracle in tests/test_denovo3d.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["build_problem_separable"]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _z_interp_matrix(z_pos, l3: int, linear: bool):
+    """(n_z_out, l3) interpolation matrix for positions z_pos (traced).
+
+    linear: 2-tap floor/ceil weights, valid when floor in [0, l3-2]
+    (matching the trilinear corner test along z); nn: 1-tap round, valid
+    when round in [0, l3-1].
+    """
+    rows = z_pos.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, l3), 1)
+    if linear:
+        zf = jnp.floor(z_pos)
+        zi = zf.astype(jnp.int32)[:, None]
+        wz = (z_pos - zf)[:, None]
+        ok = ((zi >= 0) & (zi <= l3 - 2)).astype(jnp.float32)
+        m = (cols == zi) * (1.0 - wz) + (cols == zi + 1) * wz
+        return m * ok
+    zi = jnp.round(z_pos).astype(jnp.int32)[:, None]
+    ok = ((zi >= 0) & (zi <= l3 - 1)).astype(jnp.float32)
+    return (cols == zi).astype(jnp.float32) * ok
+
+
+def _xy_interp_matrix(X, Y, d3: int, plane_ok_flat, linear: bool):
+    """(n_pts, d3*d3) in-plane interpolation matrix at (X, Y) positions.
+
+    plane_ok_flat (d3*d3,): per-cell validity of the cylindrical mask
+    cross-section (the mask is z-independent inside the volume), already
+    the "all corners in mask" cell test for the linear path.
+    """
+    n = X.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, d3 * d3), 1)
+    if linear:
+        xf = jnp.floor(X)
+        yf = jnp.floor(Y)
+        xi = xf.astype(jnp.int32)
+        yi = yf.astype(jnp.int32)
+        wx = (X - xf)[:, None]
+        wy = (Y - yf)[:, None]
+        inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
+        xi = jnp.clip(xi, 0, d3 - 2)
+        yi = jnp.clip(yi, 0, d3 - 2)
+        base = (yi * d3 + xi)[:, None]
+        cellok = plane_ok_flat[jnp.clip(base[:, 0], 0, d3 * d3 - 1)]
+        ok = (inb.astype(jnp.float32) * cellok)[:, None]
+        m = (
+            (cols == base) * (1 - wy) * (1 - wx)
+            + (cols == base + 1) * (1 - wy) * wx
+            + (cols == base + d3) * wy * (1 - wx)
+            + (cols == base + d3 + 1) * wy * wx
+        )
+        return m * ok, ok[:, 0] > 0
+    xi = jnp.round(X).astype(jnp.int32)
+    yi = jnp.round(Y).astype(jnp.int32)
+    inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+    xi = jnp.clip(xi, 0, d3 - 1)
+    yi = jnp.clip(yi, 0, d3 - 1)
+    idx = (yi * d3 + xi)[:, None]
+    ok = (inb.astype(jnp.float32) * plane_ok_flat[idx[:, 0]])[:, None]
+    return (cols == idx).astype(jnp.float32) * ok, ok[:, 0] > 0
+
+
+def build_problem_separable(
+    geom,
+    image_region,
+    twist_degree,
+    rise_pixel,
+    copies_h,
+    copies_c,
+    copies_valid,
+    pairs_hc,
+    pairs_valid,
+    dy_pixel=0.0,
+    interpolation: str = "nn",
+    mask=None,
+    cellok=None,
+):
+    """Assemble (P, PT, S, ST, b, row_valid, mask) — MXU formulation.
+
+    Semantics identical to projector.build_problem with tilt = psi = 0.
+    """
+    d2, l2, d3, l3 = geom.d2, geom.l2, geom.d3, geom.l3
+    s = geom.scale2d_to_3d
+    csym = geom.csym
+    linear = interpolation.startswith("linear")
+
+    mask_np = np.asarray(mask, bool)
+    cell_np = np.asarray(cellok, bool)
+    # the cylindrical mask/cell test is z-independent in the volume
+    # interior; take the cross-section used by the sampling tests:
+    # nn -> any-z mask plane; linear -> cell validity plane (z interior).
+    if linear:
+        plane_ok = cell_np[: max(1, l3 - 1)].any(axis=0)
+    else:
+        plane_ok = mask_np.any(axis=0)
+    plane_ok_flat = jnp.asarray(plane_ok.reshape(-1), jnp.float32)
+    mask_f = jnp.asarray(mask_np, jnp.float32)
+
+    # base in-plane points: (j, k) -> (x0, y0) before per-copy rotation
+    jc = (jnp.arange(d2, dtype=jnp.float32) - d2 // 2)[:, None]
+    kc = (jnp.arange(d2, dtype=jnp.float32) - d2 // 2)[None, :]
+    x0 = jnp.broadcast_to(-s * kc, (d2, d2)).reshape(-1)  # (d2j * d2k,)
+    y0 = jnp.broadcast_to(s * jc - dy_pixel, (d2, d2)).reshape(-1)
+
+    ic = jnp.arange(l2, dtype=jnp.float32) - l2 // 2  # z along the image
+
+    theta = jnp.deg2rad(
+        twist_degree * copies_h.astype(jnp.float32)
+        + 360.0 * copies_c.astype(jnp.float32) / csym
+    )
+    dz = copies_h.astype(jnp.float32) * rise_pixel
+
+    def copy_mats(th, dzc, cv):
+        c, sn = jnp.cos(th), jnp.sin(th)
+        # inverse z-rotation: (x, y) -> (x c + y s, -x s + y c)
+        X = (x0 * c + y0 * sn) + d3 // 2
+        Y = (-x0 * sn + y0 * c) + d3 // 2
+        W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
+        Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear)
+        cvf = cv.astype(jnp.float32)
+        return W * cvf, Mz * cvf, xy_ok & cv
+
+    def row_valid_one(th, dzc, cv):
+        _, Mz, xy_ok = copy_mats(th, dzc, cv)
+        z_ok = jnp.sum(Mz, axis=1) > 0  # (l2,)
+        xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1)  # any k along ray -> (j,)
+        return (z_ok[:, None] & xy_any[None, :]) & cv  # (l2, d2)
+
+    row_valid = jax.vmap(row_valid_one)(theta, dz, copies_valid)
+
+    def P(x_vol):
+        X2 = x_vol.reshape(l3, d3 * d3)
+
+        def one(carry, tdc):
+            th, dzc, cv = tdc
+            W, Mz, _ = copy_mats(th, dzc, cv)
+            vol_z = jnp.dot(Mz, X2, preferred_element_type=jnp.float32)
+            samp = jnp.dot(vol_z, W.T, preferred_element_type=jnp.float32)
+            # samp (l2, d2j*d2k): sum over the ray (k axis)
+            pred = jnp.sum(samp.reshape(l2, d2, d2), axis=2)
+            return carry, pred
+
+        _, pred = jax.lax.scan(one, 0.0, (theta, dz, copies_valid))
+        return pred  # (C, l2, d2)
+
+    # symmetry pairs on the volume grid: same factorization
+    zc3 = jnp.arange(l3, dtype=jnp.float32) - l3 // 2
+    yc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[:, None]
+    xc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, :]
+    gx0 = jnp.broadcast_to(xc3, (d3, d3)).reshape(-1)
+    gy0 = jnp.broadcast_to(yc3, (d3, d3)).reshape(-1)
+    voxel_in_mask = mask_f
+
+    def op_mats(h, c):
+        th = jnp.deg2rad(
+            twist_degree * h.astype(jnp.float32)
+            + 360.0 * c.astype(jnp.float32) / csym
+        )
+        cs, sn = jnp.cos(th), jnp.sin(th)
+        # forward z-rotation: (x, y) -> (x c - y s, x s + y c)
+        X = (gx0 * cs - gy0 * sn) + d3 // 2
+        Y = (gx0 * sn + gy0 * cs) + d3 // 2
+        W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
+        Mz = _z_interp_matrix(zc3 + h.astype(jnp.float32) * rise_pixel + l3 // 2, l3, linear)
+        z_ok = jnp.sum(Mz, axis=1) > 0
+        return W, Mz, xy_ok, z_ok
+
+    def S(x_vol):
+        X2 = x_vol.reshape(l3, d3 * d3)
+
+        def sample(h, c):
+            W, Mz, xy_ok, z_ok = op_mats(h, c)
+            vol_z = jnp.dot(Mz, X2, preferred_element_type=jnp.float32)
+            samp = jnp.dot(vol_z, W.T, preferred_element_type=jnp.float32)
+            valid = z_ok[:, None] & xy_ok[None, :]
+            return samp, valid
+
+        def one(carry, hp):
+            hc, pv = hp
+            s1, v1 = sample(hc[0], hc[1])
+            s2, v2 = sample(hc[2], hc[3])
+            valid = (
+                v1
+                & v2
+                & (voxel_in_mask.reshape(l3, d3 * d3) > 0.5)
+                & pv
+            )
+            return carry, ((s1 - s2) * valid.astype(jnp.float32)).reshape(
+                l3, d3, d3
+            )
+
+        _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
+        return res  # (n_pairs, l3, d3, d3)
+
+    vol_shape = geom.volume_shape
+    _, PT_vjp = jax.vjp(P, jnp.zeros(vol_shape, jnp.float32))
+    _, ST_vjp = jax.vjp(S, jnp.zeros(vol_shape, jnp.float32))
+    b = jnp.asarray(image_region, jnp.float32).T
+    return dict(
+        P=P,
+        PT=lambda r: PT_vjp(r)[0],
+        S=S,
+        ST=lambda r: ST_vjp(r)[0],
+        b=b,
+        row_valid=row_valid,
+        mask=mask_f > 0.5,
+    )

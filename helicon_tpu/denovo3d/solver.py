@@ -60,6 +60,7 @@ class SolveConfig(NamedTuple):
     positive_constraint: int = -1
     l2_reg: float = 0.0  # lambda2 (absolute, already scaled)
     l1_reg: float = 0.0  # lambda1 (absolute, already scaled)
+    separable: bool = False  # MXU path; requires tilt = psi = 0
 
 
 def _cosine(a, b):
@@ -203,23 +204,43 @@ def _solve_candidate_impl(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    ops = build_problem(
-        geom,
-        image_region,
-        twist_degree,
-        rise_pixel,
-        copies_h,
-        copies_c,
-        copies_valid,
-        pairs_hc,
-        pairs_valid,
-        tilt_degree,
-        psi_degree,
-        dy_pixel,
-        cfg.interpolation,
-        mask,
-        cellok,
-    )
+    if cfg.separable:
+        # tilt/psi must be 0 on this path (grid.py guards this)
+        from .projector_separable import build_problem_separable
+
+        ops = build_problem_separable(
+            geom,
+            image_region,
+            twist_degree,
+            rise_pixel,
+            copies_h,
+            copies_c,
+            copies_valid,
+            pairs_hc,
+            pairs_valid,
+            dy_pixel,
+            cfg.interpolation,
+            mask,
+            cellok,
+        )
+    else:
+        ops = build_problem(
+            geom,
+            image_region,
+            twist_degree,
+            rise_pixel,
+            copies_h,
+            copies_c,
+            copies_valid,
+            pairs_hc,
+            pairs_valid,
+            tilt_degree,
+            psi_degree,
+            dy_pixel,
+            cfg.interpolation,
+            mask,
+            cellok,
+        )
     mask_f = jnp.asarray(mask, jnp.float32)
     rowv = ops["row_valid"].astype(jnp.float32)
 
@@ -358,6 +379,7 @@ def lsq_reconstruct(
         positive_constraint=int(positive_constraint),
         l1_reg=float(l1),
         l2_reg=float(l2_reg),
+        separable=(tilt_degree == 0 and psi_degree == 0),
     )
 
     tilt, psi, dy = float(tilt_degree), float(psi_degree), float(dy_pixel)

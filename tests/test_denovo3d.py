@@ -256,3 +256,42 @@ def test_fsc_test_returns_halves():
 
     cc = float(cross_correlation_coefficient(h1, h2))
     assert cc > 0.2
+
+
+@pytest.mark.parametrize("interpolation", ["nn", "linear"])
+def test_separable_matches_gather_path(interpolation):
+    """The MXU (matmul) formulation must agree with the gather operators."""
+    from helicon_tpu.denovo3d.projector_separable import build_problem_separable
+
+    geom = small_geom()
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    ch, cc, cv = select_copies(geom, 2.3, 6)
+    phc, pv = select_pairs(geom, 35.0, 2.3, 5)
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    x = (rng.random(geom.volume_shape) * mask).astype(np.float32)
+    args = (
+        geom, region, jnp.float32(35.0), jnp.float32(2.3),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+    )
+    ops_g = build_problem(*args, 0.0, 0.0, 0.7, interpolation, mask, cellok)
+    ops_s = build_problem_separable(*args, 0.7, interpolation, mask, cellok)
+    np.testing.assert_allclose(
+        np.asarray(ops_s["P"](jnp.asarray(x))),
+        np.asarray(ops_g["P"](jnp.asarray(x))),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops_s["row_valid"]), np.asarray(ops_g["row_valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_s["S"](jnp.asarray(x))),
+        np.asarray(ops_g["S"](jnp.asarray(x))),
+        atol=1e-5,
+    )
+    r = jnp.asarray(rng.random((6, geom.l2, geom.d2)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops_s["PT"](r)), np.asarray(ops_g["PT"](r)), atol=1e-4
+    )
