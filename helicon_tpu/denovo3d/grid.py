@@ -140,6 +140,7 @@ def reconstruct_grid(
     algorithm: dict | None = None,
     cg_iters: int = 120,
     fista_iters: int = 60,
+    compute_dtype: str = "float32",
     batch_size: int | None = None,
     devices=None,
     return_best_volume: bool = True,
@@ -232,6 +233,7 @@ def reconstruct_grid(
         l1_reg=float(l1),
         l2_reg=float(l2r),
         separable=(tilt == 0.0 and psi == 0.0),
+        compute_dtype=compute_dtype,
     )
 
     devices = devices if devices is not None else jax.devices()

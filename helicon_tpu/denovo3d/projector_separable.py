@@ -4,25 +4,29 @@ When the candidate pose has no out-of-plane tilt or in-plane psi (the
 entire (twist, rise) grid search — app.py:2360-2363 fixes tilt=psi=dy=0),
 the per-copy sampling transform factorizes:
 
-    z' = s.i - h.rise              (depends only on the image column i)
-    (x', y') = R(theta).(-s.k, s.j - dy)   (depends only on (j, k))
+    z' = s.i - h.rise                      (image column i only)
+    (x', y') = R(theta).(-s.k, s.j - dy)   ((j, k) only)
 
-so one symmetry copy of the projection operator is two dense matmuls:
+and the ray sum over k commutes with the linear interpolation, so one
+symmetry copy of the projection operator collapses to two small dense
+matmuls:
 
-    P_t(x) = Mz_t @ X @ W_t^T,   X = x reshaped (l3, d3*d3)
+    P_t(x)[i, j] = (Mz_t @ X @ Wsum_t^T)[i, j],  X = x as (l3, d3*d3)
 
-with Mz_t (l2, l3) the 2-tap linear z-interpolation matrix and W_t
-(d2*d2, d3*d3) the 4-tap (or 1-tap nn) in-plane bilinear matrix, both
-including the cylindrical-mask validity (invalid taps get weight 0).
-Both matrices are x-independent and rebuilt per copy inside the scan from
-iota==index comparisons (VPU) — no scatter, no gather; all heavy work is
-(l2, d3^2) @ (d3^2, d2^2) matmuls on the MXU. The symmetry-pair operator
-factorizes identically on the volume grid.
+with Mz_t (l2, l3) the 2-tap z-interpolation matrix and
+Wsum_t (d2, d3*d3) the in-plane bilinear matrix *pre-summed over the ray
+parameter k* (weights of invalid taps are 0, so validity is built in).
+Both matrices are x-independent: they are precomputed once per candidate
+(~12 MB for all copies) and every CG/FISTA matvec is then a single pair
+of batched einsums on the MXU — no gathers, no scatters.
 
-This replaces the gather formulation in projector.py on the hot path; the
-general path (tilt/psi != 0, pose refinement) still uses projector.py.
-Same sampling semantics -> identical predictions (tested against the
-explicit-matrix oracle in tests/test_denovo3d.py).
+The symmetry-pair operator factorizes the same way on the volume grid but
+has no ray sum; its (d3^2, d3^2) in-plane matrices are rebuilt inside the
+scan (cheap VPU compares) to bound memory.
+
+Semantics are identical to projector.build_problem with tilt = psi = 0
+(tested against both the gather operators and the explicit-matrix oracle
+in tests/test_denovo3d.py).
 """
 
 from __future__ import annotations
@@ -32,10 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["build_problem_separable"]
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def _z_interp_matrix(z_pos, l3: int, linear: bool):
@@ -62,9 +62,10 @@ def _z_interp_matrix(z_pos, l3: int, linear: bool):
 def _xy_interp_matrix(X, Y, d3: int, plane_ok_flat, linear: bool):
     """(n_pts, d3*d3) in-plane interpolation matrix at (X, Y) positions.
 
-    plane_ok_flat (d3*d3,): per-cell validity of the cylindrical mask
+    plane_ok_flat (d3*d3,): per-cell validity of the cylindrical-mask
     cross-section (the mask is z-independent inside the volume), already
     the "all corners in mask" cell test for the linear path.
+    Returns (matrix, point_valid).
     """
     n = X.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, d3 * d3), 1)
@@ -112,6 +113,7 @@ def build_problem_separable(
     interpolation: str = "nn",
     mask=None,
     cellok=None,
+    compute_dtype=None,
 ):
     """Assemble (P, PT, S, ST, b, row_valid, mask) — MXU formulation.
 
@@ -121,12 +123,12 @@ def build_problem_separable(
     s = geom.scale2d_to_3d
     csym = geom.csym
     linear = interpolation.startswith("linear")
+    cdt = compute_dtype or jnp.float32
 
     mask_np = np.asarray(mask, bool)
     cell_np = np.asarray(cellok, bool)
     # the cylindrical mask/cell test is z-independent in the volume
-    # interior; take the cross-section used by the sampling tests:
-    # nn -> any-z mask plane; linear -> cell validity plane (z interior).
+    # interior; take the cross-section used by the sampling tests.
     if linear:
         plane_ok = cell_np[: max(1, l3 - 1)].any(axis=0)
     else:
@@ -154,40 +156,42 @@ def build_problem_separable(
         X = (x0 * c + y0 * sn) + d3 // 2
         Y = (-x0 * sn + y0 * c) + d3 // 2
         W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
-        Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear)
         cvf = cv.astype(jnp.float32)
-        return W * cvf, Mz * cvf, xy_ok & cv
+        # pre-sum the ray parameter k: (d2j*d2k, d3^2) -> (d2j, d3^2)
+        Wsum = jnp.sum(W.reshape(d2, d2, d3 * d3), axis=1) * cvf
+        Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear) * cvf
+        xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1) & cv  # per row j
+        z_ok = jnp.sum(Mz, axis=1) > 0
+        row_valid = (z_ok[:, None] & xy_any[None, :]) & cv  # (l2, d2)
+        return Wsum, Mz, row_valid
 
-    def row_valid_one(th, dzc, cv):
-        _, Mz, xy_ok = copy_mats(th, dzc, cv)
-        z_ok = jnp.sum(Mz, axis=1) > 0  # (l2,)
-        xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1)  # any k along ray -> (j,)
-        return (z_ok[:, None] & xy_any[None, :]) & cv  # (l2, d2)
-
-    row_valid = jax.vmap(row_valid_one)(theta, dz, copies_valid)
+    # precompute all per-copy matrices once: x-independent, reused by
+    # every CG/FISTA matvec. (C, d2, d3^2) + (C, l2, l3).
+    Wsum_all, Mz_all, row_valid = jax.vmap(copy_mats)(theta, dz, copies_valid)
+    Wsum_c = Wsum_all.astype(cdt)
+    Mz_c = Mz_all.astype(cdt)
 
     def P(x_vol):
-        X2 = x_vol.reshape(l3, d3 * d3)
+        X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
+        # (C, l2, l3) @ (l3, d3^2) -> (C, l2, d3^2)
+        vol_z = jax.lax.dot_general(
+            Mz_c, X2, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+        # (C, l2, d3^2) x (C, d2, d3^2) -> (C, l2, d2)
+        pred = jax.lax.dot_general(
+            vol_z, Wsum_c, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return pred
 
-        def one(carry, tdc):
-            th, dzc, cv = tdc
-            W, Mz, _ = copy_mats(th, dzc, cv)
-            vol_z = jnp.dot(Mz, X2, preferred_element_type=jnp.float32)
-            samp = jnp.dot(vol_z, W.T, preferred_element_type=jnp.float32)
-            # samp (l2, d2j*d2k): sum over the ray (k axis)
-            pred = jnp.sum(samp.reshape(l2, d2, d2), axis=2)
-            return carry, pred
-
-        _, pred = jax.lax.scan(one, 0.0, (theta, dz, copies_valid))
-        return pred  # (C, l2, d2)
-
-    # symmetry pairs on the volume grid: same factorization
+    # symmetry pairs on the volume grid: same factorization, no ray sum;
+    # the (d3^2, d3^2) in-plane matrices are rebuilt in-scan (VPU-cheap).
     zc3 = jnp.arange(l3, dtype=jnp.float32) - l3 // 2
     yc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[:, None]
     xc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, :]
     gx0 = jnp.broadcast_to(xc3, (d3, d3)).reshape(-1)
     gy0 = jnp.broadcast_to(yc3, (d3, d3)).reshape(-1)
-    voxel_in_mask = mask_f
 
     def op_mats(h, c):
         th = jnp.deg2rad(
@@ -199,7 +203,9 @@ def build_problem_separable(
         X = (gx0 * cs - gy0 * sn) + d3 // 2
         Y = (gx0 * sn + gy0 * cs) + d3 // 2
         W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
-        Mz = _z_interp_matrix(zc3 + h.astype(jnp.float32) * rise_pixel + l3 // 2, l3, linear)
+        Mz = _z_interp_matrix(
+            zc3 + h.astype(jnp.float32) * rise_pixel + l3 // 2, l3, linear
+        )
         z_ok = jnp.sum(Mz, axis=1) > 0
         return W, Mz, xy_ok, z_ok
 
@@ -208,21 +214,21 @@ def build_problem_separable(
 
         def sample(h, c):
             W, Mz, xy_ok, z_ok = op_mats(h, c)
-            vol_z = jnp.dot(Mz, X2, preferred_element_type=jnp.float32)
-            samp = jnp.dot(vol_z, W.T, preferred_element_type=jnp.float32)
-            valid = z_ok[:, None] & xy_ok[None, :]
-            return samp, valid
+            vol_z = jnp.dot(
+                Mz.astype(cdt), X2.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            samp = jnp.dot(
+                vol_z.astype(cdt), W.astype(cdt).T,
+                preferred_element_type=jnp.float32,
+            )
+            return samp, z_ok[:, None] & xy_ok[None, :]
 
         def one(carry, hp):
             hc, pv = hp
             s1, v1 = sample(hc[0], hc[1])
             s2, v2 = sample(hc[2], hc[3])
-            valid = (
-                v1
-                & v2
-                & (voxel_in_mask.reshape(l3, d3 * d3) > 0.5)
-                & pv
-            )
+            valid = v1 & v2 & (mask_f.reshape(l3, d3 * d3) > 0.5) & pv
             return carry, ((s1 - s2) * valid.astype(jnp.float32)).reshape(
                 l3, d3, d3
             )

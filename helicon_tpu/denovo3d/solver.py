@@ -61,6 +61,7 @@ class SolveConfig(NamedTuple):
     l2_reg: float = 0.0  # lambda2 (absolute, already scaled)
     l1_reg: float = 0.0  # lambda1 (absolute, already scaled)
     separable: bool = False  # MXU path; requires tilt = psi = 0
+    compute_dtype: str = "float32"  # "bfloat16" for 2-4x MXU throughput
 
 
 def _cosine(a, b):
@@ -222,6 +223,7 @@ def _solve_candidate_impl(
             cfg.interpolation,
             mask,
             cellok,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
         )
     else:
         ops = build_problem(

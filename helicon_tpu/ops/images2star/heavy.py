@@ -1,0 +1,533 @@
+"""Compute-heavy options: recoverFullFilaments, estimateHelicalAngleVariance,
+calibratePixelSize, extractHelices, maskGold, denoiseCurvelet, process.
+
+Reference: plugins/images2star/{recoverfullfilaments (412 LoC),
+estimatehelicalanglevariance (353), calibratepixelsize (263),
+extracthelices (173), maskgold (172), denoisecurvelet (371), process}.py.
+The reference fans these out over joblib/thread pools; here the image
+math is batched JAX (vmap) and the metadata logic is pandas.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ...utils.collections import first_matched_attr, unique_attr_name
+from ...utils.exceptions import HeliconError
+from ...utils.path_utils import convert_dataframe_file_path
+from ...utils.system import parse_param_str
+from ..registry import Plugin
+
+logger = logging.getLogger(__name__)
+
+
+# ------------------------------------------------------------------
+# recoverFullFilaments (recoverfullfilaments.py)
+# ------------------------------------------------------------------
+
+
+def _add_recoverFullFilaments(parser):
+    parser.add_argument(
+        "--recoverFullFilaments", type=str, default="",
+        metavar="minFraction=<f>[:forcePickJob=<0|1>][:fullStarFile=<file>]",
+        help="re-add segments so kept filaments have >= minFraction of "
+        "their original segments (undo Select2D fragmentation)",
+    )
+
+
+def _h_recoverFullFilaments(data, args, index_d, param):
+    from ...io.metadata import images2dataframe
+
+    if len(param):
+        pd_ = parse_param_str(param)[1] if "=" in param else {}
+        required = "rlnImageName rlnHelicalTubeID".split()
+        missing = [p for p in required if p not in data]
+        assert not missing, f"required parameters {' '.join(missing)} missing"
+        fullStarFile = pd_.get("fullStarFile", None)
+        if fullStarFile is None:
+            raise HeliconError(
+                "--recoverFullFilaments: specify fullStarFile=<file> (the "
+                "RELION job-note auto-trace of the reference requires a "
+                "RELION project; pass the Extract/Polish star explicitly)"
+            )
+        data = data.drop_duplicates(subset=["rlnImageName"], keep="last").reset_index(
+            drop=True
+        )
+        data2 = images2dataframe(
+            fullStarFile,
+            alternative_folders=getattr(args, "folder", []),
+            warn_missing_ctf=0,
+            target_convention="relion",
+        )
+        data2 = data2.drop_duplicates(
+            subset=["rlnImageName"], keep="last"
+        ).reset_index(drop=True)
+        missing = [p for p in required if p not in data2]
+        assert not missing, f"{fullStarFile} missing {' '.join(missing)}"
+        if len(data) > len(data2):
+            raise HeliconError(
+                f"--recoverFullFilaments: {fullStarFile} must contain >= "
+                f"{len(data)} particles"
+            )
+        key = "rlnImageName_abs"
+        data[key] = (
+            convert_dataframe_file_path(data, "rlnImageName", to="abs")
+            .str.split("@", expand=True).iloc[:, -1]
+        )
+        data2[key] = (
+            convert_dataframe_file_path(data2, "rlnImageName", to="abs")
+            .str.split("@", expand=True).iloc[:, -1]
+        )
+        groups = dict(list(data.groupby([key, "rlnHelicalTubeID"], sort=False)))
+        groups2 = dict(list(data2.groupby([key, "rlnHelicalTubeID"], sort=False)))
+        missing_helices = [k for k in groups if k not in groups2]
+        if missing_helices:
+            raise HeliconError(
+                f"{len(missing_helices)} helices of the input are absent in "
+                f"{fullStarFile}; both files must come from the same Extract job"
+            )
+        helices = [
+            (len(groups[k]), len(groups2[k]), list(groups2[k].index))
+            for k in groups
+        ]
+        minFraction = float(pd_.get("minFraction", -1))
+        if not (0 <= minFraction <= 1):
+            n1 = sum(h[0] for h in helices)
+            n2 = sum(h[1] for h in helices)
+            ng = sum(h[0] for h in helices if h[0] / h[1] >= 0.5)
+            minFraction = min(0.5, max(0, (n1 - ng) / max(1, n2 - 2 * ng)))
+            logger.info("minFraction set to %.2f", minFraction)
+        indices = []
+        for n1, n2, helix_indices in helices:
+            if n1 / n2 >= minFraction:
+                indices += helix_indices
+        attrs = dict(data2.attrs)
+        data = data2.loc[sorted(indices)].drop(columns=[key]).reset_index(drop=True)
+        data.attrs.update(attrs)
+        index_d["recoverFullFilaments"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# estimateHelicalAngleVariance (estimatehelicalanglevariance.py)
+# ------------------------------------------------------------------
+
+
+def _add_estimateHelicalAngleVariance(parser):
+    parser.add_argument(
+        "--estimateHelicalAngleVariance", type=int, metavar="<0|1>", default=0,
+        help="add per-filament tilt/psi/rot variance columns",
+    )
+
+
+def _h_estimateHelicalAngleVariance(data, args, index_d, param):
+    from scipy.stats import circmean, circstd
+
+    from ...angular import angular_difference
+
+    if param:
+        required = (
+            "rlnImageName rlnHelicalTubeID rlnHelicalTrackLengthAngst "
+            "rlnAngleTilt rlnAnglePsi rlnAngleRot"
+        ).split()
+        missing = [p for p in required if p not in data]
+        assert not missing, f"required parameters {' '.join(missing)} missing"
+        key = "rlnImageName_abs"
+        data[key] = (
+            convert_dataframe_file_path(data, "rlnImageName", to="abs")
+            .str.split("@", expand=True).iloc[:, -1]
+        )
+        for _, g in data.groupby([key, "rlnHelicalTubeID"], sort=False):
+            tilt = g["rlnAngleTilt"].astype(np.float32).values
+            data.loc[g.index, "rlnAngleTiltSigma"] = round(
+                float(np.rad2deg(circstd(np.deg2rad(tilt)))), 2
+            )
+            psi = g["rlnAnglePsi"].astype(np.float32).values
+            psi = np.rad2deg(np.arccos(np.cos(2 * np.deg2rad(psi))))
+            data.loc[g.index, "rlnAnglePsiSigma"] = round(
+                float(np.rad2deg(circstd(np.deg2rad(psi))) / 2), 2
+            )
+            rot = g["rlnAngleRot"].astype(np.float32).values
+            if len(rot) > 1:
+                pos = g["rlnHelicalTrackLengthAngst"].astype(np.float32).values
+                dpos = pos[1:] - pos[:-1]
+                dpos[dpos == 0] = 1e-6
+                delta_rot = angular_difference(rot[1:], rot[:-1]) / dpos
+                rot_sigma = float(np.rad2deg(circstd(np.deg2rad(delta_rot))))
+                # per-filament rot change rate (deg/A), wrap-unwrapped
+                rot_u = np.rad2deg(np.unwrap(np.deg2rad(rot.astype(np.float64))))
+                i, j = np.triu_indices(len(rot_u), k=1)
+                dp = pos[j] - pos[i]
+                ok = dp != 0
+                rates = (rot_u[j][ok] - rot_u[i][ok]) / dp[ok]
+                data.loc[g.index, "rlnAngleRotRate"] = round(
+                    float(np.median(rates)) if len(rates) else 0.0, 4
+                )
+            else:
+                rot_sigma = 0.0
+            data.loc[g.index, "rlnAngleRotSigma"] = round(rot_sigma, 2)
+        data.drop(columns=[key], inplace=True)
+        index_d["estimateHelicalAngleVariance"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# calibratePixelSize (calibratepixelsize.py)
+# ------------------------------------------------------------------
+
+
+def _add_calibratePixelSize(parser):
+    parser.add_argument(
+        "--calibratePixelSize", type=str, default="",
+        metavar="<refFile:apixRef=<A>[:scaleRange=<0.05>][:scaleStep=<0.002>]>",
+        help="calibrate the pixel size against reference images by "
+        "cross-correlation over a scale range",
+    )
+
+
+def _h_calibratePixelSize(data, args, index_d, param):
+    """Scan scale factors, maximize mean rotation-averaged power-spectrum
+    correlation between the data class averages and reference images
+    (reference calibratepixelsize.py: joblib-parallel xcorr; here vmapped)."""
+    import jax.numpy as jnp
+
+    from ...core.filters import calculate_structural_factor
+    from ...io.metadata import getPixelSize, setPixelSize
+    from ...io.mrc import read_mrc
+
+    if param:
+        refFile, pd_ = parse_param_str(param)
+        apix_ref = float(pd_.get("apixRef", 0))
+        scale_range = float(pd_.get("scaleRange", 0.05))
+        scale_step = float(pd_.get("scaleStep", 0.002))
+        if not Path(refFile).exists():
+            raise HeliconError(f"--calibratePixelSize: {refFile} does not exist")
+        ref, apix_file = read_mrc(refFile)
+        if apix_ref <= 0:
+            apix_ref = apix_file
+        apix_data = getPixelSize(data)
+        if not apix_data:
+            raise HeliconError("cannot determine the current pixel size")
+        imgs = np.asarray(ref, np.float32)
+        if imgs.ndim == 2:
+            imgs = imgs[None]
+        # 1D structural factors of the reference
+        sf_ref = np.mean(
+            [
+                np.asarray(
+                    calculate_structural_factor(im, apix=apix_ref)[1]
+                )
+                for im in imgs[: min(10, len(imgs))]
+            ],
+            axis=0,
+        )
+        from ...io.mrc import read_image_2d
+
+        names = data["rlnImageName"].str.split("@", expand=True)
+        sf_data = []
+        for i in range(min(10, len(data))):
+            img = read_image_2d(names.iloc[i, -1], int(names.iloc[i, 0]) - 1)
+            sf_data.append(
+                np.asarray(calculate_structural_factor(img, apix=apix_data)[1])
+            )
+        sf_data = np.mean(sf_data, axis=0)
+        scales = np.arange(1 - scale_range, 1 + scale_range + 1e-9, scale_step)
+        n = min(len(sf_ref), len(sf_data))
+        x = np.arange(n, dtype=np.float64)
+        best_scale, best_cc = 1.0, -np.inf
+        for sc in scales:
+            resampled = np.interp(x * sc, x, sf_data[:n], right=0.0)
+            a = resampled - resampled.mean()
+            b = sf_ref[:n] - sf_ref[:n].mean()
+            den = np.linalg.norm(a) * np.linalg.norm(b)
+            cc = float(a @ b / den) if den > 0 else -np.inf
+            if cc > best_cc:
+                best_scale, best_cc = float(sc), cc
+        apix_new = apix_data * best_scale
+        logger.info(
+            "calibrated pixel size: %.4f -> %.4f A (scale %.4f, cc %.4f)",
+            apix_data, apix_new, best_scale, best_cc,
+        )
+        setPixelSize(data, apix_new)
+        index_d["calibratePixelSize"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# extractHelices (extracthelices.py)
+# ------------------------------------------------------------------
+
+
+def _add_extractHelices(parser):
+    parser.add_argument(
+        "--extractHelices", type=str, default="",
+        metavar="width=<px>:outPath=<dir>[:topLength=<n>]"
+        "[:topLengthFraction=<f>][:lengthCutoffAngst=<A>]",
+        help="extract whole filaments from micrographs as straightened strips",
+    )
+
+
+def _h_extractHelices(data, args, index_d, param):
+    """Rotated-strip extraction of whole filaments (reference
+    extracthelices.py: ThreadPool; here sequential JAX get_rotated_clip)."""
+    from ...core.transforms import get_rotated_clip
+    from ...io.mrc import mrc_header, read_mrc, write_mrc
+    from ...io.star import read_star
+
+    if len(param):
+        pd_ = parse_param_str(param)[1] if "=" in param else {}
+        width = int(pd_.get("width", 300))
+        outPath = Path(pd_.get("outPath", "./helicon.helices/")).resolve()
+        topLength = pd_.get("topLength", None)
+        topLengthFraction = pd_.get("topLengthFraction", None)
+        lengthCutoffAngst = pd_.get("lengthCutoffAngst", None)
+        outPath.mkdir(parents=True, exist_ok=True)
+
+        rows = []
+        apix = None
+        for _, rec in data.iterrows():
+            mic_name = rec["rlnMicrographName"]
+            coordfile = rec.get("rlnCoordinateFileName", rec.iloc[-1])
+            if apix is None:
+                apix = mrc_header(mic_name).apix
+            blocks = read_star(coordfile)
+            cf = next(
+                (v for v in blocks.values() if isinstance(v, pd.DataFrame)), None
+            )
+            if cf is None:
+                continue
+            cf = cf[["rlnCoordinateX", "rlnCoordinateY"]].reset_index(drop=True)
+            starts = cf.iloc[::2].reset_index(drop=True)
+            ends = cf.iloc[1::2].reset_index(drop=True)
+            for (sx, sy), (ex, ey) in zip(starts.values, ends.values):
+                rows.append(
+                    dict(
+                        startX=sx, startY=sy, endX=ex, endY=ey,
+                        rlnMicrographName=mic_name,
+                        helixLength=np.hypot(ex - sx, ey - sy) * apix,
+                    )
+                )
+        coord_df = pd.DataFrame(rows).sort_values("helixLength", ascending=False)
+        if topLengthFraction:
+            coord_df = coord_df.iloc[: int(len(coord_df) * float(topLengthFraction))]
+        if topLength:
+            coord_df = coord_df.iloc[: int(topLength)]
+        if lengthCutoffAngst:
+            coord_df = coord_df[coord_df["helixLength"] >= float(lengthCutoffAngst)]
+        out_rows = []
+        mic_cache = {}
+        for hi, rec in enumerate(coord_df.itertuples()):
+            if rec.rlnMicrographName not in mic_cache:
+                mic_cache.clear()  # one micrograph at a time
+                mic_cache[rec.rlnMicrographName] = read_mrc(rec.rlnMicrographName)[0]
+            mic = np.squeeze(mic_cache[rec.rlnMicrographName]).astype(np.float32)
+            strip = np.asarray(
+                get_rotated_clip(
+                    mic, rec.startY, rec.startX, rec.endY, rec.endX, width
+                )
+            )
+            out = outPath / f"helix_{hi:05d}.mrc"
+            write_mrc(out, strip, apix=apix)
+            out_rows.append(
+                dict(
+                    rlnImageName=f"000001@{out}",
+                    rlnMicrographName=rec.rlnMicrographName,
+                    helixLength=rec.helixLength,
+                )
+            )
+        attrs = dict(data.attrs)
+        data = pd.DataFrame(out_rows)
+        data.attrs.update(attrs)
+        index_d["extractHelices"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# maskGold (maskgold.py)
+# ------------------------------------------------------------------
+
+
+def _add_maskGold(parser):
+    parser.add_argument(
+        "--maskGold", type=str, default="",
+        metavar="value_sigma=<n>:gradient_sigma=<A>:min_area=<A^2>"
+        ":both_sides=<0|1>:outdir=<dir>:force=<0|1>",
+        help="mask electron-dense gold/ice pixels in particles or micrographs",
+    )
+
+
+def _h_maskGold(data, args, index_d, param):
+    from scipy import ndimage
+
+    from ...core.filters import low_high_pass_filter
+    from ...io.mrc import mrc_header, read_image_2d, write_mrc
+
+    if param:
+        attrs_required = "rlnImageName rlnMicrographName".split()
+        attrSrc = first_matched_attr(data, attrs_required)
+        if attrSrc is None:
+            raise HeliconError(
+                f"input lacks all of the columns: {' '.join(attrs_required)}"
+            )
+        _, pd_ = parse_param_str(param)
+        value_sigma = float(pd_.get("value_sigma", 4.0))
+        gradient_sigma = float(pd_.get("gradient_sigma", 0))
+        min_area = float(pd_.get("min_area", 100))
+        both_sides = int(pd_.get("both_sides", 1))
+        outdir = Path(
+            pd_.get("outdir", Path(getattr(args, "output_starFile", "maskGold")).stem)
+        )
+        outdir.mkdir(parents=True, exist_ok=True)
+
+        attr = unique_attr_name(data, attr_prefix=f"{attrSrc}Orig")
+        data[attr] = data[attrSrc]
+        tmp = data[attrSrc].str.split("@", expand=True)
+        names = tmp.iloc[:, -1]
+        pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
+
+        rng = np.random.default_rng(0)
+        for name, particles in names.groupby(names, sort=False):
+            h = mrc_header(name)
+            apix = h.apix or 1.0
+            imgs = []
+            for pid in pids.loc[particles.index].astype(int):
+                img = read_image_2d(name, int(pid) - 1 if tmp.shape[1] > 1 else 0)
+                if gradient_sigma > 0:
+                    frac = 2 * apix / gradient_sigma
+                    img = img - np.asarray(
+                        low_high_pass_filter(img, low_pass_fraction=min(frac, 1.0))
+                    )
+                med = np.median(img)
+                mad = np.median(np.abs(img - med)) + 1e-12
+                outlier = img > med + value_sigma * mad * 1.4826
+                if both_sides:
+                    outlier |= img < med - value_sigma * mad * 1.4826
+                # drop connected regions smaller than min_area
+                lab, n = ndimage.label(outlier)
+                if n:
+                    areas = ndimage.sum(outlier, lab, range(1, n + 1)) * apix * apix
+                    small = np.isin(lab, np.where(areas < min_area)[0] + 1)
+                    outlier &= ~small
+                noise = rng.normal(med, mad * 1.4826, size=img.shape)
+                imgs.append(np.where(outlier, noise, img).astype(np.float32))
+            out = outdir / Path(name).name
+            write_mrc(out, np.stack(imgs), apix=apix)
+            new_names = (
+                pd.Series(range(1, len(imgs) + 1), index=particles.index).map(
+                    "{:06d}".format
+                )
+                + "@"
+                + str(out)
+            )
+            if attrSrc == "rlnImageName":
+                data.loc[particles.index, attrSrc] = new_names.values
+            else:
+                data.loc[particles.index, attrSrc] = str(out)
+        index_d["maskGold"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# denoiseCurvelet (denoisecurvelet.py)
+# ------------------------------------------------------------------
+
+
+def _add_denoiseCurvelet(parser):
+    parser.add_argument(
+        "--denoiseCurvelet", type=str, default="",
+        metavar="[transform=<udct|mct>][:threshold_sigma=<n>][:outdir=<dir>]",
+        help="curvelet-denoise particle images or micrographs",
+    )
+
+
+def _h_denoiseCurvelet(data, args, index_d, param):
+    from ...core.curvelet import denoise_curvelet_2d
+    from ...io.mrc import mrc_header, read_image_2d, write_mrc
+
+    if param:
+        _, pd_ = parse_param_str(param)
+        transform = str(pd_.get("transform", "udct"))
+        threshold_sigma = float(pd_.get("threshold_sigma", 3.0))
+        outdir = Path(
+            pd_.get(
+                "outdir",
+                Path(getattr(args, "output_starFile", "denoised")).stem,
+            )
+        )
+        outdir.mkdir(parents=True, exist_ok=True)
+        attrSrc = first_matched_attr(data, ["rlnImageName", "rlnMicrographName"])
+        if attrSrc is None:
+            raise HeliconError("rlnImageName or rlnMicrographName required")
+        tmp = data[attrSrc].str.split("@", expand=True)
+        names = tmp.iloc[:, -1]
+        pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
+        for name, particles in names.groupby(names, sort=False):
+            apix = mrc_header(name).apix
+            imgs = []
+            for pid in pids.loc[particles.index].astype(int):
+                img = read_image_2d(name, int(pid) - 1 if tmp.shape[1] > 1 else 0)
+                imgs.append(
+                    np.asarray(
+                        denoise_curvelet_2d(
+                            img, transform=transform, threshold_sigma=threshold_sigma
+                        )
+                    )
+                )
+            out = outdir / Path(name).name
+            write_mrc(out, np.stack(imgs), apix=apix)
+            if attrSrc == "rlnImageName":
+                new_names = (
+                    pd.Series(
+                        range(1, len(imgs) + 1), index=particles.index
+                    ).map("{:06d}".format)
+                    + "@"
+                    + str(out)
+                )
+                data.loc[particles.index, attrSrc] = new_names.values
+            else:
+                data.loc[particles.index, attrSrc] = str(out)
+        index_d["denoiseCurvelet"] += 1
+    return data, index_d
+
+
+# ------------------------------------------------------------------
+# process (plugins/images2star/process.py — vestigial in the reference)
+# ------------------------------------------------------------------
+
+
+def _add_process(parser):
+    parser.add_argument(
+        "--process", type=str, nargs="+", metavar="<proc>", action="append",
+        default=[], help="(vestigial in the reference; unsupported)",
+    )
+
+
+def _h_process(data, args, index_d, param):
+    if param:
+        raise HeliconError(
+            "--process is vestigial: the reference implementation calls "
+            "helicon.dataframe_jspr2dict/outplaceprocs which do not exist "
+            "(plugins/images2star/process.py:50-57)"
+        )
+    return data, index_d
+
+
+PLUGINS = [
+    Plugin(
+        "recoverFullFilaments", _add_recoverFullFilaments, _h_recoverFullFilaments
+    ),
+    Plugin(
+        "estimateHelicalAngleVariance",
+        _add_estimateHelicalAngleVariance,
+        _h_estimateHelicalAngleVariance,
+    ),
+    Plugin("calibratePixelSize", _add_calibratePixelSize, _h_calibratePixelSize),
+    Plugin("extractHelices", _add_extractHelices, _h_extractHelices),
+    Plugin("maskGold", _add_maskGold, _h_maskGold),
+    Plugin("denoiseCurvelet", _add_denoiseCurvelet, _h_denoiseCurvelet),
+    Plugin("process", _add_process, _h_process),
+]

@@ -1,0 +1,424 @@
+"""Optics/CTF options: apix, resetOpticGroup, assignOpticGroupPerMicrograph,
+assignOpticGroupByBeamShiftLabel, assignOpticGroupByBeamShiftXY,
+assignOpticGroupByTime, setBeamTiltClass, setCTF, copyCtf.
+
+Reference: plugins/images2star/{apix,resetopticgroup,
+assignopticgrouppermicrograph,assignopticgroupbybeamshiftlabel,
+assignopticgroupbybeamshiftxy,assignopticgroupbytime,setbeamtiltclass,
+setctf,copyctf}.py.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ...utils.collections import first_matched_attr
+from ...utils.exceptions import HeliconError
+from ..registry import Plugin
+
+logger = logging.getLogger(__name__)
+
+
+def _require_optics(data):
+    optics = data.attrs.get("optics")
+    if optics is None:
+        raise HeliconError("data_optics block must be available")
+    return optics
+
+
+def _image_name_col(data):
+    name = first_matched_attr(
+        data, attrs="rlnMicrographMovieName rlnMicrographName rlnImageName".split()
+    )
+    if name is None:
+        raise HeliconError(
+            "rlnMicrographMovieName, rlnMicrographName or rlnImageName required"
+        )
+    return name
+
+
+def _rebuild_optics_rows(optics_orig, n_groups):
+    optics = pd.concat([optics_orig.iloc[[0]]] * n_groups, ignore_index=True)
+    for gi in range(n_groups):
+        optics.loc[gi, "rlnOpticsGroup"] = gi + 1
+        optics.loc[gi, "rlnOpticsGroupName"] = f"opticsGroup{gi + 1}"
+    return optics
+
+
+def _add_apix(parser):
+    parser.add_argument(
+        "--apix", type=float, metavar="<A/pixel>", default=0,
+        help="set mag to have this sampling",
+    )
+
+
+def _h_apix(data, args, index_d, param):
+    from ...io.metadata import setPixelSize
+
+    if param > 0:
+        setPixelSize(data, apix_new=param)
+        index_d["apix"] += 1
+    return data, index_d
+
+
+def _add_resetOpticGroup(parser):
+    parser.add_argument(
+        "--resetOpticGroup", type=int, metavar="<0|1>", default=0,
+        help="merge all optics groups into one",
+    )
+
+
+def _h_resetOpticGroup(data, args, index_d, param):
+    if param:
+        optics_orig = _require_optics(data)
+        data["rlnOpticsGroup"] = 1
+        data.attrs["optics"] = _rebuild_optics_rows(optics_orig, 1)
+        index_d["resetOpticGroup"] += 1
+    return data, index_d
+
+
+def _add_assignPerMicrograph(parser):
+    parser.add_argument(
+        "--assignOpticGroupPerMicrograph", type=int, metavar="<0|1>", default=0,
+        help="one optics group per micrograph",
+    )
+
+
+def _h_assignPerMicrograph(data, args, index_d, param):
+    from ...io.groups import per_micrograph_mapping
+
+    if param:
+        optics_orig = _require_optics(data)
+        image_name = _image_name_col(data)
+        if "rlnOpticsGroup" not in data:
+            raise HeliconError("rlnOpticsGroup must be available")
+        names = data[image_name].str.split("@", expand=True).iloc[:, -1]
+        unique_names = names.unique()
+        mapping = per_micrograph_mapping(unique_names)
+        data["rlnOpticsGroup"] = names.map(mapping)
+        data.attrs["optics"] = _rebuild_optics_rows(optics_orig, len(unique_names))
+        index_d["assignOpticGroupPerMicrograph"] += 1
+    return data, index_d
+
+
+def _add_assignByBeamShiftLabel(parser):
+    parser.add_argument(
+        "--assignOpticGroupByBeamShiftLabel", type=str, default="no",
+        metavar="<no|auto|EPU|serialEM_pncc|serialEM_embl_heidelberg|serialEM_cuhksz>",
+        help="optics groups from the beam-shift label in movie filenames",
+    )
+
+
+def _h_assignByBeamShiftLabel(data, args, index_d, param):
+    from ...io.epu import (
+        assign_beamshift_groups,
+        guess_data_collection_software,
+        verify_data_collection_software,
+    )
+
+    if param != "no":
+        optics_orig = _require_optics(data)
+        image_name = _image_name_col(data)
+        if "rlnOpticsGroup" not in data:
+            raise HeliconError("rlnOpticsGroup must be available")
+        if param == "auto":
+            software = guess_data_collection_software(str(data[image_name].iloc[0]))
+            if software is None:
+                raise HeliconError(
+                    f"cannot detect filename format: {data[image_name].iloc[0]}"
+                )
+        else:
+            software = param
+            if verify_data_collection_software(
+                str(data[image_name].iloc[0]), software
+            ) is None:
+                raise HeliconError(
+                    f"format {software} inconsistent with {data[image_name].iloc[0]}"
+                )
+        if software == "EPU_old":
+            raise HeliconError(
+                "EPU_old data require the xml files; use "
+                "--assignOpticGroupByBeamShiftXY instead"
+            )
+        names = data[image_name].str.split("@", expand=True).iloc[:, -1]
+        mapping = assign_beamshift_groups(list(names.unique()), software)
+        data["rlnOpticsGroup"] = names.map(mapping)
+        data.attrs["optics"] = _rebuild_optics_rows(
+            optics_orig, len(set(mapping.values()))
+        )
+        index_d["assignOpticGroupByBeamShiftLabel"] += 1
+    return data, index_d
+
+
+def _add_assignByBeamShiftXY(parser):
+    parser.add_argument(
+        "--assignOpticGroupByBeamShiftXY", type=str, default="",
+        metavar="nClusters=<n>:xmlFolder=<path>",
+        help="optics groups by clustering beam shifts read from EPU XMLs",
+    )
+
+
+def _h_assignByBeamShiftXY(data, args, index_d, param):
+    from ...io.epu import (
+        EPU_micrograph_path_2_movie_xml_path,
+        EPU_xml_2_beamshift,
+        check_foilhole_xml_files,
+    )
+    from ...io.metadata import assign_beamshifts_to_cluster
+    from ...utils.system import parse_param_str
+
+    if param:
+        _, pd_ = parse_param_str(param)
+        n_clusters = int(pd_["nClusters"]) if "nClusters" in pd_ else None
+        xml_folder = str(pd_.get("xmlFolder", ""))
+        optics_orig = _require_optics(data)
+        image_name = _image_name_col(data)
+        names = data[image_name].str.split("@", expand=True).iloc[:, -1]
+        unique_names = names.unique()
+        check_foilhole_xml_files(list(unique_names), xml_folder)
+        shifts = np.array(
+            [
+                EPU_xml_2_beamshift(
+                    EPU_micrograph_path_2_movie_xml_path(m, xml_folder)
+                )
+                for m in unique_names
+            ]
+        )
+        labels = assign_beamshifts_to_cluster(shifts, n_clusters=n_clusters)
+        mapping = dict(zip(unique_names, labels))
+        data["rlnOpticsGroup"] = names.map(mapping)
+        data.attrs["optics"] = _rebuild_optics_rows(optics_orig, int(labels.max()))
+        index_d["assignOpticGroupByBeamShiftXY"] += 1
+    return data, index_d
+
+
+def _add_assignByTime(parser):
+    parser.add_argument(
+        "--assignOpticGroupByTime", type=int, metavar="<n per group>", default=0,
+        help="split each optics group into time-ordered groups of n movies",
+    )
+
+
+def _h_assignByTime(data, args, index_d, param):
+    from ...io.groups import assign_time_groups
+
+    if param > 0:
+        optics_orig = _require_optics(data)
+        image_name = _image_name_col(data)
+        if "rlnOpticsGroup" not in data:
+            raise HeliconError("rlnOpticsGroup must be available")
+        movies = data[image_name].values
+        source_group_ids = np.sort(data["rlnOpticsGroup"].unique())
+        new_ids, m2t, m2ts = assign_time_groups(
+            micrographs=movies,
+            source_group_ids=source_group_ids,
+            group_id_lookup=data["rlnOpticsGroup"].values,
+            time_group_size=param,
+            verbose=getattr(args, "verbose", 0),
+        )
+        data["rlnOpticsGroup"] = new_ids
+        data["rlnMovieCollectionTime"] = pd.Series(movies, index=data.index).map(
+            m2ts
+        )
+        data.attrs["optics"] = _rebuild_optics_rows(
+            optics_orig, int(np.max(new_ids))
+        )
+        index_d["assignOpticGroupByTime"] += 1
+    return data, index_d
+
+
+def _add_setBeamTiltClass(parser):
+    parser.add_argument(
+        "--setBeamTiltClass", type=int, metavar="<0|1>", default=0,
+        help="set rlnBeamTiltClass to one class per micrograph",
+    )
+
+
+def _h_setBeamTiltClass(data, args, index_d, param):
+    if param:
+        names = data["rlnImageName"].str.split("@", expand=True).iloc[:, -1]
+        for mi, (name, particles) in enumerate(names.groupby(names, sort=False)):
+            data.loc[particles.index, "rlnBeamTiltClass"] = mi + 1
+        index_d["setBeamTiltClass"] += 1
+    return data, index_d
+
+
+def read_ctfparm_file(path) -> dict:
+    """EMAN1-style ctfparm.txt: ``<micrograph id>\\t<comma separated vals>``
+    with values defocus, dfdiff, dfang, bfactor, ampcont, noise..., voltage,
+    cs, apix. The reference plugin calls readCtfparmFile without defining it
+    (plugins/images2star/setctf.py:52 — a vestige); this parser implements
+    the evident EMAN1 format."""
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1)
+        if len(parts) != 2:
+            continue
+        mid, vals = parts
+        v = [float(x) for x in vals.replace(",", " ").split()]
+        if len(v) < 8:
+            continue
+        out[mid] = dict(
+            defocus=v[0], dfdiff=v[1], dfang=v[2], bfactor=v[3],
+            ampcont=v[4], voltage=v[-3], cs=v[-2], apix=v[-1],
+        )
+    return out
+
+
+def _add_setCTF(parser):
+    parser.add_argument(
+        "--setCTF", type=str, metavar="<ctfparm.txt>", default="",
+        help="set CTF parameters from an EMAN1 ctfparm.txt file",
+    )
+
+
+def _h_setCTF(data, args, index_d, param):
+    from ...io.metadata import eman_astigmatism_to_relion
+
+    if param:
+        for col, v in dict(
+            rlnVoltage=0, rlnSphericalAberration=0, rlnAmplitudeContrast=0,
+            rlnMagnification=0, rlnDefocusU=0, rlnDefocusV=0, rlnDefocusAngle=0,
+        ).items():
+            data[col] = v
+        if "rlnDetectorPixelSize" not in data:
+            data["rlnDetectorPixelSize"] = 5
+        ctfparms = read_ctfparm_file(param)
+        names = data["rlnImageName"].str.split("@", expand=True).iloc[:, -1]
+        for name, particles in names.groupby(names, sort=False):
+            mid = Path(name).stem
+            d = ctfparms.get(mid) or ctfparms.get(mid.split(".")[0])
+            if d is None:
+                raise HeliconError(f"no ctf parameters for micrograph {name}")
+            idx = particles.index
+            data.loc[idx, "rlnVoltage"] = d["voltage"]
+            data.loc[idx, "rlnSphericalAberration"] = d["cs"]
+            data.loc[idx, "rlnAmplitudeContrast"] = d["ampcont"] / 100.0
+            data.loc[idx, "rlnMagnification"] = (
+                data.loc[idx, "rlnDetectorPixelSize"] * 1e4 / d["apix"]
+            )
+            u, v, a = eman_astigmatism_to_relion(
+                d["defocus"], d["dfdiff"], d["dfang"]
+            )
+            data.loc[idx, "rlnDefocusU"] = u
+            data.loc[idx, "rlnDefocusV"] = v
+            data.loc[idx, "rlnDefocusAngle"] = a
+        index_d["setCTF"] += 1
+    return data, index_d
+
+
+def _add_copyCtf(parser):
+    parser.add_argument(
+        "--copyCtf", type=str, metavar="<starFile>", default="",
+        help="copy per-micrograph mean CTF parameters from another star file",
+    )
+
+
+def _h_copyCtf(data, args, index_d, param):
+    """Per-micrograph averaged defocus/astigmatism copy + optics-group
+    beam-tilt copy (reference copyctf.py)."""
+    from ...io.metadata import images2dataframe
+
+    if len(param) >= 1:
+        data = data.drop_duplicates(subset=["rlnImageName"], keep="last")
+        data2 = images2dataframe(
+            param,
+            alternative_folders=getattr(args, "folder", []),
+            ignore_bad_particle_path=getattr(args, "ignoreBadParticlePath", 0),
+            ignore_bad_micrograph_path=getattr(args, "ignoreBadMicrographPath", 1),
+            warn_missing_ctf=1,
+            target_convention="relion",
+        )
+        data2 = data2.drop_duplicates(subset=["rlnImageName"], keep="last")
+        optics = data.attrs.get("optics")
+        optics2 = data2.attrs.get("optics")
+        if optics is not None and optics2 is not None:
+            common = set(optics["rlnOpticsGroup"].values) & set(
+                optics2["rlnOpticsGroup"].values
+            )
+            tilt_parms = [
+                k
+                for k in (
+                    "rlnBeamTiltX", "rlnBeamTiltY", "rlnOddZernike", "rlnEvenZernike"
+                )
+                if k in optics2
+            ]
+            for k in tilt_parms:
+                if k not in optics:
+                    optics[k] = 0
+            for og in common:
+                optics.loc[optics["rlnOpticsGroup"] == og, tilt_parms] = (
+                    optics2.loc[optics2["rlnOpticsGroup"] == og, tilt_parms].values
+                )
+            data.attrs["optics"] = optics
+        ctf_parms = [
+            "rlnDefocusU", "rlnDefocusV", "rlnDefocusAngle",
+            "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift",
+        ]
+        for v in ctf_parms:
+            if v not in data:
+                data[v] = np.nan
+            if v not in data2:
+                data2[v] = 0.0
+        data2 = data2.copy()
+        data2["mean_defocus"] = (data2["rlnDefocusU"] + data2["rlnDefocusV"]) / 2
+        delta = (data2["rlnDefocusU"] - data2["rlnDefocusV"]) / 2
+        data2["astig_x"] = delta * np.cos(np.deg2rad(data2["rlnDefocusAngle"]))
+        data2["astig_y"] = delta * np.sin(np.deg2rad(data2["rlnDefocusAngle"]))
+        num = data2.select_dtypes(include=[np.number]).columns.tolist()
+        agg = data2.groupby("rlnMicrographName")[num].mean()
+        agg["mean_astig"] = np.sqrt(agg["astig_x"] ** 2 + agg["astig_y"] ** 2)
+        agg["mean_astig_angle"] = np.rad2deg(
+            np.arctan2(agg["astig_y"], agg["astig_x"])
+        )
+        for micrograph in agg.index:
+            rows = data["rlnMicrographName"] == micrograph
+            if not rows.any():
+                continue
+            data.loc[rows, "rlnDefocusU"] = (
+                agg.loc[micrograph, "mean_defocus"] + agg.loc[micrograph, "mean_astig"]
+            )
+            data.loc[rows, "rlnDefocusV"] = (
+                agg.loc[micrograph, "mean_defocus"] - agg.loc[micrograph, "mean_astig"]
+            )
+            data.loc[
+                rows,
+                ["rlnDefocusAngle", "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift"],
+            ] = agg.loc[
+                micrograph,
+                ["mean_astig_angle", "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift"],
+            ].values
+        index_d["copyCtf"] += 1
+    return data, index_d
+
+
+PLUGINS = [
+    Plugin("apix", _add_apix, _h_apix),
+    Plugin("resetOpticGroup", _add_resetOpticGroup, _h_resetOpticGroup),
+    Plugin(
+        "assignOpticGroupPerMicrograph",
+        _add_assignPerMicrograph,
+        _h_assignPerMicrograph,
+    ),
+    Plugin(
+        "assignOpticGroupByBeamShiftLabel",
+        _add_assignByBeamShiftLabel,
+        _h_assignByBeamShiftLabel,
+    ),
+    Plugin(
+        "assignOpticGroupByBeamShiftXY",
+        _add_assignByBeamShiftXY,
+        _h_assignByBeamShiftXY,
+    ),
+    Plugin("assignOpticGroupByTime", _add_assignByTime, _h_assignByTime),
+    Plugin("setBeamTiltClass", _add_setBeamTiltClass, _h_setBeamTiltClass),
+    Plugin("setCTF", _add_setCTF, _h_setCTF),
+    Plugin("copyCtf", _add_copyCtf, _h_copyCtf),
+]
