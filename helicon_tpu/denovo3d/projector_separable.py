@@ -172,66 +172,61 @@ def build_problem_separable(
     Mz_c = Mz_all.astype(cdt)
 
     def P(x_vol):
+        # Contraction order matters: collapsing the (large) d3^2 axis
+        # FIRST keeps every intermediate tiny —
+        #   tmp  = Wsum (C, d2, d3^2) . X (l3, d3^2)^T   -> (C, d2, l3)
+        #   pred = Mz (C, l2, l3) . tmp^T                -> (C, l2, d2)
+        # vs the naive (Mz @ X) @ Wsum^T whose (C, l2, d3^2) intermediate
+        # is ~50 MB per matvec and HBM-bandwidth bound.
         X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
-        # (C, l2, l3) @ (l3, d3^2) -> (C, l2, d3^2)
-        vol_z = jax.lax.dot_general(
-            Mz_c, X2, (((2,), (0,)), ((), ())),
+        tmp = jax.lax.dot_general(
+            Wsum_c, X2, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(cdt)
-        # (C, l2, d3^2) x (C, d2, d3^2) -> (C, l2, d2)
+        ).astype(cdt)  # (C, d2, l3)
         pred = jax.lax.dot_general(
-            vol_z, Wsum_c, (((2,), (2,)), ((0,), (0,))),
+            Mz_c, tmp, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # (C, l2, d2)
         return pred
 
-    # symmetry pairs on the volume grid: same factorization, no ray sum;
-    # the (d3^2, d3^2) in-plane matrices are rebuilt in-scan (VPU-cheap).
-    zc3 = jnp.arange(l3, dtype=jnp.float32) - l3 // 2
-    yc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[:, None]
-    xc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, :]
-    gx0 = jnp.broadcast_to(xc3, (d3, d3)).reshape(-1)
-    gy0 = jnp.broadcast_to(yc3, (d3, d3)).reshape(-1)
+    # symmetry pairs on the volume grid: same factorization but sampled
+    # with small trilinear gathers (only l3 * d3^2 points per op — cheap,
+    # and avoids rebuilding (d3^2, d3^2) compare-matrices every matvec).
+    from .projector import _sample_linear, _sample_nn
 
-    def op_mats(h, c):
-        th = jnp.deg2rad(
-            twist_degree * h.astype(jnp.float32)
-            + 360.0 * c.astype(jnp.float32) / csym
-        )
-        cs, sn = jnp.cos(th), jnp.sin(th)
-        # forward z-rotation: (x, y) -> (x c - y s, x s + y c)
-        X = (gx0 * cs - gy0 * sn) + d3 // 2
-        Y = (gx0 * sn + gy0 * cs) + d3 // 2
-        W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
-        Mz = _z_interp_matrix(
-            zc3 + h.astype(jnp.float32) * rise_pixel + l3 // 2, l3, linear
-        )
-        z_ok = jnp.sum(Mz, axis=1) > 0
-        return W, Mz, xy_ok, z_ok
+    zc3 = (jnp.arange(l3, dtype=jnp.float32) - l3 // 2)[:, None, None]
+    yc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, :, None]
+    xc3 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, None, :]
+    gX0 = jnp.broadcast_to(xc3, (l3, d3, d3))
+    gY0 = jnp.broadcast_to(yc3, (l3, d3, d3))
+    gZ0 = jnp.broadcast_to(zc3, (l3, d3, d3))
+    sym_sample = _sample_linear if linear else _sample_nn
+    sym_aux_flat = jnp.asarray(
+        (cell_np if linear else mask_np).astype(np.float32).reshape(-1)
+    )
+    mask_flat_f = mask_f.reshape(-1)
 
     def S(x_vol):
-        X2 = x_vol.reshape(l3, d3 * d3)
+        xf = x_vol.reshape(-1)
 
-        def sample(h, c):
-            W, Mz, xy_ok, z_ok = op_mats(h, c)
-            vol_z = jnp.dot(
-                Mz.astype(cdt), X2.astype(cdt),
-                preferred_element_type=jnp.float32,
+        def op_sample(h, c):
+            th = jnp.deg2rad(
+                twist_degree * h.astype(jnp.float32)
+                + 360.0 * c.astype(jnp.float32) / csym
             )
-            samp = jnp.dot(
-                vol_z.astype(cdt), W.astype(cdt).T,
-                preferred_element_type=jnp.float32,
-            )
-            return samp, z_ok[:, None] & xy_ok[None, :]
+            cs, sn = jnp.cos(th), jnp.sin(th)
+            # forward z-rotation: (x, y) -> (x c - y s, x s + y c)
+            X = (gX0 * cs - gY0 * sn) + d3 // 2
+            Y = (gX0 * sn + gY0 * cs) + d3 // 2
+            Z = (gZ0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
+            return sym_sample(xf, sym_aux_flat, Z, Y, X, d3, l3)
 
         def one(carry, hp):
             hc, pv = hp
-            s1, v1 = sample(hc[0], hc[1])
-            s2, v2 = sample(hc[2], hc[3])
-            valid = v1 & v2 & (mask_f.reshape(l3, d3 * d3) > 0.5) & pv
-            return carry, ((s1 - s2) * valid.astype(jnp.float32)).reshape(
-                l3, d3, d3
-            )
+            v1, ok1 = op_sample(hc[0], hc[1])
+            v2, ok2 = op_sample(hc[2], hc[3])
+            valid = ok1 & ok2 & (mask_f > 0.5) & pv
+            return carry, (v1 - v2) * valid.astype(jnp.float32)
 
         _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
         return res  # (n_pairs, l3, d3, d3)
