@@ -1,0 +1,67 @@
+"""Shared launcher helpers for web-app commands.
+
+Reference: commands/{denovo3D,hill,ctfSimulation,map2seq}.py — spawn
+shiny/streamlit on local or downloaded apps (denovo3D.py:11-25,
+hill.py:14-31, ctfSimulation.py:14-18, map2seq.py:14-17).
+"""
+
+from __future__ import annotations
+
+import logging
+import subprocess
+import tempfile
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def run_local_shiny_app(app_name: str, homepage: str):
+    """shiny run on an in-repo webApps/<app_name>/app.py."""
+    try:
+        app_file = Path(__file__).parent.parent / "webApps" / app_name / "app.py"
+        cmd = (
+            "shiny run --launch-browser --no-dev-mode --host 0.0.0.0 "
+            f'--port 0 "{app_file}"'
+        )
+        subprocess.call(cmd, shell=True)
+    except Exception:
+        logger.error("Please visit %s for more information", homepage)
+
+
+def download_files(urls):
+    from ..utils.path_utils import download_file_from_url
+
+    folder = Path(tempfile.mkdtemp(prefix="helicon_app_"))
+    for url in urls:
+        download_file_from_url(url, target_file_name=str(folder / Path(url).name))
+    return folder
+
+
+def run_remote_shiny_app(urls, homepage: str):
+    try:
+        folder = download_files(urls)
+        cmd = (
+            "shiny run --launch-browser --no-dev-mode --host 0.0.0.0 "
+            f"--port 0 {folder}/app.py"
+        )
+        subprocess.call(cmd, shell=True)
+    except Exception:
+        logger.error(
+            "ERROR running a local instance. Please visit %s instead", homepage
+        )
+
+
+def run_remote_streamlit_app(url: str, homepage: str):
+    try:
+        cmd = f"streamlit run {url}"
+        subprocess.call(cmd, shell=True)
+    except Exception:
+        logger.error(
+            "ERROR running a local instance. Please visit %s instead", homepage
+        )
+
+
+def open_hosted_app(url: str):
+    import webbrowser
+
+    webbrowser.open(url)

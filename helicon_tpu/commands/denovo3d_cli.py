@@ -1,0 +1,140 @@
+"""De novo helical indexing + 3D reconstruction from a 2D image (batch CLI)
+
+TPU-native batch counterpart of the reference's denovo3D Shiny app
+(webApps/denovo3D): scores a (twist, rise) candidate grid for one class
+average in a single sharded computation and writes a ranked table plus
+the best reconstruction.
+
+Example:
+  helicon denovo3d_cli classes.mrcs output --imageIndex 1 --apix 2.96 \\
+      --twist 0.5 45 0.5 --rise 4.0 5.0 0.25 --csym 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def main(args: argparse.Namespace) -> None:
+    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
+    from helicon_tpu.io.mrc import mrc_header, read_image_2d, write_mrc
+    from helicon_tpu.utils.logging import Timer, log_command_line
+
+    log_command_line()
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.ERROR,
+        format="%(message)s",
+        stream=sys.stdout,
+    )
+
+    img = read_image_2d(args.input_image, args.imageIndex - 1)
+    apix = args.apix if args.apix > 0 else mrc_header(args.input_image).apix
+    twists, rises = build_candidate_grid(
+        args.twist[0], args.twist[1], args.twist[2],
+        args.rise[0], args.rise[1], args.rise[2],
+        handedness=args.handedness,
+    )
+    logger.info(
+        "%d (twist, rise) candidates for %s:%d (apix %.3f A)",
+        len(twists), args.input_image, args.imageIndex, apix,
+    )
+    with Timer("grid search", verbose=args.verbose):
+        res = reconstruct_grid(
+            img,
+            apix=apix,
+            twists=twists,
+            rises=rises,
+            csym=args.csym,
+            low_pass=args.lowPass,
+            transpose=args.transpose,
+            horizontalize=args.horizontalize,
+            target_apix2d=args.targetApix2d,
+            target_apix3d=args.targetApix3d,
+            tube_diameter=args.tubeDiameter,
+            reconstruct_length_rise=args.reconstructLengthRise,
+            thresh_fraction=args.threshFraction,
+            positive_constraint=args.positiveConstraint,
+            sym_oversample=args.symOversample,
+            interpolation=args.interpolation,
+            cg_iters=args.cgIters,
+            fista_iters=args.fistaIters,
+            compute_dtype=args.computeDtype,
+            batch_size=args.batchSize if args.batchSize > 0 else None,
+            return_best_volume=True,
+        )
+
+    top = res.top(args.topN)
+    out_prefix = Path(args.output_prefix)
+    table = out_prefix.with_suffix(".csv")
+    with open(table, "w") as f:
+        f.write("twist_degree,rise_angstrom,score\n")
+        order = np.argsort(-res.scores)
+        for i in order:
+            f.write(f"{res.twists[i]:.4f},{res.rises[i]:.4f},{res.scores[i]:.6f}\n")
+    logger.info("ranked candidates -> %s", table)
+    print("top candidates (twist deg, rise A, score):")
+    for t, r, s in top:
+        print(f"  {t:10.3f} {r:8.3f} {s:10.6f}")
+    if res.best_volume is not None:
+        vol_file = out_prefix.with_suffix(".best.mrc")
+        write_mrc(vol_file, res.best_volume, apix=res.target_apix3d)
+        logger.info("best reconstruction -> %s", vol_file)
+    summary = dict(
+        best_twist=float(res.twists[res.best_index]),
+        best_rise=float(res.rises[res.best_index]),
+        best_score=float(res.scores[res.best_index]),
+        n_candidates=int(len(twists)),
+    )
+    (out_prefix.with_suffix(".json")).write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+
+
+def add_args(parser: argparse.ArgumentParser):
+    parser.add_argument("input_image", help="2D class average (.mrc/.mrcs)")
+    parser.add_argument("output_prefix", help="output file prefix")
+    parser.add_argument("--imageIndex", type=int, default=1,
+                        help="1-based image index in the stack")
+    parser.add_argument("--apix", type=float, default=0,
+                        help="pixel size (A); 0 = from the MRC header")
+    parser.add_argument("--twist", type=float, nargs=3, default=[0.5, 45.0, 0.5],
+                        metavar=("MIN", "MAX", "STEP"), help="twist grid (deg)")
+    parser.add_argument("--rise", type=float, nargs=3, default=[4.0, 5.0, 0.25],
+                        metavar=("MIN", "MAX", "STEP"), help="rise grid (A)")
+    parser.add_argument("--csym", type=int, default=1, help="cyclic symmetry")
+    parser.add_argument("--handedness", type=str, default="both",
+                        choices=["both", "left", "right"])
+    parser.add_argument("--lowPass", type=float, default=-1,
+                        help="low-pass resolution (A)")
+    parser.add_argument("--transpose", type=int, default=-1,
+                        help="-1 auto, 0 no, 1 yes")
+    parser.add_argument("--horizontalize", type=int, default=1)
+    parser.add_argument("--targetApix2d", type=float, default=-1)
+    parser.add_argument("--targetApix3d", type=float, default=-1)
+    parser.add_argument("--tubeDiameter", type=float, default=-1)
+    parser.add_argument("--reconstructLengthRise", type=float, default=3.0)
+    parser.add_argument("--threshFraction", type=float, default=-1)
+    parser.add_argument("--positiveConstraint", type=int, default=-1)
+    parser.add_argument("--symOversample", type=int, default=-1)
+    parser.add_argument("--interpolation", type=str, default="nn",
+                        choices=["nn", "linear"])
+    parser.add_argument("--cgIters", type=int, default=100)
+    parser.add_argument("--fistaIters", type=int, default=40)
+    parser.add_argument("--computeDtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--batchSize", type=int, default=0)
+    parser.add_argument("--topN", type=int, default=10)
+    parser.add_argument("--verbose", type=int, default=1)
+    return parser
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description=__doc__)
+    main(add_args(parser).parse_args())

@@ -150,15 +150,51 @@ def build_problem_separable(
     )
     dz = copies_h.astype(jnp.float32) * rise_pixel
 
+    # row index j of every (j, k) sample point, for the ray-summed scatter
+    j_of_point = (
+        jax.lax.broadcasted_iota(jnp.int32, (d2, d2), 0).reshape(-1)
+    )
+
     def copy_mats(th, dzc, cv):
+        """Build (Wsum, Mz, row_valid) for one copy via 4 scatter-adds —
+        never materializing the (d2^2, d3^2) compare matrix."""
         c, sn = jnp.cos(th), jnp.sin(th)
         # inverse z-rotation: (x, y) -> (x c + y s, -x s + y c)
         X = (x0 * c + y0 * sn) + d3 // 2
         Y = (-x0 * sn + y0 * c) + d3 // 2
-        W, xy_ok = _xy_interp_matrix(X, Y, d3, plane_ok_flat, linear)
         cvf = cv.astype(jnp.float32)
-        # pre-sum the ray parameter k: (d2j*d2k, d3^2) -> (d2j, d3^2)
-        Wsum = jnp.sum(W.reshape(d2, d2, d3 * d3), axis=1) * cvf
+        Wsum = jnp.zeros((d2, d3 * d3), jnp.float32)
+        if linear:
+            xf = jnp.floor(X)
+            yf = jnp.floor(Y)
+            xi = xf.astype(jnp.int32)
+            yi = yf.astype(jnp.int32)
+            wx = X - xf
+            wy = Y - yf
+            inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
+            xi = jnp.clip(xi, 0, d3 - 2)
+            yi = jnp.clip(yi, 0, d3 - 2)
+            base = yi * d3 + xi
+            ok = inb.astype(jnp.float32) * plane_ok_flat[base]
+            for off, w in (
+                (0, (1 - wy) * (1 - wx)),
+                (1, (1 - wy) * wx),
+                (d3, wy * (1 - wx)),
+                (d3 + 1, wy * wx),
+            ):
+                Wsum = Wsum.at[j_of_point, base + off].add(w * ok)
+            xy_ok = ok > 0
+        else:
+            xi = jnp.round(X).astype(jnp.int32)
+            yi = jnp.round(Y).astype(jnp.int32)
+            inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+            xi = jnp.clip(xi, 0, d3 - 1)
+            yi = jnp.clip(yi, 0, d3 - 1)
+            idx = yi * d3 + xi
+            ok = inb.astype(jnp.float32) * plane_ok_flat[idx]
+            Wsum = Wsum.at[j_of_point, idx].add(ok)
+            xy_ok = ok > 0
+        Wsum = Wsum * cvf
         Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear) * cvf
         xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1) & cv  # per row j
         z_ok = jnp.sum(Mz, axis=1) > 0

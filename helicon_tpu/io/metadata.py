@@ -661,16 +661,39 @@ def dataframe2star(data: pd.DataFrame, starFile, format: str = "v3") -> None:
 
 
 def dataframe2cs(data: pd.DataFrame, csFile) -> None:
-    """DataFrame -> .cs structured array (io.py:1538-1560)."""
-    rec = data.to_records(index=False)
+    """DataFrame -> .cs structured array (io.py:1538-1560).
+
+    Object columns holding fixed-length arrays (e.g. alignments3D/pose)
+    become subarray fields; other object columns become byte strings.
+    """
     dtypes = []
-    for name in rec.dtype.names:
-        if rec[name].dtype.kind == "O":
-            max_len = max((len(str(v)) for v in rec[name]), default=1)
+    columns = list(data.columns)
+    for name in columns:
+        col = data[name]
+        if col.dtype.kind == "O" and len(col):
+            first = col.iloc[0]
+            if isinstance(first, (np.ndarray, list, tuple)):
+                arr0 = np.asarray(first)
+                dtypes.append((name, arr0.dtype if arr0.dtype.kind != "O" else np.float32, arr0.shape))
+                continue
+            max_len = max((len(str(v)) for v in col), default=1)
             dtypes.append((name, f"S{max_len}"))
+        elif col.dtype.kind == "O":
+            dtypes.append((name, "S1"))
         else:
-            dtypes.append((name, rec[name].dtype))
-    write_cs(csFile, np.asarray(rec.astype(dtypes)))
+            dtypes.append((name, col.dtype))
+    out = np.zeros(len(data), dtype=dtypes)
+    for name in columns:
+        col = data[name]
+        if col.dtype.kind == "O" and len(col) and isinstance(
+            col.iloc[0], (np.ndarray, list, tuple)
+        ):
+            out[name] = np.stack([np.asarray(v) for v in col.values])
+        elif col.dtype.kind == "O":
+            out[name] = [str(v).encode() for v in col.values]
+        else:
+            out[name] = col.values
+    write_cs(csFile, out)
 
 
 def dataframe2file(data: pd.DataFrame, outputFile: str) -> None:

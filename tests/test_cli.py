@@ -1,0 +1,132 @@
+"""End-to-end CLI tests (subprocess, CPU-forced via HELICON_PLATFORM)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from helicon_tpu.io.mrc import read_mrc, write_mrc
+from helicon_tpu.io.metadata import dataframe2file
+
+
+ENV = dict(os.environ, HELICON_PLATFORM="cpu")
+
+
+def run_cli(*argv, cwd=None):
+    return subprocess.run(
+        [sys.executable, "-m", "helicon_tpu.commands.helicon", *argv],
+        capture_output=True, text=True, env=ENV, cwd=cwd, timeout=600,
+    )
+
+
+# module entry shim: python -m helicon_tpu.commands.helicon
+def test_cli_help_lists_commands():
+    r = run_cli("--help")
+    assert r.returncode == 0
+    for cmd in ("images2star", "proc3d", "cryosparc", "trueFSC",
+                "symmetry_mismatch", "HOM_containerC", "denovo3d_cli"):
+        assert cmd in r.stdout
+
+
+def test_cli_proc3d_helical_sym(tmp_path):
+    vol = np.zeros((24, 16, 16), np.float32)
+    vol[8:16, 4:12, 4:12] = np.random.default_rng(0).random((8, 8, 8))
+    write_mrc(tmp_path / "in.mrc", vol, apix=2.0)
+    r = run_cli(
+        "proc3d", "in.mrc", "out.mrc",
+        "--helical_sym", "twist=30:rise=6:csym=1:center_fraction=0.8",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    data, apix = read_mrc(tmp_path / "out.mrc")
+    assert data.shape == (24, 16, 16) and apix == pytest.approx(2.0)
+    assert float(np.max(data)) > 0
+
+
+def test_cli_images2star_pipeline(tmp_path, relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    dataframe2file(df, str(tmp_path / "in.star"))
+    r = run_cli(
+        "images2star", "in.star", "out.star",
+        "--select", "rlnHelicalTubeID", "1",
+        "--addParm", "rlnDefocusU", "100",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    out = star2dataframe(tmp_path / "out.star")
+    assert (out["rlnHelicalTubeID"] == 1).all()
+    assert out["rlnDefocusU"].iloc[0] == pytest.approx(12100.0)
+
+
+def test_cli_hom_containerc(tmp_path, relion_df):
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    df["rlnAngleRot"] = (np.arange(len(df)) * 10.0) % 360
+    dataframe2file(df, str(tmp_path / "in.star"))
+    r = run_cli(
+        "HOM_containerC", "in.star", "out.star", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    out = star2dataframe(tmp_path / "out.star")
+    assert "rlnAngleRotError" in out
+
+
+def test_cli_truefsc(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 32
+    signal = np.zeros((n, n, n), np.float32)
+    zz, yy, xx = np.meshgrid(*([np.arange(n) - n // 2] * 3), indexing="ij")
+    signal[(zz**2 + yy**2 + xx**2) < 100] = 1.0
+    from scipy.ndimage import gaussian_filter
+
+    signal = gaussian_filter(signal, 1.5)
+    m1 = signal + 0.1 * rng.standard_normal((n, n, n))
+    m2 = signal + 0.1 * rng.standard_normal((n, n, n))
+    write_mrc(tmp_path / "h1.mrc", m1.astype(np.float32), apix=2.0)
+    write_mrc(tmp_path / "h2.mrc", m2.astype(np.float32), apix=2.0)
+    r = run_cli(
+        "trueFSC", "h1.mrc", "h2.mrc", "fsc.png", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "fsc.png").exists()
+    assert (tmp_path / "fsc.true.txt").exists()
+    assert "trueFSC resolution" in r.stdout
+
+
+def test_cli_symmetry_mismatch(tmp_path):
+    from helicon_tpu.io.metadata import dataframe2cs
+    from scipy.spatial.transform import Rotation as R
+
+    rng = np.random.default_rng(0)
+    n = 40
+    rot1 = rng.uniform(0, 360, n)
+    rel = 17.0
+    rot2 = (rot1 + rel) % (360 / 3)  # job2 refined with C3
+    e1 = np.stack([rot1, np.full(n, 5.0), np.zeros(n)], axis=1)
+    e2 = np.stack([rot2, np.full(n, 5.0), np.zeros(n)], axis=1)
+    p1 = R.from_euler("ZXZ", e1, degrees=True).as_rotvec()
+    p2 = R.from_euler("ZXZ", e2, degrees=True).as_rotvec()
+    df1 = pd.DataFrame({"uid": np.arange(n, dtype=np.uint64) + 1})
+    df1["alignments3D/pose"] = list(p1.astype(np.float32))
+    df2 = pd.DataFrame({"uid": np.arange(n, dtype=np.uint64) + 1})
+    df2["alignments3D/pose"] = list(p2.astype(np.float32))
+    dataframe2cs(df1, tmp_path / "j1.cs")
+    dataframe2cs(df2, tmp_path / "j2.cs")
+    r = run_cli(
+        "symmetry_mismatch", "--csFile1", "j1.cs", "--csFile2", "j2.cs",
+        "--sym1", "C1", "--sym2", "C3", "--axisTol", "0",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "relative angle" in r.stdout
