@@ -253,3 +253,109 @@ def denoise_curvelet_2d_tiled(
             out[y0a:y1, x0a:x1] += den * ty
             wsum[y0a:y1, x0a:x1] += ty
     return out / np.maximum(wsum, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# reference-compatible aliases (reference lib/curvelet.py exports:
+# curvelet_denoise_{fdct,udct,mct}[_tiled], _batch_* and 3D variants).
+# FDCT/UDCT both map to the native tight-frame transform here.
+# ---------------------------------------------------------------------------
+
+
+def curvelet_denoise_udct(data, threshold_sigma: float = 3.0, **kwargs):
+    return denoise_curvelet_2d(
+        data, transform="udct", threshold_sigma=threshold_sigma, **kwargs
+    )
+
+
+def curvelet_denoise_fdct(data, threshold_sigma: float = 3.0, **kwargs):
+    return denoise_curvelet_2d(
+        data, transform="udct", threshold_sigma=threshold_sigma, **kwargs
+    )
+
+
+def curvelet_denoise_mct(data, threshold_sigma: float = 3.0, **kwargs):
+    return denoise_curvelet_2d(
+        data, transform="mct", threshold_sigma=threshold_sigma, **kwargs
+    )
+
+
+def _tiled(fn):
+    def wrapper(data, tile_size: int = 512, overlap: int = 64, **kwargs):
+        return denoise_curvelet_2d_tiled(
+            data, tile_size=tile_size, overlap=overlap, **kwargs
+        )
+
+    return wrapper
+
+
+curvelet_denoise_udct_tiled = _tiled(curvelet_denoise_udct)
+curvelet_denoise_fdct_tiled = _tiled(curvelet_denoise_fdct)
+curvelet_denoise_mct_tiled = _tiled(curvelet_denoise_mct)
+
+
+def _batch(fn):
+    def wrapper(stack, **kwargs):
+        return jnp.stack([fn(img, **kwargs) for img in jnp.asarray(stack)])
+
+    return wrapper
+
+
+curvelet_denoise_batch_udct = _batch(curvelet_denoise_udct)
+curvelet_denoise_batch_fdct = _batch(curvelet_denoise_fdct)
+curvelet_denoise_batch_mct = _batch(curvelet_denoise_mct)
+
+
+def curvelet_denoise_3d_udct(data, threshold_sigma: float = 3.0, **kwargs):
+    return denoise_curvelet_3d(data, threshold_sigma=threshold_sigma, **kwargs)
+
+
+def curvelet_denoise_3d_mct(data, threshold_sigma: float = 3.0, **kwargs):
+    return denoise_curvelet_3d(data, threshold_sigma=threshold_sigma, **kwargs)
+
+
+def curvelet_denoise_3d_udct_tiled(
+    data, tile_size: int = 128, overlap: int = 16, threshold_sigma: float = 3.0,
+    **kwargs,
+):
+    """Overlap-add z-chunked 3D denoising (curvelet.py:1641-2291 analog)."""
+    vol = np.asarray(data, np.float32)
+    nz = vol.shape[0]
+    if nz <= tile_size:
+        return np.asarray(denoise_curvelet_3d(vol, threshold_sigma=threshold_sigma))
+    step = tile_size - overlap
+    out = np.zeros_like(vol)
+    wsum = np.zeros(nz, np.float32)
+    taper = np.ones(tile_size, np.float32)
+    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
+    taper[:overlap] = ramp
+    taper[-overlap:] = ramp[::-1]
+    for z0 in range(0, max(1, nz - overlap), step):
+        z1 = min(z0 + tile_size, nz)
+        z0a = max(0, z1 - tile_size)
+        den = np.asarray(
+            denoise_curvelet_3d(vol[z0a:z1], threshold_sigma=threshold_sigma)
+        )
+        t = taper[: z1 - z0a]
+        out[z0a:z1] += den * t[:, None, None]
+        wsum[z0a:z1] += t
+    return out / np.maximum(wsum, 1e-8)[:, None, None]
+
+
+curvelet_denoise_3d_mct_tiled = curvelet_denoise_3d_udct_tiled
+
+__all__ += [
+    "curvelet_denoise_3d_mct",
+    "curvelet_denoise_3d_mct_tiled",
+    "curvelet_denoise_3d_udct",
+    "curvelet_denoise_3d_udct_tiled",
+    "curvelet_denoise_batch_fdct",
+    "curvelet_denoise_batch_mct",
+    "curvelet_denoise_batch_udct",
+    "curvelet_denoise_fdct",
+    "curvelet_denoise_fdct_tiled",
+    "curvelet_denoise_mct",
+    "curvelet_denoise_mct_tiled",
+    "curvelet_denoise_udct",
+    "curvelet_denoise_udct_tiled",
+]

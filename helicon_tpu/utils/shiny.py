@@ -1,0 +1,123 @@
+"""Shiny UI widgets for the web apps.
+
+Reference: lib/shiny.py (611 LoC): clickable image galleries (24-342),
+server-side file browser (343-523), Google-Analytics inject (524-541),
+client URL query params (542-611). Requires the optional `shiny` extra —
+every widget degrades to a clear dependency error without it.
+"""
+
+from __future__ import annotations
+
+from ..utils.exceptions import HeliconDependencyError
+from .system import encode_numpy, has_shiny
+
+__all__ = [
+    "google_analytics",
+    "image_gallery",
+    "image_select",
+    "set_client_url_query_params",
+    "get_client_url_query_params",
+    "server_file_browser",
+]
+
+
+def _require_shiny():
+    if not has_shiny():
+        raise HeliconDependencyError(
+            "this widget requires the optional 'shiny' extra"
+        )
+
+
+def image_select(
+    id: str,
+    label: str,
+    images,
+    image_labels=(),
+    image_size: int = 128,
+    initial_selected_indices=(),
+    enable_selection: bool = True,
+):
+    """Clickable image-selection grid (lib/shiny.py:24-200)."""
+    _require_shiny()
+    from shiny import ui
+
+    tags = []
+    for i, img in enumerate(images):
+        src = img if isinstance(img, str) else encode_numpy(img)
+        lbl = image_labels[i] if i < len(image_labels) else str(i + 1)
+        tags.append(
+            ui.tags.figure(
+                ui.tags.img(
+                    src=src,
+                    width=f"{image_size}px",
+                    style="cursor: pointer;" if enable_selection else "",
+                    onclick=(
+                        f"Shiny.setInputValue('{id}', {i}, "
+                        "{priority: 'event'});"
+                        if enable_selection
+                        else ""
+                    ),
+                ),
+                ui.tags.figcaption(lbl, style="text-align: center;"),
+                style="display: inline-block; margin: 2px;",
+            )
+        )
+    return ui.div(ui.tags.label(label), ui.div(*tags), id=f"{id}_container")
+
+
+def image_gallery(
+    id: str, label: str, images, image_labels=(), image_size: int = 128, **kwargs
+):
+    """Non-interactive image grid (lib/shiny.py:200-342)."""
+    return image_select(
+        id, label, images, image_labels, image_size, enable_selection=False
+    )
+
+
+def server_file_browser(id: str, label: str = "Select file", root: str = "."):
+    """Server-side file browser widget (lib/shiny.py:343-523)."""
+    _require_shiny()
+    from pathlib import Path
+
+    from shiny import ui
+
+    entries = sorted(Path(root).glob("*"))
+    return ui.input_select(
+        id, label, choices=[str(e) for e in entries], selected=None
+    )
+
+
+def google_analytics(tag_id: str):
+    """GA script tag (lib/shiny.py:524-541)."""
+    _require_shiny()
+    from shiny import ui
+
+    return ui.tags.head(
+        ui.tags.script(
+            src=f"https://www.googletagmanager.com/gtag/js?id={tag_id}",
+            **{"async": ""},
+        ),
+        ui.tags.script(
+            f"window.dataLayer = window.dataLayer || [];"
+            f"function gtag(){{dataLayer.push(arguments);}}"
+            f"gtag('js', new Date()); gtag('config', '{tag_id}');"
+        ),
+    )
+
+
+def get_client_url_query_params(session):
+    """Parse the client URL query string (lib/shiny.py:542-575)."""
+    from urllib.parse import parse_qs
+
+    search = session.input[".clientdata_url_search"]()
+    return {k: v for k, v in parse_qs(search.lstrip("?")).items()}
+
+
+def set_client_url_query_params(session, params: dict):
+    """Push query params into the client URL (lib/shiny.py:576-611)."""
+    from urllib.parse import urlencode
+
+    q = urlencode(params, doseq=True)
+    session.send_custom_message(
+        "set-query-params", {"search": f"?{q}"}
+    )

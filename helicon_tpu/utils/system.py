@@ -18,6 +18,10 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = [
+    "get_context_function_name",
+    "import_with_auto_install",
+    "omp_get_max_threads",
+    "omp_set_num_threads",
     "get_option_list",
     "parse_param_str",
     "validate_param_dict",
@@ -237,3 +241,72 @@ def encode_PIL_Image(img, hflip: bool = False, vflip: bool = False) -> str:
     buf = io.BytesIO()
     img.save(buf, format="JPEG")
     return f"data:image/jpeg;base64, {base64.b64encode(buf.getvalue()).decode()}"
+
+
+# ---------------------------------------------------------------------------
+# OpenMP thread control (reference system.py:248-321) + misc helpers
+# ---------------------------------------------------------------------------
+
+_omp_lib = None
+
+
+def _load_omp_library():
+    """ctypes handle to a loaded OpenMP runtime, if any."""
+    import ctypes.util
+
+    for name in ("gomp", "omp", "iomp5"):
+        path = ctypes.util.find_library(name)
+        if path:
+            try:
+                import ctypes
+
+                return ctypes.CDLL(path)
+            except OSError:
+                continue
+    return None
+
+
+def omp_get_max_threads() -> int:
+    """OpenMP max threads (reference system.py:284-298); 1 if no runtime."""
+    global _omp_lib
+    if _omp_lib is None:
+        _omp_lib = _load_omp_library()
+    if _omp_lib is None:
+        return 1
+    return int(_omp_lib.omp_get_max_threads())
+
+
+def omp_set_num_threads(n: int) -> None:
+    """Set OpenMP threads (reference system.py:300-321); no-op without a
+    runtime (XLA owns threading on TPU)."""
+    global _omp_lib
+    if _omp_lib is None:
+        _omp_lib = _load_omp_library()
+    if _omp_lib is not None:
+        _omp_lib.omp_set_num_threads(int(n))
+
+
+def get_context_function_name(level: int = 1) -> str:
+    """Name of the calling function (reference system.py helper)."""
+    import inspect
+
+    frame = inspect.currentframe()
+    for _ in range(level + 1):
+        if frame is None:
+            return ""
+        frame = frame.f_back
+    return frame.f_code.co_name if frame else ""
+
+
+def import_with_auto_install(package: str, pip_name: str | None = None):
+    """Import a package; the reference pip-installs on failure — here the
+    environment is frozen, so a clear ImportError is raised instead."""
+    import importlib
+
+    try:
+        return importlib.import_module(package)
+    except ImportError as e:
+        raise ImportError(
+            f"package {package!r} is not available in this environment "
+            f"(install {pip_name or package!r})"
+        ) from e

@@ -1,0 +1,165 @@
+"""Tests for alignment, point_group, clustering, gauss, curvelet aliases,
+and the whereIsMyClass compute layer."""
+
+import numpy as np
+import pytest
+
+import helicon_tpu as ht
+
+
+# ---------------------------------------------------------------- alignment
+
+
+def test_phase_cross_correlation_recovers_shift():
+    from helicon_tpu.core.alignment import phase_cross_correlation
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((64, 64)).astype(np.float32)
+    mov = np.roll(np.roll(ref, -5, axis=0), 3, axis=1)
+    shift, _, _ = phase_cross_correlation(ref, mov)
+    # applying `shift` to mov aligns it with ref
+    assert tuple(shift.astype(int)) == (5, -3)
+
+
+def test_align_images_recovers_rotation():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = simulate_helical_projection(
+        n=1, twist=40.0, rise=8.0, csym=1, helical_diameter=40.0,
+        ball_radius=6.0, polymer=0, planarity=1.0, ny=64, nx=64, apix=2.0,
+        rng=0,
+    ).astype(np.float32)
+    rotated = np.asarray(ht.transform_image(img, rotation=8.0))
+    flipped, scale, angle, shift, score = ht.align_images(
+        rotated, img, scale_range=0, angle_range=15.0, check_polarity=False
+    )
+    assert score > 0.8
+    assert abs(abs(angle) - 8.0) < 2.0 or abs(abs(angle) - 172.0) < 2.0
+
+
+# ---------------------------------------------------------------- point_group
+
+
+def test_point_group_orders():
+    from helicon_tpu import PointGroup
+
+    assert len(PointGroup("C1")) == 1
+    assert len(PointGroup("C5")) == 5
+    assert len(PointGroup("D3")) == 6
+    assert len(PointGroup("T")) == 12
+    assert len(PointGroup("O")) == 24
+    assert len(PointGroup("I")) == 60
+
+
+def test_point_group_closure_and_distance():
+    from helicon_tpu import PointGroup
+
+    g = PointGroup("C4")
+    mats = g.matrices
+    # closure: product of any two elements is in the group
+    for a in mats:
+        for b in mats:
+            prod = a @ b
+            assert any(np.allclose(prod, m, atol=1e-6) for m in mats)
+    p = np.array([1.0, 0.0, 0.5])
+    rotated = g.matrices[1] @ p
+    assert g.distance_of_points(p[None], rotated[None]) < 1e-10
+
+
+def test_point_group_rotations_distance():
+    from scipy.spatial.transform import Rotation
+
+    from helicon_tpu import PointGroup
+
+    g = PointGroup("C3")
+    r = Rotation.from_euler("ZYZ", [[10, 20, 30]], degrees=True)
+    r_sym = Rotation.from_rotvec([[0, 0, 2 * np.pi / 3]]) * r
+    assert g.distance_of_rotations(r, r_sym) < 1e-6
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def test_clustering_min_size():
+    from helicon_tpu import AgglomerativeClusteringWithMinSize
+
+    rng = np.random.default_rng(0)
+    X = np.concatenate(
+        [
+            rng.normal(0, 0.1, (20, 2)),
+            rng.normal(5, 0.1, (20, 2)),
+            rng.normal([0, 5], 0.1, (3, 2)),
+        ]
+    )
+    model = AgglomerativeClusteringWithMinSize(
+        min_cluster_size=5, n_clusters=3
+    ).fit(X)
+    unique, counts = np.unique(model.labels_, return_counts=True)
+    assert counts.min() >= 5 or len(unique) < 3
+
+
+# ---------------------------------------------------------------- gauss
+
+
+def test_gaussian_models():
+    from helicon_tpu import AnisotropicGaussian, IsotropicGaussian, IsotropicGaussianSet
+
+    g = IsotropicGaussian(center=(0, 0), sigma=2.0, amplitude=3.0)
+    img = g.evaluate((32, 32))
+    assert img[16, 16] == pytest.approx(3.0)
+    ag = AnisotropicGaussian(sigmas=(1.0, 4.0), rotation=0.0)
+    img2 = ag.evaluate((32, 32))
+    assert img2[16, 20] > img2[20, 16]  # wider along x
+    s = IsotropicGaussianSet([g, g])
+    assert s.evaluate((32, 32))[16, 16] == pytest.approx(6.0)
+
+
+# ---------------------------------------------------------------- curvelet aliases
+
+
+def test_curvelet_alias_surface():
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    out = np.asarray(ht.curvelet_denoise_udct(img))
+    assert out.shape == img.shape
+    stack = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    outb = np.asarray(ht.curvelet_denoise_batch_udct(stack))
+    assert outb.shape == stack.shape
+    vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    out3 = np.asarray(ht.curvelet_denoise_3d_udct(vol))
+    assert out3.shape == vol.shape
+
+
+# ---------------------------------------------------------------- whereIsMyClass
+
+
+def test_where_is_my_class_compute(relion_df):
+    from helicon_tpu.webApps.whereIsMyClass import compute
+
+    df = relion_df.copy()
+    df["rlnClassNumber"] = 1
+    df["rlnAnglePsi"] = 10.0
+    helices = compute.select_classes(df, [0])
+    assert len(helices) == 4  # 2 micrographs x 2 tubes
+    lengths = compute.get_filament_length(helices)
+    assert len(lengths) == 4
+    dists, min_len = compute.compute_pair_distances(helices, lengths, -1)
+    assert len(dists) > 0
+    assert compute.estimate_inter_segment_distance(df) == pytest.approx(47.5)
+    abundance = compute.get_class_abundance(df, 2)
+    assert abundance[0] == len(df)
+
+
+def test_micrograph_loader(tmp_path):
+    from helicon_tpu.io.mrc import write_mrc
+    from helicon_tpu.webApps.whereIsMyClass.compute import get_micrograph
+
+    rng = np.random.default_rng(0)
+    mic = rng.standard_normal((64, 64)).astype(np.float32)
+    write_mrc(tmp_path / "m.mrc", mic, apix=1.0)
+    data, tapix, apix = get_micrograph(
+        tmp_path / "m.mrc", target_apix=2.0, low_pass_angstrom=10,
+        high_pass_angstrom=0,
+    )
+    assert data.shape == (32, 32)
+    assert apix == pytest.approx(1.0)
