@@ -13,6 +13,14 @@ from .interp import (  # noqa: F401
     linear_gather_2d,
     trilinear_gather_3d,
 )
+from .ctf import (  # noqa: F401
+    ctf_1d,
+    ctf_2d,
+    electron_wavelength,
+    layer_line_bessel_orders,
+    layer_line_positions,
+    simulate_helix_power_spectrum,
+)
 from .rotation import euler_matrix, rot_x, rot_y, rot_z  # noqa: F401
 from .transforms import *  # noqa: F401,F403
 from .filters import *  # noqa: F401,F403

@@ -163,3 +163,50 @@ def test_micrograph_loader(tmp_path):
     )
     assert data.shape == (32, 32)
     assert apix == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- ctf / hill
+
+
+def test_ctf_1d_properties():
+    from helicon_tpu.core.ctf import ctf_1d, electron_wavelength
+
+    assert electron_wavelength(300) == pytest.approx(0.0197, abs=2e-4)
+    s = np.linspace(0, 0.5, 500)
+    c = np.asarray(ctf_1d(s, defocus_um=1.0))
+    assert c[0] == pytest.approx(-0.07, abs=1e-3)  # amp contrast at s=0
+    assert c.min() < -0.9 and c.max() > 0.9  # oscillates fully
+    # higher defocus -> first zero at lower frequency
+    c2 = np.asarray(ctf_1d(s, defocus_um=3.0))
+    z1 = np.argmax(c > 0)
+    z2 = np.argmax(c2 > 0)
+    assert z2 < z1
+
+
+def test_ctf_2d_astigmatism():
+    from helicon_tpu.core.ctf import ctf_2d
+
+    c = np.asarray(
+        ctf_2d((64, 64), apix=1.0, defocus_u_A=20000, defocus_v_A=10000,
+               astig_angle_deg=0.0)
+    )
+    assert c.shape == (64, 64)
+    # astigmatism: different along x vs y
+    assert not np.allclose(c[0, :], c[:, 0])
+
+
+def test_layer_lines():
+    from helicon_tpu.core.ctf import layer_line_positions, simulate_helix_power_spectrum
+
+    lines = layer_line_positions(twist=30.0, rise=5.0, csym=1, n_lines=5)
+    assert lines[0] == (0.0, 0, 0)
+    zs = [z for z, n, m in lines]
+    assert all(zs[i] <= zs[i + 1] for i in range(len(zs) - 1))
+    # 1-start helix: n=1 line at 1/pitch = twist/(360*rise)
+    pitch = 360.0 / 30.0 * 5.0
+    assert any(abs(z - 1 / pitch) < 1e-6 and n == 1 for z, n, m in lines)
+    # csym=2 restricts to even Bessel orders
+    lines2 = layer_line_positions(twist=30.0, rise=5.0, csym=2, n_lines=5)
+    assert all(n % 2 == 0 for z, n, m in lines2)
+    img = simulate_helix_power_spectrum((64, 64), 2.0, 30.0, 5.0)
+    assert img.shape == (64, 64) and img.max() > 0
