@@ -230,6 +230,48 @@ def select_pairs(
     return hc, v
 
 
+def select_pair_ops(
+    geom: ReconstructionGeometry,
+    twist: float,
+    rise_pixel: float,
+    n_pairs: int,
+    n_ops: int,
+    csym: int | None = None,
+):
+    """Pair selection factored through the distinct symmetry ops:
+    pairs reference an op table so the device code samples each op once
+    per matvec instead of once per pair side.
+
+    Returns (ops_hc [n_ops, 2] i32, ops_valid [n_ops] bool,
+             pair_idx [n_pairs, 2] i32 indices into the op table,
+             pairs_valid [n_pairs] bool).
+    """
+    csym = geom.csym if csym is None else csym
+    t = _pair_table(twist, rise_pixel, csym, geom.l3)[:n_pairs]
+    ops_hc = np.zeros((n_ops, 2), np.int32)
+    ops_valid = np.zeros(n_ops, bool)
+    pair_idx = np.zeros((n_pairs, 2), np.int32)
+    pairs_valid = np.zeros(n_pairs, bool)
+    index = {}
+    for i, row in enumerate(t):
+        ids = []
+        ok = True
+        for hc in ((row[0], row[1]), (row[2], row[3])):
+            if hc not in index:
+                if len(index) >= n_ops:
+                    ok = False
+                    break
+                index[hc] = len(index)
+                ops_hc[index[hc]] = hc
+                ops_valid[index[hc]] = True
+            ids.append(index[hc])
+        if not ok:
+            break
+        pair_idx[i] = ids
+        pairs_valid[i] = True
+    return ops_hc, ops_valid, pair_idx, pairs_valid
+
+
 def estimate_copy_pair_counts(
     geom: ReconstructionGeometry,
     rise_pixel_min: float,
@@ -254,3 +296,9 @@ def estimate_copy_pair_counts(
     n_ops = (2 * hmax_p + 1) * geom.csym
     n_pairs = min(n_pairs, n_ops * (n_ops - 1) // 2)
     return max(1, n_copies), max(1, n_pairs)
+
+
+def estimate_n_pair_ops(geom: ReconstructionGeometry, rise_pixel_min: float) -> int:
+    """Static op-table size for select_pair_ops over a candidate grid."""
+    hmax_p = geom.hsym_max_pairs(rise_pixel_min)
+    return (2 * hmax_p + 1) * geom.csym

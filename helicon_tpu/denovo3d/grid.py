@@ -28,7 +28,9 @@ from ..core.filters import down_scale
 from .geometry import (
     ReconstructionGeometry,
     estimate_copy_pair_counts,
+    estimate_n_pair_ops,
     select_copies,
+    select_pair_ops,
     select_pairs,
 )
 from .pipeline import _pixel_geometry, auto_sym_oversample, derive_task_geometry, prepare_data
@@ -95,23 +97,31 @@ class GridResult:
         )
 
 
-def _candidate_tables(geom, twists, rises, n_copies, n_pairs):
-    """Host-side per-candidate symmetry copy/pair tables (padded)."""
-    apix_ratio = 1.0  # rises already in 3D pixels here
+def _candidate_tables(geom, twists, rises, n_copies, n_pairs, n_ops):
+    """Host-side per-candidate symmetry copy/pair/op tables (padded)."""
     n = len(twists)
     ch = np.zeros((n, n_copies), np.int32)
     cc = np.zeros((n, n_copies), np.int32)
     cv = np.zeros((n, n_copies), bool)
     phc = np.zeros((n, n_pairs, 4), np.int32)
     pv = np.zeros((n, n_pairs), bool)
+    ops_hc = np.zeros((n, n_ops, 2), np.int32)
+    ops_v = np.zeros((n, n_ops), bool)
+    pair_idx = np.zeros((n, n_pairs, 2), np.int32)
     copy_cache = {}
     for i in range(n):
         r = float(rises[i])
         if r not in copy_cache:
             copy_cache[r] = select_copies(geom, r, n_copies)
         ch[i], cc[i], cv[i] = copy_cache[r]
-        phc[i], pv[i] = select_pairs(geom, float(twists[i]), r, n_pairs)
-    return ch, cc, cv, phc, pv
+        ops_hc[i], ops_v[i], pair_idx[i], pv[i] = select_pair_ops(
+            geom, float(twists[i]), r, n_pairs, n_ops
+        )
+        # the pair list itself (for the non-separable path / debugging)
+        o = ops_hc[i]
+        phc[i, :, 0:2] = o[pair_idx[i, :, 0]]
+        phc[i, :, 2:4] = o[pair_idx[i, :, 1]]
+    return ch, cc, cv, phc, pv, ops_hc, ops_v, pair_idx
 
 
 def reconstruct_grid(
@@ -204,8 +214,9 @@ def reconstruct_grid(
     n_copies, n_pairs = estimate_copy_pair_counts(
         geom, float(np.min(rise_pixels)), sym_oversample
     )
-    ch, cc, cv, phc, pv = _candidate_tables(
-        geom, twists, rise_pixels, n_copies, n_pairs
+    n_ops = estimate_n_pair_ops(geom, float(np.min(rise_pixels)))
+    ch, cc, cv, phc, pv, ops_hc, ops_v, pair_idx = _candidate_tables(
+        geom, twists, rise_pixels, n_copies, n_pairs, n_ops
     )
 
     region = data[
@@ -242,7 +253,7 @@ def reconstruct_grid(
         batch_size = max(n_dev, min(n_cand, 8 * n_dev))
     batch_size = max(1, (batch_size // n_dev) * n_dev)
 
-    def one(tw, ri, a, b, c, d, e):
+    def one(tw, ri, a, b, c, d, e, oh, ov, pi):
         out = _solve_candidate_impl(
             geom,
             cfg,
@@ -257,6 +268,7 @@ def reconstruct_grid(
             jnp.float32(tilt),
             jnp.float32(psi),
             jnp.float32(dy / target_apix2d),
+            pair_ops=(oh, ov, pi) if cfg.separable else None,
         )
         return out["score"]
 
@@ -290,6 +302,9 @@ def reconstruct_grid(
             pad_to(cv[sl]),
             pad_to(phc[sl]),
             pad_to(pv[sl]),
+            pad_to(ops_hc[sl]),
+            pad_to(ops_v[sl]),
+            pad_to(pair_idx[sl]),
         )
         scores[sl] = np.asarray(s)[: end - start]
 
@@ -318,6 +333,11 @@ def reconstruct_grid(
             jnp.float32(tilt),
             jnp.float32(psi),
             jnp.float32(dy / target_apix2d),
+            pair_ops=(
+                (jnp.asarray(ops_hc[bi]), jnp.asarray(ops_v[bi]), jnp.asarray(pair_idx[bi]))
+                if cfg.separable
+                else None
+            ),
         )
         result.best_volume = np.asarray(out["rec3d"])
     return result

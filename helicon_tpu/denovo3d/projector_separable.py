@@ -114,10 +114,15 @@ def build_problem_separable(
     mask=None,
     cellok=None,
     compute_dtype=None,
+    pair_ops=None,
 ):
     """Assemble (P, PT, S, ST, b, row_valid, mask) — MXU formulation.
 
     Semantics identical to projector.build_problem with tilt = psi = 0.
+    pair_ops: optional (ops_hc [O, 2], ops_valid [O], pair_idx [P, 2])
+    from geometry.select_pair_ops — S then samples each distinct symmetry
+    op once per matvec and combines pairs by indexing (the 10-ish pairs
+    typically share ~5 ops, halving the sym-term gathers).
     """
     d2, l2, d3, l3 = geom.d2, geom.l2, geom.d3, geom.l3
     s = geom.scale2d_to_3d
@@ -242,30 +247,53 @@ def build_problem_separable(
     )
     mask_flat_f = mask_f.reshape(-1)
 
-    def S(x_vol):
-        xf = x_vol.reshape(-1)
+    def _op_sample(xf, h, c):
+        th = jnp.deg2rad(
+            twist_degree * h.astype(jnp.float32)
+            + 360.0 * c.astype(jnp.float32) / csym
+        )
+        cs, sn = jnp.cos(th), jnp.sin(th)
+        # forward z-rotation: (x, y) -> (x c - y s, x s + y c)
+        X = (gX0 * cs - gY0 * sn) + d3 // 2
+        Y = (gX0 * sn + gY0 * cs) + d3 // 2
+        Z = (gZ0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
+        return sym_sample(xf, sym_aux_flat, Z, Y, X, d3, l3)
 
-        def op_sample(h, c):
-            th = jnp.deg2rad(
-                twist_degree * h.astype(jnp.float32)
-                + 360.0 * c.astype(jnp.float32) / csym
+    if pair_ops is not None:
+        ops_hc, ops_valid, pair_idx = pair_ops
+
+        def S(x_vol):
+            xf = x_vol.reshape(-1)
+
+            def one_op(carry, hc):
+                v, ok = _op_sample(xf, hc[0], hc[1])
+                return carry, (v, ok)
+
+            _, (vals, oks) = jax.lax.scan(one_op, 0.0, ops_hc)
+            v1 = vals[pair_idx[:, 0]]
+            v2 = vals[pair_idx[:, 1]]
+            ok = (
+                oks[pair_idx[:, 0]]
+                & oks[pair_idx[:, 1]]
+                & (mask_f > 0.5)[None]
+                & pairs_valid[:, None, None, None]
             )
-            cs, sn = jnp.cos(th), jnp.sin(th)
-            # forward z-rotation: (x, y) -> (x c - y s, x s + y c)
-            X = (gX0 * cs - gY0 * sn) + d3 // 2
-            Y = (gX0 * sn + gY0 * cs) + d3 // 2
-            Z = (gZ0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
-            return sym_sample(xf, sym_aux_flat, Z, Y, X, d3, l3)
+            return (v1 - v2) * ok.astype(jnp.float32)
 
-        def one(carry, hp):
-            hc, pv = hp
-            v1, ok1 = op_sample(hc[0], hc[1])
-            v2, ok2 = op_sample(hc[2], hc[3])
-            valid = ok1 & ok2 & (mask_f > 0.5) & pv
-            return carry, (v1 - v2) * valid.astype(jnp.float32)
+    else:
 
-        _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
-        return res  # (n_pairs, l3, d3, d3)
+        def S(x_vol):
+            xf = x_vol.reshape(-1)
+
+            def one(carry, hp):
+                hc, pv = hp
+                v1, ok1 = _op_sample(xf, hc[0], hc[1])
+                v2, ok2 = _op_sample(xf, hc[2], hc[3])
+                valid = ok1 & ok2 & (mask_f > 0.5) & pv
+                return carry, (v1 - v2) * valid.astype(jnp.float32)
+
+            _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
+            return res  # (n_pairs, l3, d3, d3)
 
     vol_shape = geom.volume_shape
     _, PT_vjp = jax.vjp(P, jnp.zeros(vol_shape, jnp.float32))

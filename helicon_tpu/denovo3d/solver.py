@@ -194,10 +194,13 @@ def _solve_candidate_impl(
     psi_degree=0.0,
     dy_pixel=0.0,
     key=None,
+    pair_ops=None,
 ):
     """Jitted single-candidate reconstruction. vmap over the array args
     (twist/rise/copies/pairs[/tilt/psi/dy]) for a candidate grid.
 
+    pair_ops: optional (ops_hc, ops_valid, pair_idx) op-table from
+    geometry.select_pair_ops (separable path only).
     Returns dict(rec3d, rec3d_half1, rec3d_half2, score, scores).
     """
     mask = geom.cylindrical_mask()  # numpy at trace time -> jit constant
@@ -224,6 +227,7 @@ def _solve_candidate_impl(
             mask,
             cellok,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            pair_ops=pair_ops,
         )
     else:
         ops = build_problem(
@@ -353,6 +357,12 @@ def lsq_reconstruct(
     )
     ch, cc, cv = select_copies(geom, float(rise_pixel), n_copies)
     phc, pv = select_pairs(geom, float(twist_degree), float(rise_pixel), n_pairs)
+    from .geometry import estimate_n_pair_ops, select_pair_ops
+
+    n_ops = estimate_n_pair_ops(geom, float(rise_pixel))
+    ops_hc, ops_v, pair_idx, _ = select_pair_ops(
+        geom, float(twist_degree), float(rise_pixel), n_pairs, n_ops
+    )
 
     region = img[
         ny // 2 - d2 // 2 : ny // 2 + d2 // 2,
@@ -417,6 +427,11 @@ def lsq_reconstruct(
         jnp.float32(tilt),
         jnp.float32(psi),
         jnp.float32(dy),
+        pair_ops=(
+            (jnp.asarray(ops_hc), jnp.asarray(ops_v), jnp.asarray(pair_idx))
+            if cfg.separable
+            else None
+        ),
     )
     rec3d = np.asarray(out["rec3d"])
     score = float(out["score"])

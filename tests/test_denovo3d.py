@@ -295,3 +295,41 @@ def test_separable_matches_gather_path(interpolation):
     np.testing.assert_allclose(
         np.asarray(ops_s["PT"](r)), np.asarray(ops_g["PT"](r)), atol=1e-4
     )
+
+
+def test_pair_ops_table_matches_pairs():
+    """The op-table S (shared op sampling) must equal the per-pair S."""
+    from helicon_tpu.denovo3d.geometry import select_pair_ops
+    from helicon_tpu.denovo3d.projector_separable import build_problem_separable
+
+    geom = small_geom()
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    ch, cc, cv = select_copies(geom, 2.3, 4)
+    phc, pv = select_pairs(geom, 35.0, 2.3, 6)
+    ops_hc, ops_v, pair_idx, pv2 = select_pair_ops(geom, 35.0, 2.3, 6, 12)
+    np.testing.assert_array_equal(pv, pv2)
+    # pair table reconstructed from ops must match phc
+    np.testing.assert_array_equal(ops_hc[pair_idx[:, 0]][pv], phc[pv, 0:2])
+    np.testing.assert_array_equal(ops_hc[pair_idx[:, 1]][pv], phc[pv, 2:4])
+
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    x = (rng.random(geom.volume_shape) * mask).astype(np.float32)
+    args = (
+        geom, region, jnp.float32(35.0), jnp.float32(2.3),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+    )
+    kw = dict(interpolation="linear", mask=mask, cellok=cellok)
+    ops_a = build_problem_separable(*args, 0.0, **kw)
+    ops_b = build_problem_separable(
+        *args, 0.0,
+        pair_ops=(jnp.asarray(ops_hc), jnp.asarray(ops_v), jnp.asarray(pair_idx)),
+        **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops_b["S"](jnp.asarray(x))),
+        np.asarray(ops_a["S"](jnp.asarray(x))),
+        atol=1e-6,
+    )
