@@ -126,7 +126,7 @@ def __getattr__(name):
         "ops": ".ops",
         "commands": ".commands",
         "parallel": ".parallel",
-        "apps": ".apps",
+        "apps": ".webApps",
         "webApps": ".webApps",
         "dataset": ".io.dataset",
         "EMDB": None,  # handled below

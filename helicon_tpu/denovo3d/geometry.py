@@ -203,10 +203,21 @@ def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarr
 
 
 def sorted_hsym_csym_pairs(twist: float, rise_pixel: float, csym: int, nz: int):
-    """Angle-sorted + Halton-permuted pairs of symmetry operations
-    (solver:933-1000). Returns list of ((h1, c1), (h2, c2))."""
-    t = _pair_table(twist, rise_pixel, csym, nz)
-    return [((int(r[0]), int(r[1])), (int(r[2]), int(r[3]))) for r in t]
+    """Angle-sorted + Halton-permuted pairs of symmetry operations.
+
+    Same return format as the reference (solver:933-1000): a list of
+    (angle, |h1+h2|, |h1-h2|, |h1|, |h2|, ((h1, c1), (h2, c2))) tuples.
+    """
+    out = []
+    for r in _pair_table(twist, rise_pixel, csym, nz):
+        h1, c1, h2, c2 = (int(v) for v in r)
+        a1 = twist * h1 + c1 * 360.0 / csym
+        a2 = twist * h2 + c2 * 360.0 / csym
+        angle = round(abs((a2 - a1 + 180.0) % 360.0 - 180.0), 2)
+        out.append(
+            (angle, abs(h1 + h2), abs(h1 - h2), abs(h1), abs(h2), ((h1, c1), (h2, c2)))
+        )
+    return out
 
 
 def select_pairs(
@@ -302,3 +313,39 @@ def estimate_n_pair_ops(geom: ReconstructionGeometry, rise_pixel_min: float) -> 
     """Static op-table size for select_pair_ops over a candidate grid."""
     hmax_p = geom.hsym_max_pairs(rise_pixel_min)
     return (2 * hmax_p + 1) * geom.csym
+
+
+def back_project_2d_coords_to_3d_coords(
+    image,
+    scale2d_to_3d: float,
+    reconstruct_diameter_2d_pixel: int = -1,
+    reconstruct_length_2d_pixel: int = -1,
+):
+    """Back-project 2D image coordinates into the 3D frame.
+
+    Host-side numpy twin of the reference
+    (solver_linear_regression.py:1657-1746): centered (k, j, i) grids,
+    R_y(90 deg) inverse (x, y, z) -> (-z, y, x), scale, axis swap so the
+    helical axis is the first array axis. Returns ((X, Y, Z), pixel_vals)
+    with arrays of shape (l2, d2, d2) and pixel_vals (d2, l2).
+    """
+    image = np.asarray(image)
+    ny, nx = image.shape
+    d2 = int(np.rint(reconstruct_diameter_2d_pixel)) if reconstruct_diameter_2d_pixel > 0 else ny
+    l2 = int(np.rint(reconstruct_length_2d_pixel)) if reconstruct_length_2d_pixel > 0 else nx
+    k = np.arange(d2, dtype=np.int32) - d2 // 2
+    j = np.arange(d2, dtype=np.int32) - d2 // 2
+    i = np.arange(l2, dtype=np.int32) - l2 // 2
+    pixel_vals = image[np.ix_(j + ny // 2, i + nx // 2)]
+    Z, Y, X = np.meshgrid(
+        k.astype(np.float32), j.astype(np.float32), i.astype(np.float32),
+        indexing="ij",
+    )
+    # R_y(90).inv maps (x, y, z) -> (-z, y, x)
+    X2, Y2, Z2 = -Z, Y, X
+    if scale2d_to_3d != 1.0:
+        X2, Y2, Z2 = (a * scale2d_to_3d for a in (X2, Y2, Z2))
+    X2 = np.swapaxes(X2, 0, 2)
+    Y2 = np.swapaxes(Y2, 0, 2)
+    Z2 = np.swapaxes(Z2, 0, 2)
+    return (X2, Y2, Z2), pixel_vals

@@ -5,6 +5,7 @@ the reference import paths working.
 """
 
 from ...denovo3d.geometry import (  # noqa: F401
+    back_project_2d_coords_to_3d_coords,
     select_copies,
     select_pairs,
     sorted_hsym_csym_pairs,

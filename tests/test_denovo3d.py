@@ -333,3 +333,33 @@ def test_pair_ops_table_matches_pairs():
         np.asarray(ops_a["S"](jnp.asarray(x))),
         atol=1e-6,
     )
+
+
+def test_sorted_pairs_reference_format():
+    """Reference return format (tests/test_denovo3D_solver.py:9-25)."""
+    from helicon_tpu.denovo3d import sorted_hsym_csym_pairs
+
+    result = sorted_hsym_csym_pairs(twist=30, rise_pixel=5, csym=1, nz=20)
+    assert isinstance(result, list) and len(result) > 0
+    assert len(result[0]) >= 5
+    assert all(0 <= e[0] <= 180 for e in result)
+    r2 = sorted_hsym_csym_pairs(twist=30, rise_pixel=5, csym=2, nz=20)
+    assert len(r2) >= len(result)
+
+
+def test_back_project_2d_coords():
+    """Reference semantics (tests/test_denovo3D_solver.py:27-60)."""
+    from helicon_tpu.denovo3d.geometry import back_project_2d_coords_to_3d_coords
+
+    image = np.arange(16, dtype=np.float32).reshape(4, 4)
+    (X, Y, Z), pv = back_project_2d_coords_to_3d_coords(image, scale2d_to_3d=1.0)
+    assert X.shape == (4, 4, 4) and pv.shape == (4, 4)
+    assert X[:, :, 0].shape[::-1] == pv.shape
+    # helical axis along the first (swapped) axis: Z varies with i_len
+    assert np.all(np.isfinite(X))
+    (_, _, _), pv2 = back_project_2d_coords_to_3d_coords(
+        image, 1.0, reconstruct_diameter_2d_pixel=2, reconstruct_length_2d_pixel=2
+    )
+    assert pv2.shape == (2, 2)
+    (Xs, Ys, Zs), _ = back_project_2d_coords_to_3d_coords(image, scale2d_to_3d=0.5)
+    np.testing.assert_allclose(Xs, X * 0.5)
