@@ -398,9 +398,12 @@ def lsq_reconstruct(
     if refine_tilt_psi_dy_range:
         from .refine import refine_tilt_psi_dy
 
+        # refinement explores nonzero tilt/psi -> must use the general
+        # (non-separable) operators
+        refine_cfg = cfg._replace(separable=False)
         tilt, psi, dy = refine_tilt_psi_dy(
             geom,
-            cfg,
+            refine_cfg,
             region,
             float(twist_degree),
             float(rise_pixel),
@@ -412,6 +415,8 @@ def lsq_reconstruct(
             refine_tilt_psi_dy_range,
         )
         lsq_reconstruct._refined_params = dict(tilt=tilt, psi=psi, dy=dy)
+        # the separable fast path is only valid at tilt = psi = 0
+        cfg = cfg._replace(separable=(tilt == 0 and psi == 0))
 
     out = solve_candidate(
         geom,

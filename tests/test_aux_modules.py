@@ -210,3 +210,33 @@ def test_layer_lines():
     assert all(n % 2 == 0 for z, n, m in lines2)
     img = simulate_helix_power_spectrum((64, 64), 2.0, 30.0, 5.0)
     assert img.shape == (64, 64) and img.max() > 0
+
+
+def test_point_group_icosahedral_conventions():
+    """Reference tests/test_point_group.py behaviors."""
+    from scipy.spatial.transform import Rotation
+
+    from helicon_tpu import PointGroup
+
+    pg = PointGroup("I")
+    assert pg.distance_of_points(
+        np.array([1.0, 0, 0]), np.array([-1.0, 0, 0])
+    ) < 1e-10
+    assert pg.distance_of_rotations(
+        Rotation.identity(), Rotation.from_rotvec([0, 0, 2 * np.pi / 5])
+    ) < 1e-6
+    rot = PointGroup.get_icosahedral_conversion_rotation("I_5z2x", "I_2z2x5y")
+    phi = (1 + np.sqrt(5)) / 2
+    target = np.array([0, 1, phi]) / np.linalg.norm([0, 1, phi])
+    np.testing.assert_allclose(rot.apply([0, 0, 1.0]), target, atol=1e-10)
+    for alias, full in {
+        "I1": "I_2z2x5y", "I2": "I_2z2x5x", "I3": "I_5z2y", "I4": "I_5z2x"
+    }.items():
+        m1, m2 = PointGroup(alias).matrices, PointGroup(full).matrices
+        assert len(m1) == len(m2) == 60
+        assert all(
+            any(np.allclose(x, y, atol=1e-6) for y in m2) for x in m1
+        )
+    # case insensitivity
+    assert len(PointGroup("c2")) == len(PointGroup("C2"))
+    assert len(PointGroup("i")) == 60
