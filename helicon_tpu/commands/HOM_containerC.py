@@ -185,7 +185,7 @@ def main(args):
         level=logging.INFO if args.verbose else logging.ERROR,
         format="%(message)s", stream=sys.stdout,
     )
-    data = images2dataframe(args.input_starFile, target_convention="relion")
+    data = images2dataframe(args.input_star, target_convention="relion")
     data, stats = HelicalSegmentConsistency(
         data,
         csym=args.csym,
@@ -198,13 +198,17 @@ def main(args):
         n0 = len(data)
         data = data[data["rlnHelicalConsistencyGood"] == 1].reset_index(drop=True)
         logger.info("filtered %d -> %d segments", n0, len(data))
-    dataframe2file(data, args.output_starFile)
+    dataframe2file(data, args.output_star)
     print(stats)
 
 
 def add_args(parser):
-    parser.add_argument("input_starFile", help="input star file")
-    parser.add_argument("output_starFile", help="output star file")
+    parser.add_argument("input_star", help="input star file")
+    parser.add_argument("output_star", help="output star file")
+    parser.add_argument("--param", type=str, default="",
+                        help="extra parameter string (reference-compatible)")
+    parser.add_argument("--force", type=int, default=0,
+                        help="force overwrite the output file")
     parser.add_argument("--csym", type=int, default=1)
     parser.add_argument("--rise", type=float, default=4.75,
                         help="helical rise (A)")
@@ -219,6 +223,17 @@ def add_args(parser):
     return parser
 
 
+def check_args(args, parser):
+    from helicon_tpu.utils.exceptions import HeliconFileExistsError
+
+    if Path(args.output_star).exists() and not args.force:
+        raise HeliconFileExistsError(
+            f"output file {args.output_star} exists; use --force 1"
+        )
+    return args
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description=__doc__)
-    main(add_args(parser).parse_args())
+    args = add_args(parser).parse_args()
+    main(check_args(args, parser))

@@ -130,3 +130,29 @@ def test_cli_symmetry_mismatch(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "relative angle" in r.stdout
+
+
+def test_hom_core_math():
+    """HOM wrapped-fit primitives (reference math, exact behaviors)."""
+    from helicon_tpu.commands.HOM_containerC import (
+        fit_line_wrapped_by_m_grid,
+        l1_core_average,
+        unwrap_sequence,
+        wrap_sym,
+    )
+
+    assert wrap_sym(190.0, 360.0) == pytest.approx(-170.0)
+    assert wrap_sym(-190.0, 360.0) == pytest.approx(170.0)
+    seq = np.array([350.0, 10.0, 30.0])  # wraps at 360
+    unwrapped = unwrap_sequence(seq, 360.0)
+    np.testing.assert_allclose(np.diff(unwrapped), [20.0, 20.0])
+    # exact recovery of a wrapped line
+    x = np.arange(40.0)
+    m_true, b_true = 7.3, 12.0
+    o = (m_true * x + b_true) % 360.0
+    m, b, sse, _ = fit_line_wrapped_by_m_grid(x, o, 360.0, 5.0, 10.0, 501)
+    assert m == pytest.approx(m_true, abs=0.02)
+    assert sse < 1.0
+    vals = np.concatenate([np.full(20, 3.0), [100.0, -50.0]])
+    m_best, _, _ = l1_core_average(vals, k=10)
+    assert m_best == pytest.approx(3.0)
