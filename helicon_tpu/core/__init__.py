@@ -25,3 +25,4 @@ from .rotation import euler_matrix, rot_x, rot_y, rot_z  # noqa: F401
 from .transforms import *  # noqa: F401,F403
 from .filters import *  # noqa: F401,F403
 from .analysis import *  # noqa: F401,F403
+from .xcorr import batched_cross_correlation, cross_correlation_map  # noqa: F401

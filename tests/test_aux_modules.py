@@ -240,3 +240,20 @@ def test_point_group_icosahedral_conventions():
     # case insensitivity
     assert len(PointGroup("c2")) == len(PointGroup("C2"))
     assert len(PointGroup("i")) == 60
+
+
+def test_batched_cross_correlation():
+    from helicon_tpu.core.xcorr import batched_cross_correlation
+
+    rng = np.random.default_rng(0)
+    classes = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    # segments: shifted copies of class 1 + noise-only
+    seg0 = np.roll(classes[1], (4, -3), axis=(0, 1))
+    seg1 = rng.standard_normal((32, 32)).astype(np.float32)
+    peak, shifts = batched_cross_correlation(classes, np.stack([seg0, seg1]))
+    assert peak.shape == (3, 2)
+    assert np.argmax(peak[:, 0]) == 1  # class 1 matches segment 0
+    assert peak[1, 0] > 0.99
+    # shift to apply to the segment to align it with the class
+    assert tuple(np.asarray(shifts[1, 0])) == (-4, 3)
+    assert peak[1, 1] < 0.5
