@@ -155,10 +155,57 @@ def build_problem_separable(
     )
     dz = copies_h.astype(jnp.float32) * rise_pixel
 
-    # row index j of every (j, k) sample point, for the ray-summed scatter
-    j_of_point = (
-        jax.lax.broadcasted_iota(jnp.int32, (d2, d2), 0).reshape(-1)
-    )
+    # --- scatter-free Wsum: receiving-cell evaluation -------------------
+    # The samples of row j lie on the line P(kc) = C_j + kc * D with
+    # D = (-s cos, s sin), |D| = s, so the ks that can deposit bilinear
+    # weight into a cell g lie within ~sqrt(2)/s of the projection
+    # kc* = (g - C_j) . D / s^2. Evaluating those few taps directly per
+    # (j, cell) reorders the exact same sum as the scatter-add — with no
+    # scatter (TPU scatters serialize and dominate the precompute).
+    n_taps = int(np.ceil(np.sqrt(2.0) / max(s, 1e-6))) + 2
+    gx_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 1).reshape(-1)
+    gy_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 0).reshape(-1)
+    jc_rows = jnp.arange(d2, dtype=jnp.float32) - d2 // 2
+
+    def copy_wsum_direct(th, dzc, cv):
+        cs, sn = jnp.cos(th), jnp.sin(th)
+        dx, dy_ = -s * cs, s * sn
+        y0j = s * jc_rows - dy_pixel  # (d2,)
+        cx = y0j * sn + d3 // 2  # (d2,) X at kc=0
+        cy = y0j * cs + d3 // 2
+        # (d2, d3^2) projection of each cell onto each row's ray
+        kc_star = (
+            (gx_cell[None, :] - cx[:, None]) * dx
+            + (gy_cell[None, :] - cy[:, None]) * dy_
+        ) / (s * s)
+        k0 = jnp.round(kc_star)
+        Wsum = jnp.zeros((d2, d3 * d3), jnp.float32)
+        for delta in range(-n_taps, n_taps + 1):
+            kc = k0 + delta
+            ink = (kc >= -(d2 // 2)) & (kc <= d2 - 1 - d2 // 2)
+            X = cx[:, None] + kc * dx
+            Y = cy[:, None] + kc * dy_
+            if linear:
+                xi = jnp.floor(X).astype(jnp.int32)
+                yi = jnp.floor(Y).astype(jnp.int32)
+                inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
+                base = jnp.clip(yi, 0, d3 - 2) * d3 + jnp.clip(xi, 0, d3 - 2)
+                ok = inb & (plane_ok_flat[base] > 0.5) & ink
+                w = (
+                    jnp.maximum(0.0, 1.0 - jnp.abs(X - gx_cell[None, :]))
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(Y - gy_cell[None, :]))
+                )
+            else:
+                xi = jnp.round(X).astype(jnp.int32)
+                yi = jnp.round(Y).astype(jnp.int32)
+                inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+                idx = jnp.clip(yi, 0, d3 - 1) * d3 + jnp.clip(xi, 0, d3 - 1)
+                ok = inb & (plane_ok_flat[idx] > 0.5) & ink
+                # exact: the sample's rounded cell must BE this cell
+                cell_idx = (gy_cell[None, :] * d3 + gx_cell[None, :]).astype(jnp.int32)
+                w = (idx == cell_idx).astype(jnp.float32)
+            Wsum = Wsum + w * ok.astype(jnp.float32)
+        return Wsum * cv.astype(jnp.float32)
 
     def copy_mats(th, dzc, cv):
         """Build (Wsum, Mz, row_valid) for one copy via 4 scatter-adds —
@@ -168,38 +215,22 @@ def build_problem_separable(
         X = (x0 * c + y0 * sn) + d3 // 2
         Y = (-x0 * sn + y0 * c) + d3 // 2
         cvf = cv.astype(jnp.float32)
-        Wsum = jnp.zeros((d2, d3 * d3), jnp.float32)
+        # per-sample validity (for row_valid); Wsum itself is built
+        # scatter-free by copy_wsum_direct
         if linear:
-            xf = jnp.floor(X)
-            yf = jnp.floor(Y)
-            xi = xf.astype(jnp.int32)
-            yi = yf.astype(jnp.int32)
-            wx = X - xf
-            wy = Y - yf
+            xi = jnp.floor(X).astype(jnp.int32)
+            yi = jnp.floor(Y).astype(jnp.int32)
             inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
-            xi = jnp.clip(xi, 0, d3 - 2)
-            yi = jnp.clip(yi, 0, d3 - 2)
-            base = yi * d3 + xi
+            base = jnp.clip(yi, 0, d3 - 2) * d3 + jnp.clip(xi, 0, d3 - 2)
             ok = inb.astype(jnp.float32) * plane_ok_flat[base]
-            for off, w in (
-                (0, (1 - wy) * (1 - wx)),
-                (1, (1 - wy) * wx),
-                (d3, wy * (1 - wx)),
-                (d3 + 1, wy * wx),
-            ):
-                Wsum = Wsum.at[j_of_point, base + off].add(w * ok)
-            xy_ok = ok > 0
         else:
             xi = jnp.round(X).astype(jnp.int32)
             yi = jnp.round(Y).astype(jnp.int32)
             inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
-            xi = jnp.clip(xi, 0, d3 - 1)
-            yi = jnp.clip(yi, 0, d3 - 1)
-            idx = yi * d3 + xi
+            idx = jnp.clip(yi, 0, d3 - 1) * d3 + jnp.clip(xi, 0, d3 - 1)
             ok = inb.astype(jnp.float32) * plane_ok_flat[idx]
-            Wsum = Wsum.at[j_of_point, idx].add(ok)
-            xy_ok = ok > 0
-        Wsum = Wsum * cvf
+        xy_ok = ok > 0
+        Wsum = copy_wsum_direct(th, dzc, cv)
         Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear) * cvf
         xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1) & cv  # per row j
         z_ok = jnp.sum(Mz, axis=1) > 0
