@@ -1,0 +1,69 @@
+"""End-to-end test of denovo3d.process_one_task (reference
+tests/test_denovo3D_pipeline.py pattern)."""
+
+import numpy as np
+import pytest
+
+from helicon_tpu.denovo3d import process_one_task
+from helicon_tpu.helix import simulate_helical_projection
+
+
+def make_task(data, twist, rise, **overrides):
+    task = dict(
+        ti=0, ntasks=1, data=data, imageFile="synthetic.mrcs", imageIndex=1,
+        twist=twist, rise=rise, rise_range=(rise, rise), csym=1,
+        tilt=0, tilt_range=(0, 0), psi=0, psi_range=0, dy=0, dy_range=0,
+        apix2d_orig=2.0, denoise="", low_pass=-1, transpose=0,
+        horizontalize=0, target_apix3d=2.0, target_apix2d=2.0,
+        thresh_fraction=-1, positive_constraint=-1, tube_length=-1,
+        tube_diameter=44.0, tube_diameter_inner=0, reconstruct_length=20.0,
+        sym_oversample=2, interpolation="nn", fsc_test=0, return_3d=True,
+        score_metric="cosine", algorithm=dict(model="lsq"), verbose=0,
+    )
+    task.update(overrides)
+    return task
+
+
+@pytest.fixture(scope="module")
+def helix_image():
+    return simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=48, nx=96, apix=2.0,
+        rng=0,
+    )
+
+
+def test_process_one_task_returns_reference_layout(helix_image):
+    result = process_one_task(**make_task(helix_image, 30.0, 6.0))
+    assert result is not None
+    score, return_data, metadata = result
+    assert 0 < score <= 1
+    (x_proj, y_proj, z_sections, rec3d_tuple, d2, d3, l2, l3) = return_data
+    assert x_proj.ndim == 2 and y_proj.ndim == 2 and z_sections.ndim == 2
+    assert rec3d_tuple is not None and rec3d_tuple[0].ndim == 3
+    assert d2 > 0 and d3 > 0 and l2 > 0 and l3 > 0
+    (data_orig, imageFile, imageIndex, ta3, ta2, twist, rise, csym,
+     tilt, psi, dy) = metadata
+    assert imageFile == "synthetic.mrcs" and twist == 30.0 and rise == 6.0
+
+
+def test_process_one_task_blank_image_returns_none():
+    blank = np.zeros((48, 96), np.float32)
+    assert process_one_task(**make_task(blank, 30.0, 6.0)) is None
+
+
+def test_process_one_task_score_orders_candidates(helix_image):
+    s_true = process_one_task(**make_task(helix_image, 30.0, 6.0))[0]
+    s_wrong = process_one_task(**make_task(helix_image, 55.0, 4.0))[0]
+    assert s_true > s_wrong
+
+
+def test_process_one_task_auto_geometry(helix_image):
+    """Auto tube diameter/length + auto sym_oversample (pipeline auto paths)."""
+    result = process_one_task(
+        **make_task(
+            helix_image, 30.0, 6.0, tube_diameter=-1, reconstruct_length=-1,
+            sym_oversample=-1, target_apix3d=-1,
+        )
+    )
+    assert result is not None and result[0] > 0
