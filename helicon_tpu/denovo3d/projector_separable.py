@@ -167,6 +167,17 @@ def build_problem_separable(
     gy_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 0).reshape(-1)
     jc_rows = jnp.arange(d2, dtype=jnp.float32) - d2 // 2
 
+    # Statically shifted validity planes: for a sample whose base cell is
+    # (gy - oy, gx - ox), the plane_ok lookup becomes an elementwise read
+    # of shifted_ok[oy, ox] at the RECEIVING cell — no gathers per tap.
+    plane_ok_2d = np.asarray(plane_ok, bool).reshape(d3, d3)
+    _shift_tbl = {}
+    for oy in (0, 1):
+        for ox in (0, 1):
+            sh = np.zeros((d3, d3), np.float32)
+            sh[oy:, ox:] = plane_ok_2d[: d3 - oy, : d3 - ox]
+            _shift_tbl[(oy, ox)] = jnp.asarray(sh.reshape(-1))
+
     def copy_wsum_direct(th, dzc, cv):
         cs, sn = jnp.cos(th), jnp.sin(th)
         dx, dy_ = -s * cs, s * sn
@@ -189,8 +200,18 @@ def build_problem_separable(
                 xi = jnp.floor(X).astype(jnp.int32)
                 yi = jnp.floor(Y).astype(jnp.int32)
                 inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
-                base = jnp.clip(yi, 0, d3 - 2) * d3 + jnp.clip(xi, 0, d3 - 2)
-                ok = inb & (plane_ok_flat[base] > 0.5) & ink
+                # base-cell validity via the statically shifted planes,
+                # selected by the receiving-cell offset (gx-xi, gy-yi)
+                dxi = gx_cell[None, :].astype(jnp.int32) - xi
+                dyi = gy_cell[None, :].astype(jnp.int32) - yi
+                cellok_val = jnp.zeros_like(X)
+                for oy in (0, 1):
+                    for ox in (0, 1):
+                        sel = (dxi == ox) & (dyi == oy)
+                        cellok_val = jnp.where(
+                            sel, _shift_tbl[(oy, ox)][None, :], cellok_val
+                        )
+                ok = inb & (cellok_val > 0.5) & ink
                 w = (
                     jnp.maximum(0.0, 1.0 - jnp.abs(X - gx_cell[None, :]))
                     * jnp.maximum(0.0, 1.0 - jnp.abs(Y - gy_cell[None, :]))
@@ -199,11 +220,13 @@ def build_problem_separable(
                 xi = jnp.round(X).astype(jnp.int32)
                 yi = jnp.round(Y).astype(jnp.int32)
                 inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
-                idx = jnp.clip(yi, 0, d3 - 1) * d3 + jnp.clip(xi, 0, d3 - 1)
-                ok = inb & (plane_ok_flat[idx] > 0.5) & ink
-                # exact: the sample's rounded cell must BE this cell
-                cell_idx = (gy_cell[None, :] * d3 + gx_cell[None, :]).astype(jnp.int32)
-                w = (idx == cell_idx).astype(jnp.float32)
+                # exact: the sample's rounded cell must BE this cell, so
+                # the mask lookup is the receiving cell's own value
+                same = (xi == gx_cell[None, :].astype(jnp.int32)) & (
+                    yi == gy_cell[None, :].astype(jnp.int32)
+                )
+                ok = inb & same & (plane_ok_flat[None, :] > 0.5) & ink
+                w = jnp.ones_like(X)
             Wsum = Wsum + w * ok.astype(jnp.float32)
         return Wsum * cv.astype(jnp.float32)
 
