@@ -21,7 +21,71 @@ import time
 import numpy as np
 
 
+def bench_etl():
+    """images2star plugin-pipeline throughput over 100k particles
+    (BASELINE.md benchmark config)."""
+    import collections
+    import tempfile
+    from argparse import Namespace
+    from pathlib import Path
+
+    import pandas as pd
+
+    from helicon_tpu.ops.images2star import dispatch
+
+    n = int(os.environ.get("HELICON_BENCH_ETL_ROWS", 100_000))
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        dict(
+            rlnImageName=[f"{i % 500 + 1:06d}@stack_{i // 500:04d}.mrcs" for i in range(n)],
+            rlnMicrographName=[f"mic_{i // 500:04d}.mrc" for i in range(n)],
+            rlnHelicalTubeID=rng.integers(1, 20, n),
+            rlnCoordinateX=rng.uniform(0, 4000, n),
+            rlnCoordinateY=rng.uniform(0, 4000, n),
+            rlnHelicalTrackLengthAngst=rng.uniform(0, 5000, n),
+            rlnDefocusU=rng.uniform(8000, 30000, n),
+            rlnDefocusV=rng.uniform(8000, 30000, n),
+            rlnDefocusAngle=rng.uniform(0, 180, n),
+            rlnAnglePsi=rng.uniform(-180, 180, n),
+            rlnClassNumber=rng.integers(1, 51, n),
+        )
+    )
+    df.attrs["convention"] = "relion"
+    args = Namespace(verbose=0, folder=[], ignoreBadParticlePath=0,
+                     ignoreBadMicrographPath=1, output_starFile="bench.star",
+                     subset=0, input_imageFiles=["bench.star"])
+    chain = [
+        ("select", ["rlnClassNumber", "1,2,3,4,5,6,7,8,9,10"]),
+        ("addParm", ["rlnDefocusU", "100"]),
+        ("multParm", ["rlnDefocusV", "1.01"]),
+        ("sortby", ["rlnMicrographName", "rlnHelicalTubeID"]),
+        ("breakFilaments", "maxSegments=20"),
+        ("removeDuplicates", ["rlnImageName"]),
+    ]
+    t0 = time.perf_counter()
+    data = df
+    index_d = collections.defaultdict(int)
+    for opt, param in chain:
+        data, index_d = dispatch(opt, data, args, index_d, param)
+    with tempfile.TemporaryDirectory() as td:
+        from helicon_tpu.io.metadata import dataframe2file, star2dataframe
+
+        out = str(Path(td) / "out.star")
+        dataframe2file(data, out)
+        back = star2dataframe(out)
+    dt = time.perf_counter() - t0
+    rate = n / dt
+    print(json.dumps({
+        "metric": "images2star_etl_rows_per_s",
+        "value": round(rate, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rate / 50_000, 4),  # 100k rows in <2 s target
+    }))
+
+
 def main():
+    if os.environ.get("HELICON_BENCH_METRIC", "denovo3d") == "etl":
+        return bench_etl()
     n_cand = int(os.environ.get("HELICON_BENCH_N", 256))
     batch = int(os.environ.get("HELICON_BENCH_BATCH", 32))
 
