@@ -120,3 +120,60 @@ def test_emdb_mirror(tmp_path, monkeypatch):
         assert info["method"] == "helical"
     finally:
         ds.EMDB._instance = None
+
+
+class TestCombineGroupsReference:
+    """Ported from reference tests/test_groups.py:14-61."""
+
+    def test_basic_split(self):
+        np.testing.assert_array_equal(
+            groups.combine_groups([1, 1, 1, 1, 2, 2, 2, 2], [1, 1, 2, 2, 1, 1, 2, 2]),
+            [1, 1, 2, 2, 3, 3, 4, 4],
+        )
+
+    def test_single_group_split(self):
+        np.testing.assert_array_equal(
+            groups.combine_groups([1, 1, 1], [1, 2, 3]), [1, 2, 3]
+        )
+
+    def test_no_split(self):
+        np.testing.assert_array_equal(
+            groups.combine_groups([1, 1, 2, 2], [1, 1, 1, 1]), [1, 1, 2, 2]
+        )
+
+    def test_1_indexed(self):
+        result = groups.combine_groups([1, 1], [5, 10])
+        assert result[0] == 1 and result[1] == 2
+
+    def test_large_gap(self):
+        result = groups.combine_groups([10, 10, 20, 20], [1, 2, 1, 2])
+        assert len(set(result)) == 4
+
+    def test_empty(self):
+        assert len(groups.combine_groups(np.array([], int), np.array([], int))) == 0
+
+
+class TestExtractTimestampsReference:
+    """Ported from reference tests/test_groups.py:63-93."""
+
+    def test_epu_timestamp(self):
+        m = ["FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff"]
+        r = groups.extract_timestamps(m, "EPU")
+        assert r[m[0]] not in (None, float("inf"))
+
+    def test_different_times_differ(self):
+        m = [
+            "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff",
+            "FoilHole_28788144_Data_28764755_47_20240328_192117_fractions.tiff",
+        ]
+        r = groups.extract_timestamps(m, "EPU")
+        assert r[m[0]] != r[m[1]]
+
+    def test_serialEM_serial_number_fallback(self):
+        m = ["250123_SF0431_00592_1-14_patch_aligned_doseweighted.mrc"]
+        r = groups.extract_timestamps(m, "serialEM_embl_heidelberg")
+        assert abs(r[m[0]] - 592.0) < 1e-7
+
+    def test_unknown_software(self):
+        r = groups.extract_timestamps(["unknown_file.mrc"], "nonexistent")
+        assert r["unknown_file.mrc"] == float("inf")
