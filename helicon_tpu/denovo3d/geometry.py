@@ -18,9 +18,13 @@ import numpy as np
 
 __all__ = [
     "ReconstructionGeometry",
+    "back_project_2d_coords_to_3d_coords",
     "derive_geometry",
+    "estimate_copy_pair_counts",
+    "estimate_n_pair_ops",
     "halton_permutation",
     "select_copies",
+    "select_pair_ops",
     "select_pairs",
     "sorted_hsym_csym_pairs",
 ]
