@@ -257,3 +257,78 @@ def test_batched_cross_correlation():
     # shift to apply to the segment to align it with the class
     assert tuple(np.asarray(shifts[1, 0])) == (-4, 3)
     assert peak[1, 1] < 0.5
+
+
+class TestWhereIsMyClassReference:
+    """Ported from reference tests/test_whereIsMyClass_compute.py."""
+
+    def test_project_root_dir(self):
+        import pandas as pd
+
+        from helicon_tpu.webApps.whereIsMyClass import compute
+
+        r = compute.get_project_root_dir("/a/b/c/JobName/run_it020_data.star")
+        assert r is not None and r.name == "b"
+        r = compute.get_project_root_dir("/a/b/c/J123/J456/run_it020.cs")
+        assert r is not None and r.name == "J123"
+        assert compute.get_project_root_dir("/a/b/c/file.txt") is None
+
+    def test_class_file_paths(self):
+        from helicon_tpu.webApps.whereIsMyClass import compute
+
+        r = compute.get_class_file("/a/b/c/JobName/run_it020_data.star")
+        assert r.suffix == ".mrcs" and "classes" in r.name
+        r = compute.get_class_file("/a/b/c/J123/run_it020.cs")
+        assert r.suffix == ".mrc" and "class_averages" in r.name
+        assert compute.get_class_file("/a/b/c/file.txt") is None
+
+    def test_filament_length_and_distances(self):
+        import pandas as pd
+
+        from helicon_tpu.webApps.whereIsMyClass import compute
+
+        helices = [
+            (
+                ("m1", 1),
+                pd.DataFrame(
+                    {
+                        "rlnClassNumber": [1, 1, 1],
+                        "rlnHelicalTrackLengthAngst": [0.0, 100.0, 200.0],
+                        "rlnAnglePsi": [0.0, 0.0, 0.0],
+                    }
+                ),
+            )
+        ]
+        assert compute.get_filament_length(helices) == [200.0]
+        dists, min_len = compute.compute_pair_distances(helices)
+        assert len(dists) > 0 and np.all(np.diff(dists) >= 0) and min_len == 0
+        # psi 10 vs 190 wrap to the same polarity class (diff mod 180 = 0)
+        helices2 = [
+            (
+                ("m1", 1),
+                pd.DataFrame(
+                    {
+                        "rlnClassNumber": [1, 1, 1],
+                        "rlnHelicalTrackLengthAngst": [0.0, 100.0, 200.0],
+                        "rlnAnglePsi": [10.0, 10.0, 190.0],
+                    }
+                ),
+            )
+        ]
+        dists2, _ = compute.compute_pair_distances(helices2)
+        assert len(dists2) > 0
+        assert compute.compute_pair_distances([]) == ([], 0)
+
+    def test_inter_segment_median(self):
+        import pandas as pd
+
+        from helicon_tpu.webApps.whereIsMyClass import compute
+
+        data = pd.DataFrame(
+            {
+                "rlnMicrographName": ["m1"] * 3,
+                "rlnHelicalTubeID": [1] * 3,
+                "rlnHelicalTrackLengthAngst": [0.0, 100.0, 300.0],
+            }
+        )
+        assert compute.estimate_inter_segment_distance(data) == 150.0
