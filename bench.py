@@ -120,8 +120,8 @@ def main():
         target_apix3d=-1,
         tube_diameter=110.0,
         reconstruct_length_rise=3.0,
-        cg_iters=int(os.environ.get("HELICON_BENCH_CG", 50)),
-        fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 20)),
+        cg_iters=int(os.environ.get("HELICON_BENCH_CG", 30)),
+        fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 12)),
         compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "float32"),
         batch_size=batch,
         return_best_volume=False,

@@ -53,7 +53,7 @@ class SolveConfig(NamedTuple):
     model: str = "lsq"
     cg_iters: int = 120
     fista_iters: int = 120
-    power_iters: int = 12
+    power_iters: int = 8
     fsc_test: int = 0
     score_metric: str = "cosine"
     thresh_fraction: float = -1.0
