@@ -103,7 +103,9 @@ def _power_iteration(N, shape, iters: int):
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
 
     v, _ = jax.lax.scan(body, v, None, length=iters)
-    return jnp.vdot(v, N(v))
+    # Rayleigh quotient underestimates the top eigenvalue; pad it so the
+    # FISTA step 1/L stays inside the stable region.
+    return 1.2 * jnp.vdot(v, N(v))
 
 
 def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
