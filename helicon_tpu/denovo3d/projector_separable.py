@@ -266,6 +266,34 @@ def build_problem_separable(
     Wsum_c = Wsum_all.astype(cdt)
     Mz_c = Mz_all.astype(cdt)
 
+    # Gram matrices of the z-interp factors: used to fuse P^T P into a
+    # single pass (valid rows only — zero rows of Mz/Wsum already encode
+    # the row validity, so no extra weighting is needed).
+    Gz = jax.lax.dot_general(
+        Mz_c, Mz_c, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)  # (C, l3, l3)
+
+    def PTP(x_vol):
+        """Fused normal operator of the data term: P^T(P(x)) in one pass
+        (~2x cheaper than composing P with its vjp)."""
+        X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
+        t = jax.lax.dot_general(
+            Wsum_c, X2, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # (C, d2, l3)
+        u = jax.lax.dot_general(
+            t, Gz, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # (C, d2, l3)
+        # out[m, d] = sum_cj Wsum[c, j, d] * u[c, j, m]
+        out = jax.lax.dot_general(
+            u.reshape(-1, l3), Wsum_c.reshape(-1, d3 * d3),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (l3, d3^2)
+        return out.reshape(l3, d3, d3)
+
     def P(x_vol):
         # Contraction order matters: collapsing the (large) d3^2 axis
         # FIRST keeps every intermediate tiny —
@@ -356,6 +384,7 @@ def build_problem_separable(
     return dict(
         P=P,
         PT=lambda r: PT_vjp(r)[0],
+        PTP=PTP,
         S=S,
         ST=lambda r: ST_vjp(r)[0],
         b=b,

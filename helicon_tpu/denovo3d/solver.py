@@ -130,16 +130,34 @@ def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
     return x
 
 
-def _solve_one_weighting(ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val):
-    """Solve with the given data-row weighting; return (x, score)."""
+def _solve_one_weighting(
+    ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False
+):
+    """Solve with the given data-row weighting; return (x, score).
+
+    full_rows=True (rowv is exactly the row-validity mask) lets the data
+    term use the fused P^T P operator — the zero rows of the separable
+    factors already encode that weighting.
+    """
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
 
-    def N(v):
-        out = PT(P(v) * rowv) + ST(S(v))
-        if cfg.l2_reg:
-            out = out + cfg.l2_reg * v
-        return out * mask_f
+    if full_rows and "PTP" in ops:
+        PTP = ops["PTP"]
+
+        def N(v):
+            out = PTP(v) + ST(S(v))
+            if cfg.l2_reg:
+                out = out + cfg.l2_reg * v
+            return out * mask_f
+
+    else:
+
+        def N(v):
+            out = PT(P(v) * rowv) + ST(S(v))
+            if cfg.l2_reg:
+                out = out + cfg.l2_reg * v
+            return out * mask_f
 
     rhs = PT(b_eff) * mask_f
 
@@ -265,7 +283,9 @@ def _solve_candidate_impl(
     b_eff_full = ops["b"][None] * rowv
     ub_val = jnp.max(b_eff_full)
 
-    x, score = _solve_one_weighting(ops, rowv, mask_f, cfg, positive, ub_val)
+    x, score = _solve_one_weighting(
+        ops, rowv, mask_f, cfg, positive, ub_val, full_rows=True
+    )
     scores = [score]
     halves = []
     if cfg.fsc_test >= 1:
