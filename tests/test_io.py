@@ -251,3 +251,115 @@ def test_dataframe2file_formats(tmp_path, relion_df):
     dataframe2file(df, str(tmp_path / "o.star"))
     dataframe2file(df, str(tmp_path / "o.csv"))
     assert (tmp_path / "o.star").exists() and (tmp_path / "o.csv").exists()
+
+
+class TestConversionReference:
+    """Ported from reference tests/test_io.py:231-403 (coordinate/origin/
+    beam-tilt/anisomag/exposure-group conversion oracles)."""
+
+    def test_coordinates_and_2d_origins(self):
+        cs_df = pd.DataFrame(
+            {
+                "location/center_x_frac": [0.25, 0.5, 0.75],
+                "location/center_y_frac": [0.25, 0.5, 0.75],
+                "location/micrograph_shape": [[4096, 4096]] * 3,
+                "blob/path": ["/a.mrc"] * 3,
+                "blob/idx": [0, 1, 2],
+                "blob/psize_A": [1.0] * 3,
+                "alignments2D/shift": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+            }
+        )
+        cs_df.attrs["convention"] = "cryosparc"
+        r = dataframe_cryosparc_to_relion(cs_df)
+        assert r["rlnCoordinateY"].iloc[0] == 1024.0
+        assert r["rlnCoordinateY"].iloc[2] == 3072.0
+        assert r["rlnCoordinateX"].iloc[0] == 1024.0
+        assert r["rlnOriginXAngst"].iloc[0] == -1.0  # negated for 2D
+        assert r["rlnOriginYAngst"].iloc[0] == -2.0
+        assert "rlnOriginX" not in r.columns
+
+    def test_3d_shift_overrides_2d(self):
+        cs_df = pd.DataFrame(
+            {
+                "alignments2D/shift": [[2.0, 3.0]],
+                "alignments3D/shift": [[4.0, 5.0]],
+                "blob/psize_A": [0.5],
+                "blob/path": ["/a.mrc"],
+                "blob/idx": [0],
+            }
+        )
+        cs_df.attrs["convention"] = "cryosparc"
+        r = dataframe_cryosparc_to_relion(cs_df)
+        assert r["rlnOriginXAngst"].iloc[0] == 2.0  # 4.0 * 0.5, not negated
+        assert r["rlnOriginYAngst"].iloc[0] == 2.5
+
+    def test_beamtilt_pyem_formula(self):
+        cs_df = pd.DataFrame(
+            {
+                "ctf/tilt_A": [np.array([1000.0, 500.0]), np.array([-1000.0, 500.0])],
+                "ctf/cs_mm": [2.7, 2.7],
+                "blob/path": ["/a.mrc"] * 2,
+                "blob/idx": [0, 1],
+            }
+        )
+        cs_df.attrs["convention"] = "cryosparc"
+        r = dataframe_cryosparc_to_relion(cs_df)
+        assert abs(r["rlnBeamTiltX"].iloc[0] - np.arcsin(1000.0 / 2.7e7) * 1e3) < 1e-8
+        assert abs(r["rlnBeamTiltY"].iloc[0] - np.arcsin(500.0 / 2.7e7) * 1e3) < 1e-8
+        assert abs(r["rlnBeamTiltX"].iloc[1] - np.arcsin(-1000.0 / 2.7e7) * 1e3) < 1e-8
+
+    def test_anisomag_direct_copy(self):
+        cs_df = pd.DataFrame(
+            {
+                "ctf/anisomag": [
+                    np.array([1.0, 0.0, 0.0, 1.0]),
+                    np.array([1.05, 0.02, -0.01, 0.98]),
+                ],
+                "blob/path": ["/a.mrc"] * 2,
+                "blob/idx": [0, 1],
+            }
+        )
+        cs_df.attrs["convention"] = "cryosparc"
+        r = dataframe_cryosparc_to_relion(cs_df)
+        assert r["rlnMagMat00"].iloc[1] == 1.05
+        assert r["rlnMagMat01"].iloc[1] == 0.02
+        assert r["rlnMagMat10"].iloc[1] == -0.01
+        assert r["rlnMagMat11"].iloc[1] == 0.98
+
+    def test_exposure_group_mapping_and_fallback(self):
+        cs_df = pd.DataFrame(
+            {
+                "ctf/exp_group_id": [1, 1, 2, 3],
+                "ctf/accel_kv": [300.0] * 4,
+                "ctf/cs_mm": [2.7] * 4,
+                "blob/path": ["/a.mrc"] * 4,
+                "blob/idx": [0, 1, 0, 0],
+            }
+        )
+        cs_df.attrs["convention"] = "cryosparc"
+        r = dataframe_cryosparc_to_relion(cs_df)
+        assert list(r["rlnOpticsGroup"]) == [1, 1, 2, 3]
+        cs_df2 = pd.DataFrame(
+            {
+                "location/exp_group_id": [5, 5, 6],
+                "blob/path": ["/a.mrc"] * 3,
+                "blob/idx": [0, 1, 0],
+            }
+        )
+        cs_df2.attrs["convention"] = "cryosparc"
+        r2 = dataframe_cryosparc_to_relion(cs_df2)
+        assert list(r2["rlnOpticsGroup"]) == [5, 5, 6]
+
+    def test_build_opticsgroup_preserves_existing_ids(self):
+        data = pd.DataFrame(
+            {
+                "rlnOpticsGroup": [10, 10, 20],
+                "rlnVoltage": [300.0, 300.0, 200.0],
+                "rlnSphericalAberration": [2.7] * 3,
+            }
+        )
+        data.attrs["convention"] = "relion"
+        star_build_opticsgroup(data)
+        optics = data.attrs["optics"]
+        assert set(optics["rlnOpticsGroup"]) == {10, 20}
+        assert list(data["rlnOpticsGroup"]) == [10, 10, 20]
