@@ -34,7 +34,12 @@ from .geometry import (
     select_pairs,
 )
 from .pipeline import _pixel_geometry, auto_sym_oversample, derive_task_geometry, prepare_data
-from .solver import SolveConfig, _solve_candidate_impl, solve_candidate
+from .solver import (
+    SolveConfig,
+    _solve_candidate_impl,
+    regularization_from_algorithm,
+    solve_candidate,
+)
 
 __all__ = ["build_candidate_grid", "reconstruct_grid", "GridResult"]
 
@@ -225,15 +230,9 @@ def reconstruct_grid(
     ]
 
     model = algorithm.get("model", "lsq")
-    l1 = l2r = 0.0
-    if model in ("lasso", "elasticnet"):
-        alpha = float(algorithm.get("alpha", 1e-4))
-        l1_ratio = 1.0 if model == "lasso" else float(algorithm.get("l1_ratio", 0.5))
-        n_rows = geom.d2 * geom.l2 * n_copies
-        l1 = alpha * l1_ratio * n_rows
-        l2r = alpha * (1.0 - l1_ratio) * n_rows
-    elif model in ("ridge", "ard"):
-        l2r = float(algorithm.get("alpha", 1.0))
+    l1, l2r = regularization_from_algorithm(
+        algorithm, geom.d2 * geom.l2 * n_copies
+    )
     cfg = SolveConfig(
         interpolation=interpolation,
         model=model,

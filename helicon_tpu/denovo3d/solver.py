@@ -46,6 +46,23 @@ from .projector import build_problem
 __all__ = ["SolveConfig", "lsq_reconstruct", "solve_candidate"]
 
 
+def regularization_from_algorithm(algorithm: dict, n_rows: int):
+    """(l1_reg, l2_reg) matching the sklearn objectives of the reference
+    solver zoo (solver:205-342): lasso/elasticnet scale alpha by the
+    equation count (sklearn divides the data term by n); ridge does not.
+    """
+    model = algorithm.get("model", "lsq")
+    l1 = l2 = 0.0
+    if model in ("lasso", "elasticnet"):
+        alpha = float(algorithm.get("alpha", 1e-4))
+        l1_ratio = 1.0 if model == "lasso" else float(algorithm.get("l1_ratio", 0.5))
+        l1 = alpha * l1_ratio * n_rows
+        l2 = alpha * (1.0 - l1_ratio) * n_rows
+    elif model in ("ridge", "ard"):
+        l2 = float(algorithm.get("alpha", 1.0))
+    return l1, l2
+
+
 class SolveConfig(NamedTuple):
     """Static solver configuration (hashable -> jit static arg)."""
 
@@ -392,17 +409,9 @@ def lsq_reconstruct(
     ]
 
     model = algorithm.get("model", "lsq")
-    l1 = l2_reg = 0.0
-    n2d = geom.d2 * geom.l2
-    if model in ("lasso", "elasticnet"):
-        alpha = float(algorithm.get("alpha", 1e-4))
-        l1_ratio = 1.0 if model == "lasso" else float(algorithm.get("l1_ratio", 0.5))
-        # sklearn objective: 1/(2n) ||r||^2 + a*l1 |x| + a(1-l1)/2 |x|^2
-        n_rows = n2d * max(1, int(cv.sum()))
-        l1 = alpha * l1_ratio * n_rows
-        l2_reg = alpha * (1.0 - l1_ratio) * n_rows
-    elif model in ("ridge", "ard"):
-        l2_reg = float(algorithm.get("alpha", 1.0))
+    l1, l2_reg = regularization_from_algorithm(
+        algorithm, geom.d2 * geom.l2 * max(1, int(cv.sum()))
+    )
 
     cfg = SolveConfig(
         interpolation=interpolation,
