@@ -249,7 +249,9 @@ def reconstruct_grid(
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     if batch_size is None:
-        batch_size = max(n_dev, min(n_cand, 8 * n_dev))
+        # large batches amortize dispatch + precompute (the TPU sweet
+        # spot measured ~128/chip); candidates are cheap to pad
+        batch_size = max(n_dev, min(n_cand, 128 * n_dev))
     batch_size = max(1, (batch_size // n_dev) * n_dev)
 
     def one(tw, ri, a, b, c, d, e, oh, ov, pi):
