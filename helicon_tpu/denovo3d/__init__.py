@@ -18,6 +18,7 @@ from .geometry import (  # noqa: F401
     derive_geometry,
     select_copies,
     select_pair_ops,
+    compute_sym_dedup_mask,
     select_pairs,
     sorted_hsym_csym_pairs,
 )

@@ -353,3 +353,75 @@ def back_project_2d_coords_to_3d_coords(
     Y2 = np.swapaxes(Y2, 0, 2)
     Z2 = np.swapaxes(Z2, 0, 2)
     return (X2, Y2, Z2), pixel_vals
+
+
+def compute_sym_dedup_mask(
+    geom: ReconstructionGeometry,
+    twist: float,
+    rise_pixel: float,
+    pairs_hc: np.ndarray,
+    pairs_valid: np.ndarray,
+):
+    """Per-voxel keep mask reproducing the reference's nn symmetry-row
+    dedup (solver:1164-1216): a voxel-pair constraint (i, j) is kept only
+    at its first occurrence across the Halton-ordered pair list; later
+    duplicates (including the mirrored (j, i)) are dropped.
+
+    Returns keep (n_pairs, l3, d3, d3) bool. Only meaningful for
+    interpolation="nn" (the reference's linear kernel does not dedup).
+    """
+    l3, d3 = geom.l3, geom.d3
+    mask = geom.cylindrical_mask()
+    nz_idx = np.zeros(mask.shape, np.int64) - 1
+    nz = np.nonzero(mask)
+    n_x = len(nz[0])
+    nz_idx[nz] = np.arange(n_x)
+    Z0 = nz[0].astype(np.float64) - l3 // 2
+    Y0 = nz[1].astype(np.float64) - d3 // 2
+    X0 = nz[2].astype(np.float64) - d3 // 2
+
+    def op_index(h, c):
+        th = np.deg2rad(twist * h + 360.0 * c / geom.csym)
+        cs, sn = np.cos(th), np.sin(th)
+        X = X0 * cs - Y0 * sn + d3 // 2
+        Y = X0 * sn + Y0 * cs + d3 // 2
+        Z = Z0 + h * rise_pixel + l3 // 2
+        zi = np.round(Z).astype(np.int64)
+        yi = np.round(Y).astype(np.int64)
+        xi = np.round(X).astype(np.int64)
+        inb = (
+            (zi >= 0) & (zi < l3) & (yi >= 0) & (yi < d3) & (xi >= 0) & (xi < d3)
+        )
+        idx = np.full(n_x, -1, np.int64)
+        ib = np.where(inb)[0]
+        cand = nz_idx[zi[ib], yi[ib], xi[ib]]
+        idx[ib] = cand  # -1 where outside the mask
+        return idx
+
+    n_pairs = len(pairs_hc)
+    cache = {}
+    i1 = np.full((n_pairs, n_x), -1, np.int64)
+    i2 = np.full((n_pairs, n_x), -1, np.int64)
+    for p in range(n_pairs):
+        if not pairs_valid[p]:
+            continue
+        key1 = (int(pairs_hc[p, 0]), int(pairs_hc[p, 1]))
+        key2 = (int(pairs_hc[p, 2]), int(pairs_hc[p, 3]))
+        for k in (key1, key2):
+            if k not in cache:
+                cache[k] = op_index(*k)
+        i1[p] = cache[key1]
+        i2[p] = cache[key2]
+    valid = (i1 >= 0) & (i2 >= 0)
+    pid = np.minimum(i1, i2) * n_x + np.maximum(i1, i2)
+    # first occurrence in (pair-major, voxel) order across the whole
+    # candidate: one global unique — which duplicate survives is
+    # irrelevant (the rows are identical constraints), only that exactly
+    # one does.
+    flat_pos = np.where(valid.reshape(-1))[0]
+    _, first = np.unique(pid.reshape(-1)[flat_pos], return_index=True)
+    keep_flat = np.zeros(n_pairs * n_x, bool)
+    keep_flat[flat_pos[first]] = True
+    keep = np.zeros((n_pairs, l3, d3, d3), bool)
+    keep[:, nz[0], nz[1], nz[2]] = keep_flat.reshape(n_pairs, n_x)
+    return keep

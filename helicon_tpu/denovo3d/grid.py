@@ -320,6 +320,23 @@ def reconstruct_grid(
     result.best_index = int(np.argmax(scores))
     if return_best_volume and n_cand:
         bi = result.best_index
+        # duplicate sym rows don't change the candidate RANKING (verified
+        # vs the reference: identical ordering), so the vmapped grid skips
+        # the dedup masks; the final volume re-solve applies them for
+        # exact reference-semantics output.
+        sym_keep = None
+        if cfg.interpolation == "nn":
+            from .geometry import compute_sym_dedup_mask
+
+            sym_keep = jnp.asarray(
+                compute_sym_dedup_mask(
+                    geom,
+                    float(twists[bi]),
+                    float(rise_pixels[bi]),
+                    phc[bi],
+                    pv[bi],
+                )
+            )
         out = solve_candidate(
             geom,
             cfg,
@@ -339,6 +356,7 @@ def reconstruct_grid(
                 if cfg.separable
                 else None
             ),
+            sym_keep=sym_keep,
         )
         result.best_volume = np.asarray(out["rec3d"])
     return result

@@ -208,12 +208,16 @@ def sym_operator(
     interpolation: str = "nn",
     mask_flat=None,
     cellok_flat=None,
+    sym_keep=None,
 ):
     """Symmetry-constraint operator S for one candidate.
 
     S(x_vol) -> residuals (n_pairs, l3, d3, d3): interp at g1.v minus
     interp at g2.v per voxel v, zeroed where either side leaves the mask,
-    where v is unmasked, or where the pair slot is padding.
+    where v is unmasked, or where the pair slot is padding. Optional
+    sym_keep (P, l3, d3, d3) bool additionally drops duplicate voxel-pair
+    constraints (geometry.compute_sym_dedup_mask, matching the
+    reference's nn pair_ids first-occurrence dedup).
     """
     d3, l3 = geom.d3, geom.l3
     csym = geom.csym
@@ -240,17 +244,23 @@ def sym_operator(
         Z = (Z0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
         return sample(xf, aux_flat, Z, Y, X, d3, l3)
 
+    _keep = (
+        jnp.ones((len(pairs_hc), l3, d3, d3), bool)
+        if sym_keep is None
+        else jnp.asarray(sym_keep, bool)
+    )
+
     def S(x_vol):
         xf = x_vol.reshape(-1)
 
         def one(carry, hp):
-            hc, pv = hp
+            hc, pv, kp = hp
             v1, ok1 = op_sample(xf, hc[0], hc[1])
             v2, ok2 = op_sample(xf, hc[2], hc[3])
-            valid = ok1 & ok2 & voxel_in_mask & pv
+            valid = ok1 & ok2 & voxel_in_mask & pv & kp
             return carry, (v1 - v2) * valid.astype(jnp.float32)
 
-        _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
+        _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid, _keep))
         return res  # (P, l3, d3, d3)
 
     return S
@@ -272,6 +282,7 @@ def build_problem(
     interpolation: str = "nn",
     mask=None,
     cellok=None,
+    sym_keep=None,
 ):
     """Assemble (P, PT, S, ST, b, row_valid, mask) for one candidate.
 
@@ -305,6 +316,7 @@ def build_problem(
         interpolation,
         mask_flat,
         cellok_flat,
+        sym_keep=sym_keep,
     )
     vol_shape = geom.volume_shape
     # P and S are linear in x, so their vjp at any point is the transpose.

@@ -115,6 +115,7 @@ def build_problem_separable(
     cellok=None,
     compute_dtype=None,
     pair_ops=None,
+    sym_keep=None,
 ):
     """Assemble (P, PT, S, ST, b, row_valid, mask) — MXU formulation.
 
@@ -123,6 +124,10 @@ def build_problem_separable(
     from geometry.select_pair_ops — S then samples each distinct symmetry
     op once per matvec and combines pairs by indexing (the 10-ish pairs
     typically share ~5 ops, halving the sym-term gathers).
+    sym_keep: optional (P, l3, d3, d3) bool from
+    geometry.compute_sym_dedup_mask — drops duplicate voxel-pair
+    constraints to match the reference's nn sym-row dedup
+    (solver_linear_regression: pair_ids first-occurrence set).
     """
     d2, l2, d3, l3 = geom.d2, geom.l2, geom.d3, geom.l3
     s = geom.scale2d_to_3d
@@ -360,21 +365,29 @@ def build_problem_separable(
                 & (mask_f > 0.5)[None]
                 & pairs_valid[:, None, None, None]
             )
+            if sym_keep is not None:
+                ok = ok & sym_keep
             return (v1 - v2) * ok.astype(jnp.float32)
 
     else:
+
+        _keep = (
+            jnp.ones((len(pairs_hc),) + geom.volume_shape, bool)
+            if sym_keep is None
+            else jnp.asarray(sym_keep, bool)
+        )
 
         def S(x_vol):
             xf = x_vol.reshape(-1)
 
             def one(carry, hp):
-                hc, pv = hp
+                hc, pv, kp = hp
                 v1, ok1 = _op_sample(xf, hc[0], hc[1])
                 v2, ok2 = _op_sample(xf, hc[2], hc[3])
-                valid = ok1 & ok2 & (mask_f > 0.5) & pv
+                valid = ok1 & ok2 & (mask_f > 0.5) & pv & kp
                 return carry, (v1 - v2) * valid.astype(jnp.float32)
 
-            _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid))
+            _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid, _keep))
             return res  # (n_pairs, l3, d3, d3)
 
     vol_shape = geom.volume_shape

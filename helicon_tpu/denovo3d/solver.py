@@ -232,12 +232,16 @@ def _solve_candidate_impl(
     dy_pixel=0.0,
     key=None,
     pair_ops=None,
+    sym_keep=None,
 ):
     """Jitted single-candidate reconstruction. vmap over the array args
     (twist/rise/copies/pairs[/tilt/psi/dy]) for a candidate grid.
 
     pair_ops: optional (ops_hc, ops_valid, pair_idx) op-table from
     geometry.select_pair_ops (separable path only).
+    sym_keep: optional (P, l3, d3, d3) bool dedup mask
+    (geometry.compute_sym_dedup_mask) dropping duplicate voxel-pair
+    constraints, matching the reference's nn sym-row dedup.
     Returns dict(rec3d, rec3d_half1, rec3d_half2, score, scores).
     """
     mask = geom.cylindrical_mask()  # numpy at trace time -> jit constant
@@ -265,6 +269,7 @@ def _solve_candidate_impl(
             cellok,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             pair_ops=pair_ops,
+            sym_keep=sym_keep,
         )
     else:
         ops = build_problem(
@@ -283,6 +288,7 @@ def _solve_candidate_impl(
             cfg.interpolation,
             mask,
             cellok,
+            sym_keep=sym_keep,
         )
     mask_f = jnp.asarray(mask, jnp.float32)
     rowv = ops["row_valid"].astype(jnp.float32)
@@ -449,6 +455,18 @@ def lsq_reconstruct(
         # the separable fast path is only valid at tilt = psi = 0
         cfg = cfg._replace(separable=(tilt == 0 and psi == 0))
 
+    # reference's nn sym kernel dedups duplicate voxel-pair rows
+    # (pair_ids first-occurrence); reproduce via a host-built keep mask
+    sym_keep = None
+    if interpolation == "nn":
+        from .geometry import compute_sym_dedup_mask
+
+        sym_keep = jnp.asarray(
+            compute_sym_dedup_mask(
+                geom, float(twist_degree), float(rise_pixel), phc, pv
+            )
+        )
+
     out = solve_candidate(
         geom,
         cfg,
@@ -468,6 +486,7 @@ def lsq_reconstruct(
             if cfg.separable
             else None
         ),
+        sym_keep=sym_keep,
     )
     rec3d = np.asarray(out["rec3d"])
     score = float(out["score"])

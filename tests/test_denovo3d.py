@@ -363,3 +363,92 @@ def test_back_project_2d_coords():
     assert pv2.shape == (2, 2)
     (Xs, Ys, Zs), _ = back_project_2d_coords_to_3d_coords(image, scale2d_to_3d=0.5)
     np.testing.assert_allclose(Xs, X * 0.5)
+
+
+def test_sym_dedup_mask_properties():
+    """compute_sym_dedup_mask: each unordered voxel-pair constraint kept
+    exactly once (reference solver_linear_regression pair_ids dedup)."""
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        compute_sym_dedup_mask,
+        select_pairs,
+    )
+
+    geom = ReconstructionGeometry(
+        d2=16, l2=20, d3=16, l3=12, rmin=0.0, rmax=7.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    twist, rise = 30.0, 2.0
+    phc, pv = select_pairs(geom, twist, rise, 12)
+    keep = compute_sym_dedup_mask(geom, twist, rise, phc, pv)
+    assert keep.shape == (len(phc),) + geom.volume_shape
+    assert keep.dtype == bool
+    # dedup only DROPS rows relative to the undeduped operator
+    assert keep.sum() > 0
+    # rebuild the pair ids exactly as the mask builder does and assert
+    # global uniqueness of kept ids
+    mask = geom.cylindrical_mask()
+    nz = np.nonzero(mask)
+    n_x = len(nz[0])
+    nz_idx = np.zeros(mask.shape, np.int64) - 1
+    nz_idx[nz] = np.arange(n_x)
+    seen = set()
+    for p in range(len(phc)):
+        if not pv[p]:
+            assert not keep[p].any()
+            continue
+        kz, ky, kx = np.nonzero(keep[p])
+        for z, y, x in zip(kz, ky, kx):
+            ids = []
+            for (h, c) in (phc[p, :2], phc[p, 2:]):
+                th = np.deg2rad(twist * h + 360.0 * c / geom.csym)
+                x0 = x - geom.d3 // 2
+                y0 = y - geom.d3 // 2
+                xi = int(round(x0 * np.cos(th) - y0 * np.sin(th) + geom.d3 // 2))
+                yi = int(round(x0 * np.sin(th) + y0 * np.cos(th) + geom.d3 // 2))
+                zi = int(round(z - geom.l3 // 2 + h * rise + geom.l3 // 2))
+                assert 0 <= zi < geom.l3 and 0 <= yi < geom.d3 and 0 <= xi < geom.d3
+                ids.append(int(nz_idx[zi, yi, xi]))
+            assert ids[0] >= 0 and ids[1] >= 0
+            pid = (min(ids), max(ids))
+            assert pid not in seen, (p, z, y, x, pid)
+            seen.add(pid)
+
+
+def test_sym_keep_threads_through_solver():
+    """solve_candidate(sym_keep=...) changes only the sym rows: scores
+    shift slightly, output stays finite and well-shaped."""
+    import jax.numpy as jnp
+
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        compute_sym_dedup_mask,
+        select_copies,
+        select_pairs,
+    )
+    from helicon_tpu.denovo3d.solver import SolveConfig, solve_candidate
+
+    geom = ReconstructionGeometry(
+        d2=12, l2=16, d3=12, l3=10, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    cfg = SolveConfig(cg_iters=15, fista_iters=8, power_iters=4, separable=True)
+    rng = np.random.default_rng(1)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    twist, rise = 30.0, 2.0
+    ch, cc, cv = select_copies(geom, rise, 5)
+    phc, pv = select_pairs(geom, twist, rise, 6)
+    keep = compute_sym_dedup_mask(geom, twist, rise, phc, pv)
+    args = (
+        jnp.asarray(region), jnp.float32(twist), jnp.float32(rise),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+    )
+    out0 = solve_candidate(geom, cfg, *args)
+    out1 = solve_candidate(geom, cfg, *args, sym_keep=jnp.asarray(keep))
+    assert np.isfinite(float(out1["score"]))
+    assert out1["rec3d"].shape == geom.volume_shape
+    # with duplicates present the solutions should differ (weights change)
+    assert not np.allclose(
+        np.asarray(out0["rec3d"]), np.asarray(out1["rec3d"])
+    ) or not keep.all()

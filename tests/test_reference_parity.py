@@ -1,0 +1,146 @@
+"""Direct numerical parity against the ACTUAL reference solver.
+
+Imports the reference package from /root/reference/src (read-only) with
+its unavailable heavy deps stubbed out (numba.jit -> identity, etc. — the
+reference's pure-Python kernel semantics are unchanged), runs its real
+``lsq_reconstruct`` (webApps/denovo3D/solver_linear_regression.py:31) and
+ours on identical inputs, and asserts:
+
+- scores agree within 5e-3 at default iteration counts (the residual gap
+  is CG/FISTA-vs-LSMR convergence detail; with the nn sym-row dedup mask
+  the measured diffs are 3.5e-4 .. 3.7e-3), and
+- the candidate ORDERING over a small (twist, rise) set is identical —
+  the property the grid search actually depends on.
+
+Skipped when /root/reference is not present.
+"""
+
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_solver():
+    sys.path.insert(0, REF)
+    for name in [
+        "mrcfile",
+        "starfile",
+        "numba",
+        "finufft",
+        "quaternionic",
+        "xmltodict",
+        "shiny",
+        "tqdm",
+        "numba.core",
+        "numba.core.errors",
+    ]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    nb = sys.modules["numba"]
+
+    def _jit(*a, **k):
+        def deco(f):
+            return f
+
+        return deco
+
+    if not hasattr(nb, "jit"):
+        nb.jit = _jit
+        nb.njit = _jit
+        nb.prange = range
+        nb.set_num_threads = lambda n: None
+    if not hasattr(sys.modules["numba.core.errors"], "NumbaPendingDeprecationWarning"):
+        sys.modules["numba.core.errors"].NumbaPendingDeprecationWarning = Warning
+    if not hasattr(sys.modules["tqdm"], "tqdm"):
+        sys.modules["tqdm"].tqdm = lambda x, **k: x
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        from helicon.webApps.denovo3D import solver_linear_regression as ref
+
+    return ref
+
+
+COMMON = dict(
+    scale2d_to_3d=1.0,
+    csym=1,
+    reconstruct_diameter_2d_pixel=20,
+    reconstruct_diameter_3d_pixel=20,
+    reconstruct_length_2d_pixel=32,
+    reconstruct_length_3d_pixel=12,
+    # large enough that both sides include ALL symmetry copies/pairs —
+    # removes equation-subset-selection differences from the comparison
+    sym_oversample=1000,
+    interpolation="nn",
+    fsc_test=0,
+    verbose=0,
+)
+
+
+@pytest.fixture(scope="module")
+def test_image():
+    import helicon_tpu as ht
+
+    imgs = ht.simulate_helical_projection(
+        n=1,
+        twist=30,
+        rise=6,
+        csym=1,
+        helical_diameter=40,
+        ball_radius=5,
+        polymer=0,
+        planarity=1,
+        ny=32,
+        nx=48,
+        apix=2,
+        rng=0,
+    )
+    return np.squeeze(np.asarray(imgs)).astype(np.float32)
+
+
+def test_scores_match_reference(ref_solver, test_image):
+    from helicon_tpu.denovo3d.solver import lsq_reconstruct as mine
+
+    candidates = [(30.0, 3.0), (29.0, 3.0), (30.0, 2.6), (25.0, 3.4)]
+    s_ref, s_mine = [], []
+    for tw, ri in candidates:
+        _, sr = ref_solver.lsq_reconstruct(
+            projection_image=test_image, twist_degree=tw, rise_pixel=ri, **COMMON
+        )
+        _, sm = mine(
+            projection_image=test_image, twist_degree=tw, rise_pixel=ri, **COMMON
+        )
+        s_ref.append(sr)
+        s_mine.append(sm)
+    s_ref = np.asarray(s_ref)
+    s_mine = np.asarray(s_mine)
+    # absolute agreement (measured diffs 3.5e-4 .. 3.7e-3)
+    np.testing.assert_allclose(s_mine, s_ref, atol=5e-3)
+    # and — the property the grid search depends on — identical ordering
+    assert list(np.argsort(s_mine)) == list(np.argsort(s_ref))
+
+
+def test_volume_correlates_with_reference(ref_solver, test_image):
+    from helicon_tpu.denovo3d.solver import lsq_reconstruct as mine
+
+    (v_ref, _, _), _ = ref_solver.lsq_reconstruct(
+        projection_image=test_image, twist_degree=30.0, rise_pixel=3.0, **COMMON
+    )
+    (v_mine, _, _), _ = mine(
+        projection_image=test_image, twist_degree=30.0, rise_pixel=3.0, **COMMON
+    )
+    a = np.asarray(v_ref, np.float64).ravel()
+    b = np.asarray(v_mine, np.float64).ravel()
+    cc = np.dot(a - a.mean(), b - b.mean()) / (
+        np.linalg.norm(a - a.mean()) * np.linalg.norm(b - b.mean()) + 1e-30
+    )
+    assert cc > 0.95, cc
