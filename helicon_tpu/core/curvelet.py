@@ -127,6 +127,19 @@ def _mad_sigma(x):
     return jnp.median(jnp.abs(x - med)) * 1.4826
 
 
+def _elbow_threshold(mags):
+    """Auto threshold at the elbow of the sorted-magnitude curve
+    (reference curvelet.py:99-200: sigma=0 -> find_elbow_point on the
+    sorted coefficient magnitudes)."""
+    v = jnp.sort(mags.reshape(-1))
+    n = v.shape[0]
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.maximum(1, n - 1)
+    # distance of each point of the normalized curve from the chord
+    vn = (v - v[0]) / jnp.maximum(v[-1] - v[0], 1e-12)
+    d = vn - t
+    return v[jnp.argmax(jnp.abs(d))]
+
+
 def denoise_curvelet_2d(
     image,
     transform: str = "udct",
@@ -138,15 +151,33 @@ def denoise_curvelet_2d(
 
     transform: "udct" (plain) or "mct" (monogenic: the modulus of the
     Riesz triple is thresholded; phase preserved).
+    threshold_sigma <= 0 selects the threshold automatically at the
+    elbow of the sorted coefficient magnitudes (reference sigma=0 mode).
     """
     img = jnp.asarray(image, jnp.float32)
     if transform == "mct":
+        # monogenic thresholding (curvelet.py:789-1006 analog): the keep
+        # decision uses the modulus of the Riesz triple per band — edges
+        # whose energy lives in the odd (Riesz) components survive even
+        # when the even component alone is sub-threshold.
         rx, ry = riesz_transform_2d(img)
-        parts = [img, rx, ry]
-        den = [
-            _threshold_bands(p, threshold_sigma, n_scales, n_angles) for p in parts
-        ]
-        return den[0]
+        c0 = curvelet_transform_2d(img, n_scales, n_angles)
+        cx = curvelet_transform_2d(rx, n_scales, n_angles)
+        cy = curvelet_transform_2d(ry, n_scales, n_angles)
+        mono = jnp.sqrt(jnp.abs(c0) ** 2 + jnp.abs(cx) ** 2 + jnp.abs(cy) ** 2)
+        sigma = _mad_sigma(jnp.real(c0[-1]))
+        _, meta = _windows_2d(img.shape[0], img.shape[1], n_scales, n_angles)
+        kept = []
+        for k, (scale, _) in enumerate(meta):
+            if scale == -1:
+                kept.append(c0[k])
+                continue
+            if threshold_sigma <= 0:
+                thr = _elbow_threshold(mono[k])
+            else:
+                thr = threshold_sigma * sigma
+            kept.append(jnp.where(mono[k] >= thr, c0[k], 0.0))
+        return curvelet_inverse_2d(jnp.stack(kept), n_scales, n_angles)
     return _threshold_bands(img, threshold_sigma, n_scales, n_angles)
 
 
@@ -161,7 +192,10 @@ def _threshold_bands(img, threshold_sigma, n_scales, n_angles):
         if scale == -1:  # never threshold the lowpass
             kept.append(coeffs[k])
             continue
-        thr = threshold_sigma * sigma
+        if threshold_sigma <= 0:
+            thr = _elbow_threshold(mags[k])
+        else:
+            thr = threshold_sigma * sigma
         kept.append(jnp.where(mags[k] >= thr, coeffs[k], 0.0))
     return curvelet_inverse_2d(jnp.stack(kept), n_scales, n_angles)
 
@@ -212,7 +246,10 @@ def denoise_curvelet_3d(
     sigma = _mad_sigma(jnp.real(coeffs[-1]))
     kept = [coeffs[0]]
     for k in range(1, coeffs.shape[0]):
-        thr = threshold_sigma * sigma
+        if threshold_sigma <= 0:
+            thr = _elbow_threshold(jnp.abs(coeffs[k]))
+        else:
+            thr = threshold_sigma * sigma
         kept.append(jnp.where(jnp.abs(coeffs[k]) >= thr, coeffs[k], 0.0))
     Fk = hfft.fftn(jnp.stack(kept), axes=(-3, -2, -1))
     return jnp.real(hfft.ifftn(jnp.sum(Fk * U, axis=0), axes=(-3, -2, -1)))
@@ -236,10 +273,17 @@ def denoise_curvelet_2d_tiled(
     step = tile_size - overlap
     out = np.zeros_like(img)
     wsum = np.zeros_like(img)
-    taper1d = np.ones(tile_size)
     ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
-    taper1d[:overlap] = ramp
-    taper1d[-overlap:] = ramp[::-1]
+
+    def _taper(n, at_lo_edge, at_hi_edge):
+        # no taper on the image boundary (no neighbor covers it there)
+        t = np.ones(n)
+        if not at_lo_edge:
+            t[:overlap] = ramp[:n]
+        if not at_hi_edge:
+            t[-overlap:] = ramp[::-1][-n:]
+        return t
+
     for y0 in range(0, max(1, ny - overlap), step):
         for x0 in range(0, max(1, nx - overlap), step):
             y1 = min(y0 + tile_size, ny)
@@ -249,7 +293,10 @@ def denoise_curvelet_2d_tiled(
             den = np.asarray(
                 denoise_curvelet_2d(tile, threshold_sigma=threshold_sigma, **kwargs)
             )
-            ty = taper1d[: y1 - y0a, None] * taper1d[None, : x1 - x0a]
+            ty = (
+                _taper(y1 - y0a, y0a == 0, y1 == ny)[:, None]
+                * _taper(x1 - x0a, x0a == 0, x1 == nx)[None, :]
+            )
             out[y0a:y1, x0a:x1] += den * ty
             wsum[y0a:y1, x0a:x1] += ty
     return out / np.maximum(wsum, 1e-8)
@@ -326,17 +373,19 @@ def curvelet_denoise_3d_udct_tiled(
     step = tile_size - overlap
     out = np.zeros_like(vol)
     wsum = np.zeros(nz, np.float32)
-    taper = np.ones(tile_size, np.float32)
     ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
-    taper[:overlap] = ramp
-    taper[-overlap:] = ramp[::-1]
     for z0 in range(0, max(1, nz - overlap), step):
         z1 = min(z0 + tile_size, nz)
         z0a = max(0, z1 - tile_size)
         den = np.asarray(
             denoise_curvelet_3d(vol[z0a:z1], threshold_sigma=threshold_sigma)
         )
-        t = taper[: z1 - z0a]
+        n = z1 - z0a
+        t = np.ones(n, np.float32)
+        if z0a > 0:  # taper only where a neighboring chunk overlaps
+            t[:overlap] = ramp[:n]
+        if z1 < nz:
+            t[-overlap:] = ramp[::-1][-n:]
         out[z0a:z1] += den * t[:, None, None]
         wsum[z0a:z1] += t
     return out / np.maximum(wsum, 1e-8)[:, None, None]

@@ -159,8 +159,10 @@ def has_streamlit() -> bool:
 
 
 def has_curvelet_fdct() -> bool:
-    """The TPU build ships its own JAX UDCT; external FDCT is never required."""
-    return False
+    """True: the fdct entry points are served by the native JAX transform
+    (curvelet_denoise_fdct aliases the tight-frame UDCT path), so the
+    capability the flag gates is always present."""
+    return True
 
 
 def has_curvelet_udct() -> bool:
