@@ -24,3 +24,10 @@ from .orient import (  # noqa: F401
     symmetrize_transform_map,
     tilt_psi_dy_str,
 )
+from .indexing import (  # noqa: F401
+    LayerLine,
+    bessel_first_peak_x,
+    detect_layer_lines,
+    estimate_bessel_order,
+    estimate_helical_parameters,
+)
