@@ -122,7 +122,7 @@ def main():
         reconstruct_length_rise=3.0,
         cg_iters=int(os.environ.get("HELICON_BENCH_CG", 30)),
         fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 12)),
-        compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "float32"),
+        compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "bfloat16"),
         batch_size=batch,
         return_best_volume=False,
     )
