@@ -21,6 +21,10 @@ import numpy as np
 
 from . import fft as hfft
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 __all__ = [
     "calc_fsc",
     "calc_fsc_from_fft",
@@ -598,11 +602,14 @@ def reset_inter_segment_distance(
             ) * apix_micrograph
         chunks.append(chunk)
 
+    # pandas 3 propagates attrs through concat and compares them with
+    # `==`, which raises on DataFrame-valued attrs (the optics table);
+    # strip before concat and restore after.
+    attrs = dict(data.attrs)
+    for c in chunks:
+        c.attrs = {}
     out = pd.concat(chunks).drop(columns=["risd_filename", "risd_pid"])
-    try:
-        out.attrs = data.attrs
-    except Exception:
-        pass
+    out.attrs.update(attrs)
     return out
 
 
@@ -619,15 +626,34 @@ def estimate_helicalTube_length(data, inter_segment_distance=-1, verbose: int = 
     data["ehl_filename"] = parts.iloc[:, 1]
     filename = "rlnMicrographName" if "rlnMicrographName" in data else "ehl_filename"
 
-    if inter_segment_distance <= 0:
+    if inter_segment_distance is not None and inter_segment_distance <= 0:
         inter_segment_distance = estimate_inter_segment_distance(data)[0]
+    # (the reference crashes here when the distance is inestimable —
+    # rlnHelicalTrackLengthAngst absent, reference analysis.py:1116-1130;
+    # fall back to the coordinate path length instead)
+    apix = None
+    if inter_segment_distance is None:
+        from ..io.metadata import getPixelSize
+
+        apix = getPixelSize(data)
+        if apix is None:
+            logger.warning(
+                "no rlnHelicalTrackLengthAngst and no pixel size: "
+                "rlnHelicalTubeLength will be in PIXELS, not Angstrom"
+            )
+            apix = 1.0
 
     for _, particles in data.groupby([filename, "rlnHelicalTubeID"], sort=False):
         if "rlnHelicalTrackLengthAngst" in particles:
             length = round(particles["rlnHelicalTrackLengthAngst"].max(), 1)
-        else:
+        elif inter_segment_distance is not None:
             pids = particles["ehl_pid"].astype(int).values
             length = round((pids.max() - pids.min() + 1) * inter_segment_distance, 1)
+        else:
+            srt = particles.sort_values("ehl_pid")
+            dx = np.diff(srt["rlnCoordinateX"].astype(float).values)
+            dy = np.diff(srt["rlnCoordinateY"].astype(float).values)
+            length = round(float(np.hypot(dx, dy).sum()) * apix, 1)
         data.loc[particles.index, "rlnHelicalTubeLength"] = length
 
     return data.drop(columns=["ehl_filename", "ehl_pid"])

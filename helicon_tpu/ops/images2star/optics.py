@@ -283,13 +283,13 @@ def _h_setCTF(data, args, index_d, param):
     from ...io.metadata import eman_astigmatism_to_relion
 
     if param:
-        for col, v in dict(
-            rlnVoltage=0, rlnSphericalAberration=0, rlnAmplitudeContrast=0,
-            rlnMagnification=0, rlnDefocusU=0, rlnDefocusV=0, rlnDefocusAngle=0,
-        ).items():
-            data[col] = v
+        for col in (
+            "rlnVoltage", "rlnSphericalAberration", "rlnAmplitudeContrast",
+            "rlnMagnification", "rlnDefocusU", "rlnDefocusV", "rlnDefocusAngle",
+        ):
+            data[col] = 0.0  # float init: int columns reject float .loc writes
         if "rlnDetectorPixelSize" not in data:
-            data["rlnDetectorPixelSize"] = 5
+            data["rlnDetectorPixelSize"] = 5.0
         ctfparms = read_ctfparm_file(param)
         names = data["rlnImageName"].str.split("@", expand=True).iloc[:, -1]
         for name, particles in names.groupby(names, sort=False):

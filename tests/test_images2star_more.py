@@ -1,0 +1,405 @@
+"""Per-plugin images2star tests for the options not covered by
+tests/test_images2star.py — modeled on the reference's one-test-per-
+behavior suite (reference tests/test_images2star.py: optics-group
+assignment, CTF copy, file filters, path conversion, splitters).
+"""
+
+import argparse
+import collections
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from helicon_tpu.ops import images2star as plug
+from helicon_tpu.utils import HeliconError, HeliconExit
+
+
+def make_args(**kw):
+    ns = argparse.Namespace(
+        verbose=0, folder=[], ignoreBadParticlePath=0, ignoreBadMicrographPath=1,
+        output_starFile="out.star", subset=0, input_imageFiles=["in.star"],
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def dispatch(option, data, param, **kw):
+    index_d = collections.defaultdict(int)
+    return plug.dispatch(option, data, make_args(**kw), index_d, param)[0]
+
+
+def make_optics(n_groups=1):
+    return pd.DataFrame(
+        [
+            dict(
+                rlnOpticsGroup=i,
+                rlnOpticsGroupName=f"opticsGroup{i}",
+                rlnVoltage=300.0,
+                rlnSphericalAberration=2.7,
+                rlnAmplitudeContrast=0.1,
+                rlnImagePixelSize=1.0,
+            )
+            for i in range(1, n_groups + 1)
+        ]
+    )
+
+
+def make_epu_df(micros, groups=1):
+    if isinstance(groups, int):
+        groups = [groups] * len(micros)
+    df = pd.DataFrame({"rlnMicrographName": micros, "rlnOpticsGroup": groups})
+    df.attrs["optics"] = make_optics(max(groups))
+    df.attrs["convention"] = "relion"
+    return df
+
+
+EPU_MICROS = [
+    "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff",
+    "FoilHole_28788144_Data_28764755_47_20240328_192117_fractions.tiff",
+]
+
+
+class TestOpticsGroupAssignment:
+    def test_beamshift_label_splits(self):
+        data = make_epu_df(EPU_MICROS, groups=1)
+        out = dispatch("assignOpticGroupByBeamShiftLabel", data, "EPU")
+        assert len(out["rlnOpticsGroup"].unique()) == 2
+        assert len(out.attrs["optics"]) == 2
+
+    def test_beamshift_label_same_shift_no_split(self):
+        micros = ["250123_SF0431_01129_1-7.eer", "250123_SF0431_01130_1-7.eer"]
+        data = make_epu_df(micros, groups=1)
+        out = dispatch(
+            "assignOpticGroupByBeamShiftLabel", data, "serialEM_embl_heidelberg"
+        )
+        assert len(out["rlnOpticsGroup"].unique()) == 1
+
+    def test_beamshift_label_preserves_existing_groups(self):
+        micros = [
+            "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff",
+            "FoilHole_28788144_Data_28764755_47_20240328_192117_fractions.tiff",
+            "FoilHole_28788144_Data_28764755_48_20240328_192118_fractions.tiff",
+            "FoilHole_28788144_Data_28764755_49_20240328_192119_fractions.tiff",
+        ]
+        data = make_epu_df(micros, groups=[1, 1, 2, 2])
+        out = dispatch("assignOpticGroupByBeamShiftLabel", data, "EPU")
+        # (group, beamshift) combinations -> 4 distinct groups
+        assert len(out["rlnOpticsGroup"].unique()) == 4
+        assert len(out.attrs["optics"]) == 4
+        for gid in out["rlnOpticsGroup"].unique():
+            assert (
+                f"opticsGroup{gid}"
+                in out.attrs["optics"]["rlnOpticsGroupName"].values
+            )
+
+    def test_beamshift_label_no_is_identity(self):
+        data = make_epu_df(EPU_MICROS, groups=1)
+        out = dispatch("assignOpticGroupByBeamShiftLabel", data, "no")
+        assert len(out["rlnOpticsGroup"].unique()) == 1
+
+    def test_per_micrograph(self):
+        data = make_epu_df(EPU_MICROS + EPU_MICROS, groups=1)
+        out = dispatch("assignOpticGroupPerMicrograph", data, 1)
+        assert len(out["rlnOpticsGroup"].unique()) == 2
+        assert len(out.attrs["optics"]) == 2
+
+    def test_by_time_groups(self):
+        micros = [
+            f"FoilHole_28788144_Data_28764755_{46 + i}_20240328_19{21 + i:02d}16_fractions.tiff"
+            for i in range(4)
+        ]
+        data = make_epu_df(micros, groups=1)
+        out = dispatch("assignOpticGroupByTime", data, 2)
+        assert len(out["rlnOpticsGroup"].unique()) == 2
+        assert "rlnMovieCollectionTime" in out
+
+    def test_reset_optic_group(self):
+        data = make_epu_df(EPU_MICROS, groups=[1, 2])
+        data.attrs["optics"] = make_optics(2)
+        out = dispatch("resetOpticGroup", data, 1)
+        assert (out["rlnOpticsGroup"] == 1).all()
+        assert len(out.attrs["optics"]) == 1
+
+    def test_reset_requires_optics(self):
+        data = pd.DataFrame(
+            {"rlnMicrographName": EPU_MICROS, "rlnOpticsGroup": [1, 1]}
+        )
+        with pytest.raises(HeliconError):
+            dispatch("resetOpticGroup", data, 1)
+
+    def test_apix_updates_optics(self):
+        data = make_epu_df(EPU_MICROS, groups=1)
+        out = dispatch("apix", data, 2.5)
+        from helicon_tpu.io.metadata import getPixelSize
+
+        assert getPixelSize(out) == pytest.approx(2.5)
+
+
+class TestCtf:
+    def test_set_beam_tilt_class(self, relion_df):
+        out = dispatch("setBeamTiltClass", relion_df.copy(), 1)
+        assert "rlnBeamTiltClass" in out
+        assert len(out["rlnBeamTiltClass"].unique()) == 2  # one per stack
+
+    def test_set_ctf_from_ctfparm(self, tmp_path, relion_df):
+        # EMAN1 ctfparm.txt: defocus dfdiff dfang bfactor ampcont ... voltage cs apix
+        lines = []
+        for stem in ["stack_mic1", "stack_mic2"]:
+            lines.append(f"{stem}\t2.0,0.2,30.0,100.0,10.0,0,0,300.0,2.7,1.06")
+        parm = tmp_path / "ctfparm.txt"
+        parm.write_text("\n".join(lines))
+        df = relion_df.copy()
+        df["rlnImageName"] = df["rlnImageName"].str.replace(
+            "stack_mic1.mrcs", "stack_mic1.mrcs", regex=False
+        )
+        out = dispatch("setCTF", df, str(parm))
+        assert out["rlnVoltage"].iloc[0] == pytest.approx(300.0)
+        assert out["rlnDefocusU"].iloc[0] == pytest.approx(2.0e4 + 0.1e4)
+        assert out["rlnDefocusV"].iloc[0] == pytest.approx(2.0e4 - 0.1e4)
+        assert out["rlnAmplitudeContrast"].iloc[0] == pytest.approx(0.1)
+
+    def test_copy_ctf_micrograph_means(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        ref = relion_df.copy()
+        ref["rlnDefocusU"] = 20000.0
+        ref["rlnDefocusV"] = 18000.0
+        ref["rlnDefocusAngle"] = 0.0
+        dataframe2star(ref, tmp_path / "ref.star")
+        out = dispatch("copyCtf", relion_df.copy(), str(tmp_path / "ref.star"))
+        assert out["rlnDefocusU"].iloc[0] == pytest.approx(20000.0, rel=1e-3)
+        assert out["rlnDefocusV"].iloc[0] == pytest.approx(18000.0, rel=1e-3)
+
+
+class TestCopyParm:
+    def test_copies_columns_by_image_name(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        ref = relion_df.copy()
+        ref["rlnClassNumber"] = 7
+        dataframe2star(ref, tmp_path / "ref.star")
+        out = dispatch(
+            "copyParm", relion_df.copy(), [str(tmp_path / "ref.star"), "rlnClassNumber"]
+        )
+        assert (out["rlnClassNumber"] == 7).all()
+
+    def test_errors_when_reference_smaller(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        dataframe2star(relion_df.head(3), tmp_path / "small.star")
+        with pytest.raises(HeliconError):
+            dispatch(
+                "copyParm", relion_df.copy(), [str(tmp_path / "small.star")]
+            )
+
+
+class TestFileFilters:
+    def _write_subset_star(self, tmp_path, relion_df, n):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        dataframe2star(relion_df.head(n), tmp_path / "subset.star")
+        return tmp_path / "subset.star"
+
+    def test_select_file(self, tmp_path, relion_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        sf = self._write_subset_star(tmp_path, relion_df, 5)
+        out = dispatch("selectFile", relion_df.copy(), str(sf))
+        assert len(out) == 5
+
+    def test_exclude_file(self, tmp_path, relion_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        sf = self._write_subset_star(tmp_path, relion_df, 5)
+        out = dispatch("excludeFile", relion_df.copy(), str(sf))
+        assert len(out) == len(relion_df) - 5
+
+    def test_select_file_missing_errors(self, relion_df):
+        with pytest.raises(HeliconError):
+            dispatch("selectFile", relion_df.copy(), "/nonexistent.star")
+
+    def test_select_common_helices(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        ref = relion_df[relion_df["rlnHelicalTubeID"] == 1]
+        dataframe2star(ref, tmp_path / "helices.star")
+        out = dispatch(
+            "selectCommonHelices", relion_df.copy(), str(tmp_path / "helices.star")
+        )
+        assert set(out["rlnHelicalTubeID"]) == {1}
+        assert len(out) == 8
+
+    def test_select_by_particle_location(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        ref = relion_df.head(4).copy()
+        dataframe2star(ref, tmp_path / "loc.star")
+        out = dispatch(
+            "selectByParticleLocation",
+            relion_df.copy(),
+            f"{tmp_path}/loc.star:maxDist=1",
+        )
+        assert len(out) == 4
+
+
+class TestSamplingAndSplitting:
+    def test_random_sample(self, relion_df):
+        out = dispatch("randomSample", relion_df.copy(), 6)
+        assert len(out) == 6
+
+    def test_random_sample_larger_than_data_is_identity(self, relion_df):
+        out = dispatch("randomSample", relion_df.copy(), 1000)
+        assert len(out) == len(relion_df)
+
+    def test_sets_with_subset(self, relion_df):
+        out = dispatch("sets", relion_df.copy(), 4, subset=1)
+        assert len(out) == len(relion_df) // 4
+        assert out.index[0] == 1
+
+    def test_min_duplicates(self, relion_df):
+        df = relion_df.copy()
+        # micrograph-level duplicate counting on rlnImageName -> every
+        # image unique; use a repeated-image frame
+        df2 = pd.concat([df, df.head(4)]).reset_index(drop=True)
+        out = dispatch("minDuplicates", df2, 2)
+        assert len(out) == 4  # the 4 duplicated images, deduped
+
+    def test_split_by_micrograph(self, tmp_path, relion_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(HeliconExit):
+            dispatch(
+                "splitByMicrograph", relion_df.copy(), 1,
+                output_starFile=str(tmp_path / "out.star"),
+            )
+        written = sorted(Path(".").glob("out.*.star"))
+        assert len(written) == 2
+
+
+class TestHelixMetadata:
+    def test_estimate_tube_length(self, relion_df):
+        out = dispatch("estimateHelicalTubeLength", relion_df.copy(), 1)
+        assert "rlnHelicalTubeLength" in out
+        assert np.allclose(out["rlnHelicalTubeLength"], 47.5 * 3)
+
+    def test_reset_inter_segment_distance(self, relion_df):
+        df = relion_df.copy()
+        optics = make_optics(1)
+        optics["rlnMicrographPixelSize"] = 1.0
+        df.attrs["optics"] = optics
+        out = dispatch("resetInterSegmentDistance", df, 95.0)
+        # doubling the spacing halves the per-tube segment count
+        sizes = out.groupby(["rlnMicrographName", "rlnHelicalTubeID"]).size()
+        assert (sizes <= 2).all()
+
+    def test_reset_requires_pixel_size(self, relion_df):
+        df = relion_df.copy()
+        df.attrs["optics"] = make_optics(1)
+        with pytest.raises(HeliconError):
+            dispatch("resetInterSegmentDistance", df, 95.0)
+
+    def test_recover_full_filaments(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        dataframe2star(relion_df, tmp_path / "full.star")
+        # fragmented selection: only 3 of 4 segments of mic1 tube1, and
+        # 1 of 4 segments of mic1 tube2
+        frag = pd.concat(
+            [relion_df.iloc[0:3], relion_df.iloc[4:5]]
+        ).reset_index(drop=True)
+        frag.attrs["convention"] = "relion"
+        out = dispatch(
+            "recoverFullFilaments", frag,
+            f"fullStarFile={tmp_path}/full.star:minFraction=0.5",
+        )
+        # tube1 (3/4 >= 0.5) fully recovered; tube2 (1/4 < 0.5) dropped
+        assert len(out) == 4
+        assert set(out["rlnHelicalTubeID"]) == {1}
+
+
+class TestPathAndTime:
+    def test_path_abs(self, tmp_path, relion_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        # conversion keeps the original form for unresolvable paths, so
+        # the files must exist
+        (tmp_path / "mic1.mrc").write_bytes(b"x")
+        (tmp_path / "mic2.mrc").write_bytes(b"x")
+        (tmp_path / "stack_mic1.mrcs").write_bytes(b"x")
+        (tmp_path / "stack_mic2.mrcs").write_bytes(b"x")
+        out = dispatch(
+            "path", relion_df.copy(), "abs",
+            output_starFile=str(tmp_path / "out.star"),
+        )
+        assert out["rlnMicrographName"].str.startswith("/").all()
+
+    def test_path_current_is_identity(self, relion_df):
+        out = dispatch("path", relion_df.copy(), "current")
+        assert (out["rlnMicrographName"] == relion_df["rlnMicrographName"]).all()
+
+    def test_show_time_adds_column(self, tmp_path, relion_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "mic1.mrc").write_bytes(b"x")
+        (tmp_path / "mic2.mrc").write_bytes(b"x")
+        out = dispatch("showTime", relion_df.copy(), "rlnMicrographName")
+        assert "rlnMicrographNameCreateTime" in out
+        assert np.isfinite(out["rlnMicrographNameCreateTime"]).all()
+
+
+class TestStacks:
+    def test_min_stack(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.mrc import get_image_number, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        stack = np.random.default_rng(0).random((16, 8, 8)).astype(np.float32)
+        write_mrc(tmp_path / "stack.mrcs", stack, apix=1.0)
+        df = relion_df.head(4).copy()
+        df["rlnImageName"] = [
+            f"{i + 1:06d}@{tmp_path / 'stack.mrcs'}" for i in range(4)
+        ]
+        out = dispatch(
+            "minStack", df, 1, output_starFile=str(tmp_path / "sub.star")
+        )
+        new_stack = tmp_path / "sub" / "stack.mrcs"
+        assert new_stack.exists()
+        assert get_image_number(new_stack) == 4
+        assert out["rlnImageName"].str.endswith(str(new_stack)).all()
+
+    def test_replace_image_name(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.mrc import write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        stack = np.zeros((len(relion_df), 8, 8), np.float32)
+        write_mrc(tmp_path / "new.mrcs", stack, apix=1.0)
+        out = dispatch("replaceImageName", relion_df.copy(), str(tmp_path / "new.mrcs"))
+        assert out["rlnImageName"].str.endswith("new.mrcs").all()
+        assert out["rlnImageName"].iloc[0].startswith("000001@")
+
+    def test_replace_image_name_count_mismatch(self, tmp_path, relion_df):
+        from helicon_tpu.io.mrc import write_mrc
+
+        write_mrc(tmp_path / "short.mrcs", np.zeros((2, 8, 8), np.float32), apix=1.0)
+        with pytest.raises(HeliconError):
+            dispatch(
+                "replaceImageName", relion_df.copy(), str(tmp_path / "short.mrcs")
+            )
+
+
+class TestMisc:
+    def test_norm_euler_dist(self, relion_df):
+        df = relion_df.copy()
+        df["rlnAngleRot"] = [0.0] * 12 + [90.0] * 4
+        df["rlnAngleTilt"] = 90.0
+        out = dispatch("normEulerDist", df, [10.0, 4])
+        counts = out.groupby("rlnAngleRot").size()
+        assert (counts <= 4).all()
+        assert len(out) == 8
+
+    def test_process_vestigial_errors(self, relion_df):
+        with pytest.raises(HeliconError):
+            dispatch("process", relion_df.copy(), ["anything"])
