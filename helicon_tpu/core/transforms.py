@@ -508,19 +508,36 @@ def fft_rescale(data, apix: float = 1.0, cutoff_res=None, output_size=None):
     fftfreq layout; ``ifftn`` would recover the (rescaled) image.
     """
     data = jnp.asarray(data)
+
+    def _center_phase(out_sizes, zooms, in_sizes):
+        # The reference's finufft type-2 treats the data origin at the
+        # ARRAY CENTER (indices -n/2 .. n/2-1); the czt here is
+        # corner-origin. exp(2*pi*i*f*(n_in/2)) per axis re-centers so
+        # the zoom acts about the image center and, combined with the
+        # (-1)^(sum of output indices) phase, ifftn recovers the image
+        # at its original position (reference transforms.py:702-743).
+        ph = None
+        for om, zoom, n_in in zip(out_sizes, zooms, in_sizes):
+            f = np.fft.fftfreq(om) * zoom
+            p = np.exp(2j * np.pi * f * (n_in / 2.0))
+            ph = p if ph is None else np.multiply.outer(ph, p)
+        return jnp.asarray(ph.astype(np.complex64))
+
     if data.ndim == 2:
         cy, cx = cutoff_res if cutoff_res else (2 * apix, 2 * apix)
         ony, onx = output_size if output_size else data.shape
-        fft = zoom_fft_2d(data, (ony, onx), (2 * apix / cy, 2 * apix / cx))
+        zooms = (2 * apix / cy, 2 * apix / cx)
+        fft = zoom_fft_2d(data, (ony, onx), zooms)
+        fft = fft * _center_phase((ony, onx), zooms, data.shape)
         iy = np.indices((ony, onx)).sum(axis=0) % 2
         phase = jnp.asarray(np.where(iy, -1.0, 1.0), jnp.float32)
         return fft * phase
     if data.ndim == 3:
         cz, cy, cx = cutoff_res if cutoff_res else (2 * apix,) * 3
         onz, ony, onx = output_size if output_size else data.shape
-        fft = zoom_fft_3d(
-            data, (onz, ony, onx), (2 * apix / cz, 2 * apix / cy, 2 * apix / cx)
-        )
+        zooms = (2 * apix / cz, 2 * apix / cy, 2 * apix / cx)
+        fft = zoom_fft_3d(data, (onz, ony, onx), zooms)
+        fft = fft * _center_phase((onz, ony, onx), zooms, data.shape)
         idx = np.indices((onz, ony, onx)).sum(axis=0) % 2
         phase = jnp.asarray(np.where(idx, -1.0, 1.0), jnp.float32)
         return fft * phase

@@ -164,3 +164,198 @@ def test_extract_particles(tmp_path, cs_df, monkeypatch):
     assert apix == pytest.approx(2.0)
     # normalized output
     assert abs(float(stack[0].mean())) < 1e-4
+
+
+# ------------------------------------------------------- proc3d, extended
+# (reference tests/test_proc3d.py: flip axes, clip invariants, resample
+# identity, z_moving_average validation, helical_sym validation)
+
+
+def test_proc3d_flip_hand_all_axes(vol):
+    data, *_ = p3_dispatch("flip_hand", vol, "y")
+    np.testing.assert_allclose(np.asarray(data), vol[:, ::-1, :])
+    data, *_ = p3_dispatch("flip_hand", vol, "z")
+    np.testing.assert_allclose(np.asarray(data), vol[::-1])
+
+
+def test_proc3d_flip_hand_invalid_axis(vol):
+    from helicon_tpu.utils import HeliconError
+
+    with pytest.raises(HeliconError):
+        p3_dispatch("flip_hand", vol, "w")
+
+
+def test_proc3d_clip_centered_preserves_content(vol):
+    data, *_ = p3_dispatch("clip", vol, "new_nx=8:new_ny=8:new_nz=8")
+    np.testing.assert_allclose(
+        np.asarray(data), vol[4:12, 2:10, 2:10], rtol=1e-6
+    )
+
+
+def test_proc3d_clip_full_size_identity(vol):
+    data, *_ = p3_dispatch("clip", vol, "new_nx=12:new_ny=12:new_nz=16")
+    np.testing.assert_allclose(np.asarray(data), vol)
+
+
+def test_proc3d_clip_pad_grows(vol):
+    data, *_ = p3_dispatch("clip", vol, "new_nx=16:new_ny=16:new_nz=20")
+    assert data.shape == (20, 16, 16)
+    np.testing.assert_allclose(np.asarray(data)[2:18, 2:14, 2:14], vol)
+
+
+def test_proc3d_fft_resample_identity(vol):
+    data, apix, *_ = p3_dispatch(
+        "fft_resample", vol, "new_nx=12:new_ny=12:new_nz=16"
+    )
+    np.testing.assert_allclose(np.asarray(data), vol, atol=1e-4)
+    assert apix == pytest.approx(2.0)
+
+
+def test_proc3d_fft_resample_upsample(vol):
+    data, apix, *_ = p3_dispatch(
+        "fft_resample", vol, "new_nx=24:new_ny=24:new_nz=32"
+    )
+    assert data.shape == (32, 24, 24)
+    assert apix == pytest.approx(1.0)
+    # mean is preserved by Fourier zero-padding resample
+    assert float(np.mean(data)) == pytest.approx(float(vol.mean()), abs=1e-3)
+
+
+def test_proc3d_z_moving_average_by_length(vol):
+    data, *_ = p3_dispatch("z_moving_average", vol, "length=8")  # 4 px at 2 A
+    expected_center = vol[3:7].mean(axis=0)
+    np.testing.assert_allclose(data[4], expected_center, rtol=1e-5)
+
+
+def test_proc3d_z_moving_average_validation(vol):
+    from helicon_tpu.utils import HeliconError
+
+    with pytest.raises(HeliconError):
+        p3_dispatch("z_moving_average", vol, "length=0:n_pixel=0")
+    with pytest.raises(HeliconError):
+        p3_dispatch("z_moving_average", vol, "length=8:n_pixel=4")
+
+
+def test_proc3d_helical_sym_validation(vol):
+    from helicon_tpu.utils import HeliconError
+
+    with pytest.raises(HeliconError):
+        p3_dispatch("helical_sym", vol, "twist=30:rise=0:center_fraction=0.5")
+    with pytest.raises(HeliconError):
+        p3_dispatch("helical_sym", vol, "twist=30:rise=6:csym=0:center_fraction=0.5")
+    with pytest.raises(HeliconError):  # none of the center_* options
+        p3_dispatch("helical_sym", vol, "twist=30:rise=6")
+    with pytest.raises(HeliconError):  # two center_* options
+        p3_dispatch(
+            "helical_sym", vol, "twist=30:rise=6:center_fraction=0.5:center_len=20"
+        )
+
+
+def test_proc3d_helical_sym_center_len_variants(vol):
+    d1, *_ = p3_dispatch(
+        "helical_sym", vol, "twist=30:rise=6:center_fraction=0.375"
+    )
+    d2, *_ = p3_dispatch(
+        "helical_sym", vol, "twist=30:rise=6:center_len=12"
+    )  # 12 A / (16 * 2 A) = 0.375
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    d3, *_ = p3_dispatch(
+        "helical_sym", vol, "twist=30:rise=6:center_n_rise=2"
+    )  # 2 * 6 / 32 = 0.375
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), atol=1e-5)
+
+
+def test_proc3d_denoise_elbow(vol):
+    data, *_ = p3_dispatch("denoiseCurvelet", vol, "threshold_sigma=0")
+    assert np.isfinite(data).all()
+    assert not np.allclose(np.asarray(data), vol, atol=1e-5)
+
+
+# ---------------------------------------------------- cryosparc, extended
+
+
+EPU_CS_MICROS = [
+    "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff",
+    "FoilHole_28788144_Data_28764755_47_20240328_192117_fractions.tiff",
+    "FoilHole_28788144_Data_28764755_48_20240328_192118_fractions.tiff",
+]
+
+
+def test_cs_beamshift_label(cs_df):
+    df = cs_df.copy()
+    df["location/micrograph_path"] = np.repeat(EPU_CS_MICROS, 4)
+    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", df, "EPU")
+    assert out["ctf/exp_group_id"].nunique() == 3
+
+
+def test_cs_beamshift_label_no_is_identity(cs_df):
+    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", cs_df.copy(), "no")
+    assert out["ctf/exp_group_id"].nunique() == 1
+
+
+def test_cs_by_time(cs_df):
+    df = cs_df.copy()
+    df["location/micrograph_path"] = np.repeat(EPU_CS_MICROS, 4)
+    out = cs_dispatch("assignExposureGroupByTime", df.copy(), 1)
+    assert out["ctf/exp_group_id"].nunique() == 3
+    out2 = cs_dispatch("assignExposureGroupByTime", df.copy(), 3)
+    assert out2["ctf/exp_group_id"].nunique() == 1
+
+
+def test_cs_copy_assignments(tmp_path, cs_df):
+    from helicon_tpu.io.cs import write_cs
+
+    src = np.zeros(
+        12, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4")]
+    )
+    src["uid"] = cs_df["uid"].values
+    src["ctf/exp_group_id"] = np.repeat([5, 6, 7], 4)
+    write_cs(tmp_path / "src.cs", src)
+    out = cs_dispatch(
+        "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.cs")
+    )
+    assert sorted(out["ctf/exp_group_id"].unique()) == [5, 6, 7]
+
+
+def test_cs_copy_assignments_missing_uid_errors(tmp_path, cs_df):
+    from helicon_tpu.io.cs import write_cs
+    from helicon_tpu.utils import HeliconError
+
+    src = np.zeros(2, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4")])
+    src["uid"] = [1, 2]  # none of the input uids
+    write_cs(tmp_path / "src.cs", src)
+    with pytest.raises(HeliconError):
+        cs_dispatch(
+            "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.cs")
+        )
+
+
+def test_cs_copy_parameters(tmp_path, cs_df):
+    from helicon_tpu.io.cs import write_cs
+
+    src = np.zeros(
+        4, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4"), ("ctf/df1_A", "<f4")]
+    )
+    src["uid"] = [900, 901, 902, 903]
+    src["ctf/exp_group_id"] = 1
+    src["ctf/df1_A"] = [20000.0, 21000.0, 22000.0, 23000.0]
+    write_cs(tmp_path / "src.cs", src)
+    out = cs_dispatch(
+        "copyExposureGroupParameters", cs_df.copy(), str(tmp_path / "src.cs")
+    )
+    assert out["ctf/df1_A"].iloc[0] == pytest.approx(21500.0)
+
+
+def test_cs_change_pixel_size_requires_blob(cs_df):
+    from helicon_tpu.utils import HeliconError
+
+    df = cs_df.drop(columns=["blob/psize_A"])
+    with pytest.raises(HeliconError):
+        cs_dispatch("changePixelSize", df, 2.0)
+
+
+def test_cs_reset_noop_when_zero(cs_df):
+    df = cs_df.copy()
+    df["ctf/exp_group_id"] = np.repeat([1, 2, 3], 4)
+    out = cs_dispatch("resetExposureGroups", df, 0)
+    assert out["ctf/exp_group_id"].nunique() == 3

@@ -247,11 +247,16 @@ class TestFourier:
         assert np.abs(got - want).max() < 1e-4
 
     def test_fft_rescale_identity_is_fft(self, rng):
+        """At identity zoom (even sizes) the centered-origin phase and
+        the (-1)^idx output phase cancel: fft_rescale == plain fft2, and
+        ifft2 recovers the image in place (finufft convention,
+        reference transforms.py:702-743)."""
         data = rng.normal(size=(12, 16)).astype(np.float32)
         got = np.asarray(ht.fft_rescale(data, apix=1.0))
-        iy = np.indices((12, 16)).sum(axis=0) % 2
-        want = np.fft.fft2(data) * np.where(iy, -1, 1)
+        want = np.fft.fft2(data)
         assert np.abs(got - want).max() < 1e-3
+        rec = np.fft.ifft2(got).real
+        assert np.abs(rec - data).max() < 1e-4
 
     def test_fft_rescale_direct_dft(self, rng):
         data = rng.normal(size=(8, 10)).astype(np.float32)
@@ -264,11 +269,12 @@ class TestFourier:
         fx = np.fft.fftfreq(out_size[1]) * 2 * apix / cutoff[1]
         ny, nx = data.shape
         want = np.zeros(out_size, complex)
+        # centered real-space indices (finufft type-2 convention)
+        jy = np.arange(ny)[:, None] - ny / 2
+        jx = np.arange(nx)[None, :] - nx / 2
         for a in range(out_size[0]):
             for b in range(out_size[1]):
-                ph = np.exp(
-                    -2j * np.pi * (fy[a] * np.arange(ny)[:, None] + fx[b] * np.arange(nx)[None, :])
-                )
+                ph = np.exp(-2j * np.pi * (fy[a] * jy + fx[b] * jx))
                 want[a, b] = (data * ph).sum()
         idx = np.indices(out_size).sum(axis=0) % 2
         want *= np.where(idx, -1, 1)
