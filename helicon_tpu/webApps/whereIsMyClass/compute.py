@@ -4,9 +4,10 @@ Reference: webApps/whereIsMyClass/compute.py (526 LoC): micrograph
 loading with local-mean resampling + band-pass (26-50), RELION/CryoSPARC
 project-layout inference (16-64), class selection/grouping (76-88),
 same-class same-polarity pair-distance computation (91-128), class
-abundance (149-153), 3D-class XYZ projection sheets (156-185). The
-plotly figure builders of the reference (285-526) are UI-side and live
-with the app.
+abundance (149-153), 3D-class XYZ projection sheets (156-185),
+star/cs Class2D parameter ingest with filament-UID remapping (197-282),
+and the plotly figure builders (285-526; plotly optional, imported
+lazily).
 """
 
 from __future__ import annotations
@@ -173,13 +174,17 @@ def get_class_abundance(params, nClass: int):
 
 @cache(cache_dir=str(_cache_dir / "whereIsMyClass"), expires_after=7, verbose=0)
 def get_one_map_xyz_projects(data, nx):
-    """X/Y/Z projection sheet of one 3D class (compute.py:185-230)."""
-    data = np.asarray(data)
-    projs = [data.sum(axis=i) for i in (2, 1, 0)]
-    sheet = np.zeros((nx, nx * 3), np.float32)
-    for i, p in enumerate(projs):
-        py, px = p.shape
-        sheet[:py, i * nx : i * nx + px] = p
+    """[central z-slice | y-projection | x-projection] sheet of one 3D
+    class, min-max normalized with a constant-map guard (reference
+    compute.py:173-185; 1-pixel separators between panels)."""
+    data = np.asarray(data, np.float32)
+    lo, hi = float(data.min()), float(data.max())
+    if hi - lo != 0:
+        data = (data - lo) / (hi - lo)
+    sheet = np.zeros((nx, nx * 3 + 2), np.float32)
+    sheet[:, 0:nx] = data[int(nx / 2), :, :] * nx
+    sheet[:, nx + 1 : nx * 2 + 1] = data.sum(axis=1)
+    sheet[:, nx * 2 + 2 : nx * 3 + 2] = data.sum(axis=2)
     return sheet
 
 
@@ -192,3 +197,283 @@ def get_class3d_projections_from_files(classFiles):
         nx = int(mrc_header(f).nx)
         projections.append(get_one_map_xyz_projects(np.asarray(data), nx))
     return np.array(projections), apix, nx
+
+
+# ---------------------------------------------------------------------------
+# Class2D parameter ingest (reference compute.py:197-282)
+# ---------------------------------------------------------------------------
+
+
+def star_to_dataframe(starFile):
+    """RELION v3 star -> particles DataFrame with the optics table in
+    .attrs (reference compute.py:214-225). Requires both blocks."""
+    from ...io.star import read_star
+
+    blocks = read_star(starFile)
+    if "optics" not in blocks or "particles" not in blocks:
+        raise AssertionError(
+            f"{starFile} has {' '.join(blocks.keys())} but optics and "
+            "particles are expected"
+        )
+    data = blocks["particles"]
+    data.attrs["optics"] = blocks["optics"]
+    data.attrs["starFile"] = str(starFile)
+    return data
+
+
+def cs_to_dataframe(cs_file):
+    """CryoSPARC Class2D .cs -> RELION-convention DataFrame (reference
+    compute.py:228-282): 1-indexed rlnClassNumber, per-micrograph
+    filament UID remap when UIDs are global, fractional -> pixel
+    coordinates."""
+    import pandas as pd
+
+    from ...io.cs import read_cs
+
+    cs = read_cs(cs_file)
+    data = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
+    required = (
+        "blob/idx blob/path filament/filament_uid filament/arc_length_A "
+        "alignments2D/class alignments2D/pose location/center_x_frac "
+        "location/center_y_frac location/micrograph_shape".split()
+    )
+    missing = [a for a in required if a not in data]
+    if missing:
+        raise ValueError(
+            f"required attrs '{', '.join(missing)}' are not included in "
+            f"{cs_file}. If the particles were imported from a RELION star "
+            "file, run: helicon images2star <cs file> <output star> "
+            "--copyParm <original star file>"
+        )
+
+    def _str(col):
+        s = data[col]
+        return s.str.decode("utf-8") if s.dtype == object and isinstance(
+            s.iloc[0], bytes
+        ) else s.astype(str)
+
+    ret = pd.DataFrame()
+    ret["rlnImageName"] = (
+        (data["blob/idx"].astype(int) + 1).map("{:06d}".format)
+        + "@"
+        + _str("blob/path")
+    )
+    if "micrograph_blob/path" in data:
+        ret["rlnMicrographName"] = _str("micrograph_blob/path")
+    else:
+        ret["rlnMicrographName"] = _str("blob/path")
+
+    uids = data["filament/filament_uid"]
+    if uids.min() > 1000:
+        # global CryoSPARC UIDs: renumber 1..n per micrograph
+        for _, m in data.groupby("blob/path"):
+            mapping = {
+                v: i + 1 for i, v in enumerate(sorted(m["filament/filament_uid"].unique()))
+            }
+            ret.loc[m.index, "rlnHelicalTubeID"] = m["filament/filament_uid"].map(mapping)
+        ret["rlnHelicalTubeID"] = ret["rlnHelicalTubeID"].astype(int)
+    else:
+        ret["rlnHelicalTubeID"] = uids.astype(int)
+
+    ret["rlnHelicalTrackLengthAngst"] = (
+        data["filament/arc_length_A"].astype(np.float32).values.round(2)
+    )
+    shapes = np.stack(data["location/micrograph_shape"].values)
+    my, mx = shapes[:, 0], shapes[:, 1]
+    ret["rlnCoordinateX"] = (
+        (data["location/center_x_frac"] * mx).astype(float).round(2)
+    )
+    ret["rlnCoordinateY"] = (
+        (data["location/center_y_frac"] * my).astype(float).round(2)
+    )
+    ret["rlnClassNumber"] = data["alignments2D/class"].astype(int) + 1
+    return ret
+
+
+def get_class2d_from_file(classFile):
+    """(class averages ndarray, apix) from a 2D class .mrc(s) stack."""
+    data, apix = read_mrc(classFile)
+    return np.asarray(data), apix
+
+
+def get_class2d_params_from_file(params_file):
+    """Dispatch .star/.cs Class2D metadata and validate required columns
+    (reference compute.py:197-213)."""
+    pf = str(params_file)
+    if pf.endswith(".star"):
+        params = star_to_dataframe(pf)
+    elif pf.endswith(".cs"):
+        params = cs_to_dataframe(pf)
+    else:
+        raise ValueError(
+            f"{params_file} is not a valid Class2D parameter file. "
+            "Only star or cs files are supported"
+        )
+    required = (
+        "rlnImageName rlnHelicalTubeID rlnHelicalTrackLengthAngst "
+        "rlnClassNumber rlnCoordinateX rlnCoordinateY".split()
+    )
+    missing = [a for a in required if a not in params]
+    if missing:
+        raise ValueError(f"parameters {missing} are not available")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# plotly figure builders (reference compute.py:285-526). plotly is an
+# optional dependency: import inside each function.
+# ---------------------------------------------------------------------------
+
+
+def _require_plotly():
+    try:
+        import plotly  # noqa: F401
+        import plotly.graph_objects as go
+    except ImportError as e:
+        raise ImportError(
+            "plotly is required for the whereIsMyClass figures: "
+            "pip install plotly"
+        ) from e
+    return go
+
+
+def plot_micrograph(micrograph, title, apix, plot_height=None, plot_width=None):
+    """Grey heatmap of a micrograph in physical (Å) coordinates."""
+    go = _require_plotly()
+    micrograph = np.asarray(micrograph)
+    h, w = micrograph.shape
+    fig = go.FigureWidget()
+    fig.add_trace(
+        go.Heatmap(
+            name="image",
+            z=micrograph,
+            x=np.arange(w) * apix,
+            y=np.arange(h) * apix,
+            colorscale="Greys",
+            showscale=False,
+            hoverongaps=False,
+        )
+    )
+    layout = dict(
+        title=dict(text=title, x=0.5, y=0.95, xanchor="center", font=dict(size=14)),
+        xaxis=dict(visible=False, range=[0, w * apix]),
+        yaxis=dict(
+            visible=False, range=[0, h * apix], scaleanchor="x",
+            autorange="reversed",
+        ),
+        plot_bgcolor="white",
+        showlegend=False,
+        margin=dict(l=0, r=0, t=50, b=0),
+    )
+    if plot_width:
+        layout["width"] = plot_width
+    if plot_height:
+        layout["height"] = plot_height
+    if not (plot_width or plot_height):
+        layout["autosize"] = True
+    fig.update_layout(**layout)
+    return fig
+
+
+def mark_classes_on_helices(fig, helices, marker_size):
+    """Add one marker trace per (helix, class); drops stale class traces.
+
+    helices: {(helix_id, class_id): {"x": [...], "y": [...]}}
+    """
+    go = _require_plotly()
+    import plotly
+
+    assert fig is not None
+    fig.data = [d for d in fig.data if not d.name.startswith("class_")]
+    if not helices:
+        return
+    palette = plotly.colors.qualitative.Plotly
+    symbols = [
+        "circle", "square", "diamond", "cross", "x", "triangle-up",
+        "triangle-down", "triangle-left", "triangle-right", "pentagon",
+        "hexagon", "octagon", "star", "bowtie",
+    ]
+    traces = []
+    for hi, (key, xy) in enumerate(helices.items()):
+        _, class_id = key
+        traces.append(
+            go.Scatter(
+                name=f"class_{class_id}",
+                x=xy["x"],
+                y=xy["y"],
+                mode="markers",
+                marker=dict(
+                    size=marker_size,
+                    color=palette[hi % len(palette)],
+                    opacity=0.6,
+                    symbol=symbols[hi % len(symbols)],
+                ),
+            )
+        )
+    fig.add_traces(traces)
+
+
+def draw_distance_measurement(fig, first_point, second_point):
+    """Dotted line between two picked points; removed when either is None."""
+    go = _require_plotly()
+    assert fig is not None
+    others = [d for d in fig.data if d.name != "distance_line"]
+    if first_point is not None and second_point is not None:
+        x = [first_point[0], second_point[0]]
+        y = [first_point[1], second_point[1]]
+        line = go.Scatter(
+            name="distance_line", x=x, y=y, mode="lines",
+            line=dict(color="white", dash="dot"),
+        )
+        fig.data = others
+        fig.add_trace(line)
+    elif len(others) < len(fig.data):
+        fig.data = others
+
+
+def plot_histogram(
+    data,
+    title,
+    xlabel,
+    ylabel,
+    max_pair_dist=None,
+    bins=50,
+    log_y=True,
+    show_pitch_twist=None,
+    multi_crosshair=False,
+    fig=None,
+):
+    """Pair-distance histogram as a bar figure; optional log counts and
+    per-bin pitch->twist annotations (reference compute.py:434-526)."""
+    go = _require_plotly()
+    data = np.asarray(list(data), float)
+    if max_pair_dist is not None and max_pair_dist > 0:
+        data = data[data <= max_pair_dist]
+    hist, edges = np.histogram(data, bins=bins)
+    disp = np.log10(1 + hist) if log_y else hist
+    center = (edges[:-1] + edges[1:]) / 2
+    hover = []
+    for i in range(len(hist)):
+        info = f"{center[i]:.0f} ({edges[i]:.0f}-{edges[i + 1]:.0f})Å: {hist[i]}"
+        if show_pitch_twist:
+            rise = show_pitch_twist["rise"]
+            for csym in show_pitch_twist["csyms"]:
+                twist = 360 / (center[i] * csym / rise)
+                info += f"<br>Twist for C{csym}: {twist:.2f}°"
+        hover.append(info)
+    if fig:
+        fig.data[0].x = center
+        fig.data[0].y = disp
+        fig.data[0].hovertext = hover
+        return fig
+    fig = go.FigureWidget()
+    fig.add_trace(
+        go.Bar(x=center, y=disp, hovertext=hover, name="histogram")
+    )
+    fig.update_layout(
+        title=dict(text=title, x=0.5),
+        xaxis_title=xlabel,
+        yaxis_title=(f"log10(1 + {ylabel})" if log_y else ylabel),
+        plot_bgcolor="white",
+    )
+    return fig
