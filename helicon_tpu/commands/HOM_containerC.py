@@ -135,6 +135,10 @@ def HelicalSegmentConsistency(
     missing = [c for c in required if c not in data]
     if missing:
         raise HeliconError(f"required columns missing: {' '.join(missing)}")
+    if len(data) == 0:
+        # reference behavior: empty input raises (tests/test_HOM_containerC.py
+        # test_helical_segment_consistency_empty_data_raises)
+        raise HeliconError("no segments in the input data")
     group_cols = [
         c for c in ("rlnMicrographName", "rlnImageName") if c in data
     ][:1] + ["rlnHelicalTubeID"]

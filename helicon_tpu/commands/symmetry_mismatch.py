@@ -199,22 +199,22 @@ def main(args):
         level=logging.INFO if args.verbose else logging.ERROR,
         format="%(message)s", stream=sys.stdout,
     )
-    if not (args.csFile1 and args.csFile2):
+    if not (args.input1 and args.input2):
         raise HeliconError(
-            "provide --csFile1/--csFile2 (CryoSPARC server job mode "
+            "provide --input1/--input2 (CryoSPARC server job mode "
             "requires cryosparc-tools)"
         )
-    sym1 = int(str(args.sym1).lstrip("Cc"))
-    sym2 = int(str(args.sym2).lstrip("Cc"))
-    ds1 = _load(args.csFile1)
-    ds2 = _load(args.csFile2)
+    sym1 = int(str(args.sym1 or "C1").lstrip("Cc"))
+    sym2 = int(str(args.sym2 or "C1").lstrip("Cc"))
+    ds1 = _load(args.input1)
+    ds2 = _load(args.input2)
     logger.info("job1: %d particles (C%d); job2: %d particles (C%d)",
                 len(ds1), sym1, len(ds2), sym2)
 
     d1 = {c: ds1[c].values for c in ds1.columns}
     d2 = {c: ds2[c].values for c in ds2.columns}
     matches = find_particle_correspondence(
-        d1, d2, dist_tol=args.distTol, axis_tol=args.axisTol,
+        d1, d2, dist_tol=args.dist_tol, axis_tol=args.axis_tol,
         verbose=args.verbose,
     )
     if len(matches) == 0:
@@ -249,31 +249,86 @@ def main(args):
     out_df = ds2.iloc[i2].reset_index(drop=True)
     out_df[pose_col] = list(new_poses)
     out_df["sym_mismatch/relative_angle"] = np.float32(rel_angle)
-    out = args.output_csFile or (Path(args.csFile2).stem + ".sym_mismatch.cs")
+    out = args.outputFile2 or (Path(args.input2).stem + ".sym_mismatch.cs")
     dataframe2cs(out_df, out)
     logger.info("%d particles with unfolded poses -> %s", len(out_df), out)
+    if args.outputFile1:
+        e1_new = e1.copy()
+        e1_new[:, 0] = rot1_unf
+        out1_df = ds1.iloc[i1].reset_index(drop=True)
+        out1_df[pose_col] = list(
+            convert_euler_angles_to_cryosparc_pose(e1_new, convention="ZXZ")
+        )
+        out1_df["sym_mismatch/relative_angle"] = np.float32(rel_angle)
+        dataframe2cs(out1_df, args.outputFile1)
+        logger.info("dataset 1 unfolded poses -> %s", args.outputFile1)
     print(f"relative angle: {rel_angle:.3f} deg; output: {out}")
 
 
 def add_args(parser):
-    parser.add_argument("--csFile1", type=str, default="",
-                        help="refinement 1 particles .cs file")
-    parser.add_argument("--csFile2", type=str, default="",
-                        help="refinement 2 particles .cs file")
-    parser.add_argument("--sym1", type=str, default="C1",
+    """Reference-compatible argument surface
+    (reference commands/symmetry_mismatch.py:846-908)."""
+    parser.add_argument("-p", "--projectID", default=None,
+                        help="CryoSPARC Project ID (e.g., P407)")
+    parser.add_argument("-j1", "--jobID1", default=None,
+                        help="First input dataset CryoSPARC Job ID")
+    parser.add_argument("-j2", "--jobID2", default=None,
+                        help="Second input dataset CryoSPARC Job ID")
+    parser.add_argument("-i1", "--input1", default=None,
+                        help="Path to local input .cs file for job 1")
+    parser.add_argument("-pt1", "--pass_through1", default=None,
+                        help="Path to local passthrough .cs file for job 1")
+    parser.add_argument("-i2", "--input2", default=None,
+                        help="Path to local input .cs file for job 2")
+    parser.add_argument("-pt2", "--pass_through2", default=None,
+                        help="Path to local passthrough .cs file for job 2")
+    parser.add_argument("-of1", "--outputFile1", default=None,
+                        help="Path to save reassigned dataset 1 locally (.cs)")
+    parser.add_argument("-of2", "--outputFile2", default=None,
+                        help="Path to save reassigned dataset 2 locally (.cs)")
+    parser.add_argument("-s1", "--sym1", default=None,
                         help="symmetry of refinement 1 (e.g. C1)")
-    parser.add_argument("--sym2", type=str, default="C5",
-                        help="symmetry of refinement 2 (e.g. C5)")
-    parser.add_argument("--output_csFile", type=str, default="")
-    parser.add_argument("--distTol", type=float, default=20.0,
+    parser.add_argument("-s2", "--sym2", default=None,
+                        help="symmetry of refinement 2 (e.g. C6)")
+    parser.add_argument("-w", "--workspaceID", default=None,
+                        help="Output Workspace ID (e.g., W1)")
+    parser.add_argument("--dist-tol", dest="dist_tol", type=float, default=20.0,
                         help="particle match distance tolerance (A)")
-    parser.add_argument("--axisTol", type=float, default=10.0,
+    parser.add_argument("--axis-tol", dest="axis_tol", type=float, default=10.0,
                         help="relative-rotation-axis vs +Z tolerance (deg)")
     parser.add_argument("--numSeedSamples", type=int, default=10)
-    parser.add_argument("--projectID", type=str, default="",
-                        help="CryoSPARC project (requires cryosparc-tools)")
-    parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("-v", "--verbose", type=int, default=2,
+                        help="Verbosity level (0-2). Default 2.")
     return parser
+
+
+def check_args(args, parser):
+    """Reference validation rules (symmetry_mismatch.py:799-844)."""
+    has_input1 = args.input1 is not None
+    has_job1 = args.projectID is not None and args.jobID1 is not None
+    if not has_input1 and not has_job1:
+        parser.error(
+            "--input1 or (--projectID and --jobID1) are required for dataset 1"
+        )
+    has_input2 = args.input2 is not None
+    has_job2 = args.projectID is not None and args.jobID2 is not None
+    if not has_input2 and not has_job2:
+        parser.error(
+            "--input2 or (--projectID and --jobID2) are required for dataset 2"
+        )
+    if has_input1 and args.sym1 is None:
+        parser.error("--sym1 is required when --input1 is provided")
+    if has_input2 and args.sym2 is None:
+        parser.error("--sym2 is required when --input2 is provided")
+    if args.outputFile1 and not args.outputFile1.endswith(".cs"):
+        parser.error("--outputFile1 must end with .cs")
+    if args.outputFile2 and not args.outputFile2.endswith(".cs"):
+        parser.error("--outputFile2 must end with .cs")
+    if args.dist_tol is not None and args.dist_tol <= 0:
+        parser.error("--dist-tol must be positive")
+    if args.axis_tol is not None and args.axis_tol <= 0:
+        parser.error("--axis-tol must be positive")
+    return args
 
 
 if __name__ == "__main__":

@@ -124,8 +124,8 @@ def test_cli_symmetry_mismatch(tmp_path):
     dataframe2cs(df1, tmp_path / "j1.cs")
     dataframe2cs(df2, tmp_path / "j2.cs")
     r = run_cli(
-        "symmetry_mismatch", "--csFile1", "j1.cs", "--csFile2", "j2.cs",
-        "--sym1", "C1", "--sym2", "C3", "--axisTol", "0",
+        "symmetry_mismatch", "--input1", "j1.cs", "--input2", "j2.cs",
+        "--sym1", "C1", "--sym2", "C3",
         "--verbose", "0", cwd=tmp_path,
     )
     assert r.returncode == 0, r.stderr

@@ -1,0 +1,242 @@
+"""HOM_containerC + symmetry_mismatch command tests (modeled on
+reference tests/test_HOM_containerC.py + test_symmetry_mismatch.py).
+"""
+
+import argparse
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from helicon_tpu.commands import HOM_containerC as hom
+from helicon_tpu.commands import symmetry_mismatch as sm
+
+
+def _segments(n_tubes=3, n_seg=8, twist=2.0, noise=0.0, outliers=0, seed=0):
+    """Filament segments whose rlnAnglePsi progresses linearly along the
+    track (slope = twist per segment)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for tube in range(1, n_tubes + 1):
+        for seg in range(n_seg):
+            rot = (10.0 * tube + twist * 47.5 * seg / 4.75 + rng.normal(0, noise)) % 360
+            rows.append(
+                dict(
+                    rlnImageName=f"{len(rows) + 1:06d}@s.mrcs",
+                    rlnMicrographName=f"m{tube}.mrc",
+                    rlnHelicalTubeID=tube,
+                    rlnHelicalTrackLengthAngst=47.5 * seg,
+                    rlnAnglePsi=10.0,
+                    rlnAngleRot=rot,
+                    rlnAngleTilt=90.0,
+                    rlnCoordinateX=100.0 + 47.5 * seg,
+                    rlnCoordinateY=100.0 * tube,
+                )
+            )
+    df = pd.DataFrame(rows)
+    if outliers:
+        idx = rng.choice(df.index, outliers, replace=False)
+        df.loc[idx, "rlnAngleRot"] = (df.loc[idx, "rlnAngleRot"] + 170.0) % 360
+    return df
+
+
+class TestWrapUnwrap:
+    def test_wrap_sym_range(self):
+        # wraps into [-P/2, P/2) (reference HOM_containerC.py:123-140)
+        v = hom.wrap_sym(np.array([-10.0, 0.0, 90.0, 190.0, 370.0]), 180.0)
+        assert (v >= -90).all() and (v < 90).all()
+        assert v[3] == pytest.approx(10.0)  # 190 -> 10
+
+    def test_unwrap_sequence_recovers_linear(self):
+        true = np.arange(10) * 2.5
+        wrapped = true % 180.0
+        un = hom.unwrap_sequence(wrapped, 180.0)
+        d = np.diff(un)
+        assert np.allclose(d, 2.5, atol=1e-6)
+
+    def test_unwrap_handles_wraparound(self):
+        true = 170.0 + np.arange(8) * 3.0  # crosses 180
+        un = hom.unwrap_sequence(true % 180.0, 180.0)
+        assert np.allclose(np.diff(un), 3.0, atol=1e-6)
+
+
+class TestFitAndAverage:
+    def test_fit_line_wrapped_recovers_slope(self):
+        x = np.arange(12, dtype=float)
+        true_m = 1.7
+        y = (5.0 + true_m * x) % 180.0
+        m, b, err, _ = hom.fit_line_wrapped_by_m_grid(x, y, 180.0, 0.0, 5.0)
+        assert m == pytest.approx(true_m, abs=0.1)
+
+    def test_l1_core_average_ignores_outliers(self):
+        v = np.array([10.0, 10.2, 9.8, 10.1, 120.0])
+        avg, _, _ = hom.l1_core_average(v, k=3)
+        assert avg == pytest.approx(10.0, abs=0.5)
+
+    def test_get_angular_errors_shortest_arc(self):
+        x = np.arange(4, dtype=float)
+        o = np.array([0.0, 179.0, 2.0, 3.0])
+        signed, absd = hom.get_angular_errors(x, o, 1.0, 0.0, 180.0)
+        # 179 vs expected 1: shortest arc is -2, not +178
+        assert signed[1] == pytest.approx(-2.0)
+        assert absd[1] == pytest.approx(2.0)
+
+
+class TestHelicalSegmentConsistency:
+    def test_minimal_data_returns_data_and_stats(self):
+        df = _segments(noise=0.5)
+        out, stats = hom.HelicalSegmentConsistency(df)
+        assert len(out) <= len(df)
+        assert stats is not None
+
+    def test_outlier_segments_flagged(self):
+        df = _segments(n_tubes=2, n_seg=12, noise=0.2, outliers=3, seed=1)
+        out, stats = hom.HelicalSegmentConsistency(df)
+        assert "rlnHelicalConsistencyGood" in out
+        assert stats["n_good"] < len(df)
+        assert (out["rlnHelicalConsistencyGood"] == 0).sum() >= 3
+
+    def test_clean_data_mostly_kept(self):
+        df = _segments(n_tubes=2, n_seg=12, noise=0.1)
+        out, stats = hom.HelicalSegmentConsistency(df)
+        assert stats["n_good"] >= 0.9 * len(df)
+
+    def test_consensus_twist_recovered(self):
+        df = _segments(n_tubes=3, n_seg=12, twist=2.0, noise=0.1)
+        _, stats = hom.HelicalSegmentConsistency(df, rise=4.75)
+        assert stats["consensus_twist_per_rise"] == pytest.approx(2.0, abs=0.1)
+
+    def test_empty_data_raises(self):
+        with pytest.raises(Exception):
+            hom.HelicalSegmentConsistency(_segments().head(0))
+
+
+class TestHOMArgs:
+    def test_parser_has_expected_arguments(self):
+        parser = argparse.ArgumentParser()
+        hom.add_args(parser)
+        args = parser.parse_args(["in.star", "out.star", "--force", "1"])
+        assert args.input_star == "in.star"
+        assert args.output_star == "out.star"
+        assert args.force == 1
+
+    def test_check_args_rejects_existing_output(self, tmp_path):
+        out = tmp_path / "out.star"
+        out.write_text("")
+        parser = argparse.ArgumentParser()
+        hom.add_args(parser)
+        args = parser.parse_args([str(tmp_path / "in.star"), str(out)])
+        with pytest.raises(Exception):
+            hom.check_args(args, parser)
+
+    def test_check_args_force_overwrites(self, tmp_path):
+        out = tmp_path / "out.star"
+        out.write_text("")
+        (tmp_path / "in.star").write_text("")
+        parser = argparse.ArgumentParser()
+        hom.add_args(parser)
+        args = parser.parse_args(
+            [str(tmp_path / "in.star"), str(out), "--force", "1"]
+        )
+        hom.check_args(args, parser)  # must not raise
+
+
+class TestHOMEndToEnd:
+    def test_main_filters_and_writes(self, tmp_path, monkeypatch):
+        from helicon_tpu.io.metadata import dataframe2star
+        from helicon_tpu.io.star import read_star
+
+        monkeypatch.chdir(tmp_path)
+        df = _segments(n_tubes=2, n_seg=12, noise=0.2, outliers=3, seed=2)
+        dataframe2star(df, tmp_path / "in.star")
+        parser = argparse.ArgumentParser()
+        hom.add_args(parser)
+        args = parser.parse_args(
+            [str(tmp_path / "in.star"), str(tmp_path / "out.star"),
+             "--filterBad", "1"]
+        )
+        hom.main(args)
+        blocks = read_star(tmp_path / "out.star")
+        out = next(v for v in blocks.values() if isinstance(v, pd.DataFrame))
+        assert 0 < len(out) < len(df)
+
+
+class TestSymmetryMismatchArgs:
+    def _parser(self):
+        parser = argparse.ArgumentParser()
+        sm.add_args(parser)
+        return parser
+
+    def test_parser_has_expected_arguments(self):
+        parser = self._parser()
+        args = parser.parse_args(
+            ["-i1", "a.cs", "-s1", "c6", "-i2", "b.cs", "-s2", "c1",
+             "-of2", "out.cs"]
+        )
+        assert args.input1 == "a.cs" and args.sym1 == "c6"
+        assert args.outputFile2 == "out.cs"
+
+    def test_check_args_no_inputs_raises(self):
+        parser = self._parser()
+        args = parser.parse_args([])
+        with pytest.raises(SystemExit):
+            sm.check_args(args, parser)
+
+    def test_check_args_input1_without_sym1_raises(self):
+        parser = self._parser()
+        args = parser.parse_args(
+            ["--input1", "a.cs", "--input2", "b.cs", "--sym2", "c1"]
+        )
+        with pytest.raises(SystemExit):
+            sm.check_args(args, parser)
+
+    def test_check_args_bad_output_extension_raises(self):
+        parser = self._parser()
+        args = parser.parse_args(
+            ["--input1", "a.cs", "--sym1", "c6", "--input2", "b.cs",
+             "--sym2", "c1", "-of2", "out.xyz"]
+        )
+        with pytest.raises(SystemExit):
+            sm.check_args(args, parser)
+
+    def test_check_args_negative_dist_tol_raises(self):
+        parser = self._parser()
+        args = parser.parse_args(
+            ["--input1", "a.cs", "--sym1", "c6", "--input2", "b.cs",
+             "--sym2", "c1", "--dist-tol", "-1"]
+        )
+        with pytest.raises(SystemExit):
+            sm.check_args(args, parser)
+
+    def test_check_args_full_local_inputs_passes(self):
+        parser = self._parser()
+        args = parser.parse_args(
+            ["--input1", "a.cs", "--sym1", "c6", "--input2", "b.cs",
+             "--sym2", "c1", "-of2", "out.cs"]
+        )
+        sm.check_args(args, parser)  # must not raise
+
+
+class TestSymmetryMismatchSolve:
+    def test_consensus_recovers_planted_angle(self):
+        """z-rotations of a C6 refinement offset by a consistent angle vs
+        a C1 refinement: the consensus must recover it (mod 60)."""
+        rng = np.random.default_rng(0)
+        n = 40
+        planted = 25.0
+        rot1 = rng.uniform(0, 360, n)
+        rot2 = (rot1 + planted + rng.choice([0, 60, 120, 180], n)) % 360
+        angle, unf1, unf2 = sm.solve_symmetry_mismatch(
+            rot1 % 60.0, rot2, sym1=6, sym2=1, num_seed_samples=10
+        )
+        assert angle == pytest.approx(planted, abs=1.0)
+
+    def test_relative_angle_range(self):
+        assert sm.relative_angle_range(6, 1) == pytest.approx(60.0)
+        assert sm.relative_angle_range(2, 3) == pytest.approx(60.0)
+
+    def test_angular_distance(self):
+        assert sm.angular_distance(350.0, 10.0) == pytest.approx(20.0)
+        assert sm.angular_distance(10.0, 350.0) == pytest.approx(20.0)
