@@ -67,3 +67,78 @@ def test_process_one_task_auto_geometry(helix_image):
         )
     )
     assert result is not None and result[0] > 0
+
+
+def test_process_one_task_with_return_3d_false(helix_image):
+    score, return_data, metadata = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, return_3d=False)
+    )
+    assert return_data[3] is None  # no rec3d tuple when return_3d off
+    assert 0 < score <= 1
+
+
+def test_process_one_task_with_fsc_test(helix_image):
+    score, return_data, _ = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, fsc_test=1)
+    )
+    assert 0 < score <= 1
+    # fsc mode returns half-map reconstructions in the rec3d tuple
+    rec3d_tuple = return_data[3]
+    assert rec3d_tuple is not None and len(rec3d_tuple) >= 3
+
+
+def test_process_one_task_with_csym(helix_image):
+    score, _, metadata = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, csym=2)
+    )
+    assert 0 < score <= 1
+    assert metadata[7] == 2  # csym slot
+
+
+def test_process_one_task_with_horizontalize(helix_image):
+    score, _, _ = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, horizontalize=1)
+    )
+    assert 0 < score <= 1
+
+
+def test_process_one_task_with_thresh_fraction(helix_image):
+    score, _, _ = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, thresh_fraction=0.1)
+    )
+    assert 0 < score <= 1
+
+
+def test_process_one_task_with_tilt_psi(helix_image):
+    result = process_one_task(
+        **make_task(
+            helix_image, 30.0, 6.0, tilt=3.0, tilt_range=(3.0, 3.0),
+            psi=1.0, psi_range=1.0,
+        )
+    )
+    assert result is not None
+    score, _, metadata = result
+    assert 0 < score <= 1
+    assert metadata[8] == 3.0 and metadata[9] == 1.0  # tilt/psi slots
+
+
+def test_process_one_task_loads_data_when_none(tmp_path, helix_image):
+    from helicon_tpu.io.mrc import write_mrc
+
+    stack = np.asarray(helix_image).reshape(1, 48, 96)
+    write_mrc(tmp_path / "in.mrcs", stack, apix=2.0)
+    result = process_one_task(
+        **make_task(None, 30.0, 6.0, imageFile=str(tmp_path / "in.mrcs"),
+                    imageIndex=1)
+    )
+    assert result is not None and 0 < result[0] <= 1
+
+
+def test_process_one_task_projections_match_volume(helix_image):
+    _, return_data, _ = process_one_task(**make_task(helix_image, 30.0, 6.0))
+    x_proj, y_proj = return_data[0], return_data[1]
+    rec3d = np.asarray(return_data[3][0])
+    # projections derive from the symmetrized volume: nonzero + finite
+    assert np.isfinite(x_proj).all() and np.isfinite(y_proj).all()
+    assert float(np.abs(x_proj).max()) > 0
+    assert rec3d.ndim == 3 and np.isfinite(rec3d).all()

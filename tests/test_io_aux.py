@@ -177,3 +177,131 @@ class TestExtractTimestampsReference:
     def test_unknown_software(self):
         r = groups.extract_timestamps(["unknown_file.mrc"], "nonexistent")
         assert r["unknown_file.mrc"] == float("inf")
+
+
+class TestPerMicrographMapping:
+    def test_basic(self):
+        from helicon_tpu.io.groups import per_micrograph_mapping
+
+        m = per_micrograph_mapping(["a.mrc", "b.mrc", "c.mrc"])
+        assert m == {"a.mrc": 1, "b.mrc": 2, "c.mrc": 3}
+
+    def test_custom_start_id(self):
+        from helicon_tpu.io.groups import per_micrograph_mapping
+
+        m = per_micrograph_mapping(["a", "b"], start_id=7)
+        assert m == {"a": 7, "b": 8}
+
+    def test_preserves_order(self):
+        from helicon_tpu.io.groups import per_micrograph_mapping
+
+        m = per_micrograph_mapping(["c.mrc", "a.mrc", "b.mrc"])
+        assert m["c.mrc"] == 1 and m["a.mrc"] == 2 and m["b.mrc"] == 3
+
+    def test_empty(self):
+        from helicon_tpu.io.groups import per_micrograph_mapping
+
+        assert per_micrograph_mapping([]) == {}
+
+
+class TestPerMicrographIds:
+    def test_basic_sorted_unique(self):
+        from helicon_tpu.io.groups import per_micrograph_ids
+
+        ids = per_micrograph_ids(np.array(["a.mrc", "a.mrc", "b.mrc", "c.mrc"]))
+        np.testing.assert_array_equal(ids, [1, 1, 2, 3])
+
+    def test_custom_start_id(self):
+        from helicon_tpu.io.groups import per_micrograph_ids
+
+        ids = per_micrograph_ids(np.array(["x", "y", "y", "x"]), start_id=5)
+        np.testing.assert_array_equal(ids, [5, 6, 6, 5])
+
+    def test_single_unique(self):
+        from helicon_tpu.io.groups import per_micrograph_ids
+
+        assert (per_micrograph_ids(np.array(["a", "a", "a"])) == 1).all()
+
+    def test_consistency_with_mapping(self):
+        from helicon_tpu.io.groups import (
+            per_micrograph_ids,
+            per_micrograph_mapping,
+        )
+
+        names = np.array(["z", "y", "x", "z", "y", "w"])
+        ids = per_micrograph_ids(names)
+        mapping = per_micrograph_mapping(sorted(np.unique(names)))
+        np.testing.assert_array_equal(ids, [mapping[n] for n in names])
+
+
+class TestSyncGroupColumns:
+    def _df(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "ctf/exp_group_id": [1, 2, 3],
+                "mscope_params/exp_group_id": [9, 9, 9],
+                "other": [0, 0, 0],
+            }
+        )
+
+    def test_syncs_all_matching_columns(self):
+        from helicon_tpu.io.groups import sync_group_columns
+
+        df = self._df()
+        sync_group_columns(df, "ctf/exp_group_id")
+        np.testing.assert_array_equal(
+            df["mscope_params/exp_group_id"], df["ctf/exp_group_id"]
+        )
+
+    def test_keeps_primary_unchanged(self):
+        from helicon_tpu.io.groups import sync_group_columns
+
+        df = self._df()
+        sync_group_columns(df, "ctf/exp_group_id")
+        np.testing.assert_array_equal(df["ctf/exp_group_id"], [1, 2, 3])
+
+    def test_untouched_unrelated_columns(self):
+        from helicon_tpu.io.groups import sync_group_columns
+
+        df = self._df()
+        sync_group_columns(df, "ctf/exp_group_id")
+        assert (df["other"] == 0).all()
+
+    def test_single_column_does_nothing(self):
+        import pandas as pd
+
+        from helicon_tpu.io.groups import sync_group_columns
+
+        df = pd.DataFrame({"ctf/exp_group_id": [1, 2]})
+        sync_group_columns(df, "ctf/exp_group_id")
+        np.testing.assert_array_equal(df["ctf/exp_group_id"], [1, 2])
+
+
+class TestExtractTimestampsFallbacks:
+    def test_mtime_fallback_returns_mtime(self, tmp_path):
+        from helicon_tpu.io.groups import extract_timestamps
+
+        f = tmp_path / "unknown_name_123.tif"
+        f.write_bytes(b"x")
+        out = extract_timestamps([str(f)], "EPU", use_mtime_fallback=True)
+        assert out[str(f)] == pytest.approx(f.stat().st_mtime, abs=2)
+
+    def test_no_fallback_defaults_to_inf(self):
+        from helicon_tpu.io.groups import extract_timestamps
+
+        out = extract_timestamps(
+            ["no_pattern_here.tif"], "EPU", use_mtime_fallback=False
+        )
+        assert out["no_pattern_here.tif"] == float("inf")
+
+    def test_path_with_directory(self):
+        from helicon_tpu.io.groups import extract_timestamps
+
+        name = (
+            "/data/run1/FoilHole_28788144_Data_28764755_46_"
+            "20240328_192116_fractions.tiff"
+        )
+        out = extract_timestamps([name], "EPU")
+        assert out[name] != float("inf")
