@@ -200,7 +200,7 @@ class EMDB:
         df = get_amyloid_atlas()
         return [
             i
-            for i in df["emd_id"].astype(str)
+            for i in df["emd_id"].astype(str).str.split("-").str[-1]
             if i in self.emd_ids
         ]
 

@@ -332,3 +332,56 @@ class TestWhereIsMyClassReference:
             }
         )
         assert compute.estimate_inter_segment_distance(data) == 150.0
+
+
+def test_point_group_relion_aliases_matrix_sets():
+    """I1..I4 aliases produce the same matrix SET as their full names
+    (reference tests/test_point_group.py:169-183)."""
+    from helicon_tpu import PointGroup
+
+    aliases = {"I1": "I_2z2x5y", "I2": "I_2z2x5x", "I3": "I_5z2y", "I4": "I_5z2x"}
+    for a, full in aliases.items():
+        m1 = PointGroup(a).matrices
+        m2 = PointGroup(full).matrices
+        assert len(m1) == len(m2) == 60
+        for mat1 in m1:
+            assert any(np.allclose(mat1, mat2, atol=1e-7) for mat2 in m2), (
+                a, full,
+            )
+
+
+def test_point_group_case_insensitivity():
+    """(reference tests/test_point_group.py:185-200)."""
+    from helicon_tpu import PointGroup
+
+    for low, high in [
+        ("c2", "C2"), ("D4", "d4"), ("t", "T"), ("O", "o"), ("i", "I"),
+        ("i_5Z2X", "I_5z2x"), ("i1", "I1"), ("i4", "I4"),
+    ]:
+        m1 = PointGroup(low).matrices
+        m2 = PointGroup(high).matrices
+        assert len(m1) == len(m2)
+        for mat1 in m1:
+            assert any(np.allclose(mat1, mat2, atol=1e-7) for mat2 in m2)
+
+
+def test_point_group_conversion_rotation_maps_5fold():
+    """get_icosahedral_conversion_rotation maps a 5-fold axis of the
+    source convention onto a 5-fold axis of the target (reference
+    tests/test_point_group.py:143-166)."""
+    from helicon_tpu import PointGroup
+
+    rot = PointGroup.get_icosahedral_conversion_rotation("I_5z2x", "I_2z2x5y")
+    v5 = rot.apply(np.array([0.0, 0.0, 1.0]))
+    found = False
+    for r in PointGroup("I_2z2x5y").get_rotations():
+        vec = r.as_rotvec()
+        ang = np.linalg.norm(vec)
+        if np.isclose(ang, 2 * np.pi / 5, atol=1e-5) or np.isclose(
+            ang, 4 * np.pi / 5, atol=1e-5
+        ):
+            ax = vec / ang
+            if np.allclose(abs(ax), abs(v5), atol=1e-5):
+                found = True
+                break
+    assert found

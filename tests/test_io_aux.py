@@ -305,3 +305,39 @@ class TestExtractTimestampsFallbacks:
         )
         out = extract_timestamps([name], "EPU")
         assert out[name] != float("inf")
+
+
+def test_emdb_singleton_and_amyloid_ids(tmp_path, monkeypatch):
+    """EMDB is a singleton; amyloid_atlas_ids intersects the atlas with
+    loaded entries (reference tests/test_dataset.py:51-75)."""
+    import helicon_tpu.io.dataset as ds
+
+    entries = pd.DataFrame(
+        dict(
+            emdb_id=["EMD-1234", "EMD-5678"],
+            title=["Test Entry 1", "t2"],
+            method=["helical", "singleParticle"],
+            resolution=[3.0, 4.0],
+        )
+    )
+    entries["emd_id"] = entries["emdb_id"].str.split("-").str[-1]
+    monkeypatch.setattr(ds, "get_emd_entries", lambda fields: entries)
+    monkeypatch.setattr(
+        ds, "update_helical_parameters_from_curated_table", lambda df: df
+    )
+    monkeypatch.setattr(
+        ds,
+        "get_amyloid_atlas",
+        lambda *a, **k: pd.DataFrame({"emd_id": ["EMD-1234", "EMD-9999"]}),
+    )
+    ds.EMDB._instance = None
+    try:
+        a = ds.EMDB(cache_dir=tmp_path / "emdb")
+        b = ds.EMDB(cache_dir=tmp_path / "other")
+        assert a is b  # singleton (__new__ caching, reference dataset.py:30-41)
+        info = a.get_info("1234")
+        assert info["title"] == "Test Entry 1"
+        assert info["resolution"] == pytest.approx(3.0)
+        assert a.amyloid_atlas_ids() == ["1234"]
+    finally:
+        ds.EMDB._instance = None
