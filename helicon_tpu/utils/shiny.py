@@ -105,19 +105,38 @@ def google_analytics(tag_id: str):
     )
 
 
-def get_client_url_query_params(session):
-    """Parse the client URL query string (lib/shiny.py:542-575)."""
+def get_client_url_query_params(input, keep_list: bool = True):
+    """Parse the client URL query string from the Shiny input object
+    (reference lib/shiny.py:542-575). keep_list=False unwraps
+    single-element lists."""
     from urllib.parse import parse_qs
 
-    search = session.input[".clientdata_url_search"]()
-    return {k: v for k, v in parse_qs(search.lstrip("?")).items()}
+    try:
+        search = input[".clientdata_url_search"]()
+    except (TypeError, KeyError):
+        # a session was passed instead of its input object
+        search = input.input[".clientdata_url_search"]()
+    d = parse_qs(search.lstrip("?"))
+    if not keep_list:
+        d = {k: (v[0] if len(v) == 1 else v) for k, v in d.items()}
+    return d
 
 
-def set_client_url_query_params(session, params: dict):
-    """Push query params into the client URL (lib/shiny.py:576-611)."""
+def set_client_url_query_params(query_params: dict):
+    """Script tag that pushes query params into the client URL
+    (reference lib/shiny.py:576-611). Returns a shiny ui.tags.script
+    when shiny is installed, else the raw <script> string."""
     from urllib.parse import urlencode
 
-    q = urlencode(params, doseq=True)
-    session.send_custom_message(
-        "set-query-params", {"search": f"?{q}"}
-    )
+    q = urlencode(query_params, doseq=True)
+    js = f"""
+    var url = new URL(window.location.href);
+    url.search = "{q}";
+    history.replaceState(null, "", url.toString());
+    """
+    try:
+        from shiny import ui
+
+        return ui.tags.script(js)
+    except ImportError:
+        return f"<script>{js}</script>"

@@ -385,3 +385,25 @@ def test_point_group_conversion_rotation_maps_5fold():
                 found = True
                 break
     assert found
+
+
+def test_shiny_client_url_query_params():
+    """(reference tests/test_shiny.py: mock input, both directions)."""
+    from unittest.mock import MagicMock
+
+    from helicon_tpu.utils import shiny as hshiny
+
+    mock_input = MagicMock()
+    mock_input._map = {
+        ".clientdata_url_search": MagicMock(
+            return_value="?param1=value1&param2=value2"
+        )
+    }
+    mock_input.__getitem__ = lambda self, k: self._map[k]
+    params = hshiny.get_client_url_query_params(mock_input)
+    assert params == {"param1": ["value1"], "param2": ["value2"]}
+    flat = hshiny.get_client_url_query_params(mock_input, keep_list=False)
+    assert flat == {"param1": "value1", "param2": "value2"}
+
+    tag = hshiny.set_client_url_query_params({"param1": "value1", "param2": "value2"})
+    assert "param1=value1&param2=value2" in str(tag)
