@@ -452,3 +452,117 @@ def test_sym_keep_threads_through_solver():
     assert not np.allclose(
         np.asarray(out0["rec3d"]), np.asarray(out1["rec3d"])
     ) or not keep.all()
+
+
+def _sim_img(twist=30.0, rise=6.0, csym=1, tilt=0, rng=0):
+    from helicon_tpu.helix import simulate_helical_projection
+
+    return simulate_helical_projection(
+        n=1, twist=twist, rise=rise, csym=csym, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=64, apix=2.0,
+        rng=rng,
+    )
+
+
+_LSQ_KW = dict(
+    scale2d_to_3d=1.0,
+    reconstruct_diameter_2d_pixel=24, reconstruct_diameter_3d_pixel=24,
+    reconstruct_length_2d_pixel=48, reconstruct_length_3d_pixel=16,
+    sym_oversample=2, interpolation="nn",
+)
+
+
+def test_lsq_reconstruct_with_inner_diameter():
+    """rmin > 0 zeroes the tube core (reference solver test
+    test_with_inner_diameter)."""
+    img = _sim_img()
+    (rec, _, _), score = lsq_reconstruct(
+        projection_image=img, twist_degree=30.0, rise_pixel=3.0, csym=1,
+        reconstruct_diameter_3d_inner_pixel=8, **_LSQ_KW,
+    )
+    assert score > 0
+    nz, ny, nx = rec.shape
+    core = rec[:, ny // 2 - 1 : ny // 2 + 2, nx // 2 - 1 : nx // 2 + 2]
+    assert float(np.abs(core).max()) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lsq_reconstruct_with_csym2():
+    img = _sim_img(csym=2, rng=1)
+    (rec, _, _), score = lsq_reconstruct(
+        projection_image=img, twist_degree=30.0, rise_pixel=3.0, csym=2,
+        **_LSQ_KW,
+    )
+    assert 0 < score <= 1 and np.isfinite(rec).all()
+
+
+def test_lsq_reconstruct_with_tilt_psi_general_path():
+    """Nonzero tilt/psi forces the general (non-separable) operators."""
+    img = _sim_img()
+    (rec, _, _), score = lsq_reconstruct(
+        projection_image=img, twist_degree=30.0, rise_pixel=3.0, csym=1,
+        tilt_degree=3.0, psi_degree=1.0, **_LSQ_KW,
+    )
+    assert 0 < score <= 1 and np.isfinite(rec).all()
+
+
+class TestRefineTiltPsiDy:
+    def _setup(self):
+        from helicon_tpu.denovo3d import (
+            ReconstructionGeometry,
+            select_copies,
+            select_pairs,
+        )
+        from helicon_tpu.denovo3d.solver import SolveConfig
+
+        img = np.squeeze(np.asarray(_sim_img()))
+        geom = ReconstructionGeometry(
+            d2=24, l2=48, d3=24, l3=16, rmin=0.0, rmax=11.0,
+            scale2d_to_3d=1.0, csym=1,
+        )
+        cfg = SolveConfig(
+            cg_iters=20, fista_iters=10, power_iters=4, separable=False
+        )
+        region = img[
+            img.shape[0] // 2 - 12 : img.shape[0] // 2 + 12,
+            img.shape[1] // 2 - 24 : img.shape[1] // 2 + 24,
+        ]
+        ch, cc, cv = select_copies(geom, 3.0, 5)
+        phc, pv = select_pairs(geom, 30.0, 3.0, 6)
+        return geom, cfg, region, (ch, cc, cv), (phc, pv)
+
+    def test_returns_pose_within_bounds(self):
+        from helicon_tpu.denovo3d.refine import refine_tilt_psi_dy
+
+        geom, cfg, region, copies, pairs = self._setup()
+        tilt, psi, dy = refine_tilt_psi_dy(
+            geom, cfg, region, 30.0, 3.0, copies, pairs, 0.0, 0.0, 0.0,
+            dict(tilt=5.0, psi=5.0, dy=2.0, max_iter=2),
+        )
+        assert -5.0 <= tilt <= 5.0
+        assert -5.0 <= psi <= 5.0
+        assert -2.0 <= dy <= 2.0
+        assert np.isfinite([tilt, psi, dy]).all()
+
+    def test_zero_range_keeps_pose(self):
+        from helicon_tpu.denovo3d.refine import refine_tilt_psi_dy
+
+        geom, cfg, region, copies, pairs = self._setup()
+        tilt, psi, dy = refine_tilt_psi_dy(
+            geom, cfg, region, 30.0, 3.0, copies, pairs, 0.0, 0.0, 0.0,
+            dict(tilt=0.0, psi=0.0, dy=0.0, max_iter=1),
+        )
+        assert tilt == pytest.approx(0.0, abs=1e-6)
+        assert psi == pytest.approx(0.0, abs=1e-6)
+        assert dy == pytest.approx(0.0, abs=1e-6)
+
+    def test_integrated_with_lsq_reconstruct(self):
+        img = _sim_img()
+        (rec, _, _), score = lsq_reconstruct(
+            projection_image=img, twist_degree=30.0, rise_pixel=3.0, csym=1,
+            refine_tilt_psi_dy_range=dict(tilt=3.0, psi=3.0, dy=1.0, max_iter=1),
+            **_LSQ_KW,
+        )
+        assert 0 < score <= 1 and np.isfinite(rec).all()
+        refined = getattr(lsq_reconstruct, "_refined_params", None)
+        assert refined is not None
+        assert abs(refined["tilt"]) <= 3.0 and abs(refined["psi"]) <= 3.0
