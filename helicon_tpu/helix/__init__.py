@@ -31,3 +31,7 @@ from .indexing import (  # noqa: F401
     estimate_bessel_order,
     estimate_helical_parameters,
 )
+from .pitch import (  # noqa: F401
+    estimate_pitch_from_class2d,
+    estimate_pitch_from_pair_distances,
+)

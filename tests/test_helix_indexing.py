@@ -126,3 +126,64 @@ class TestEstimateParameters:
             pwr=np.asarray(pwr), apix=1.5, diameter=80.0, radius_factor=1.0
         )
         assert res["candidates"]
+
+
+class TestPitchEstimation:
+    """Native HelicalPitch core (helicon_tpu/helix/pitch.py)."""
+
+    def test_recovers_pitch_from_distances(self):
+        rng = np.random.default_rng(0)
+        P = 180.0
+        d = np.concatenate(
+            [k * P + rng.normal(0, 3.0, 200) for k in (1, 2, 3)]
+        )
+        from helicon_tpu.helix import estimate_pitch_from_pair_distances
+
+        out = estimate_pitch_from_pair_distances(d, bins=120)
+        assert out["pitch"] == pytest.approx(P, rel=0.03)
+
+    def test_csym_scales_pitch(self):
+        rng = np.random.default_rng(1)
+        d = 90.0 + rng.normal(0, 2.0, 300)  # peak at pitch/csym = 90
+        from helicon_tpu.helix import estimate_pitch_from_pair_distances
+
+        out = estimate_pitch_from_pair_distances(d, csym=2, rise=4.75)
+        assert out["pitch"] == pytest.approx(180.0, rel=0.05)
+        assert out["twist"] == pytest.approx(360 * 4.75 / 180.0, rel=0.05)
+
+    def test_too_few_distances(self):
+        from helicon_tpu.helix import estimate_pitch_from_pair_distances
+
+        out = estimate_pitch_from_pair_distances([100.0, 200.0])
+        assert out["pitch"] is None
+
+    def test_end_to_end_from_class2d(self):
+        """Segments whose class repeats every P along the filament."""
+        import pandas as pd
+
+        rng = np.random.default_rng(2)
+        P, step = 190.0, 47.5
+        rows = []
+        for tube in range(1, 5):
+            for seg in range(40):
+                pos = seg * step
+                cls = 1 if (pos % P) < step else 2
+                rows.append(
+                    dict(
+                        rlnImageName=f"{len(rows) + 1:06d}@s.mrcs",
+                        rlnMicrographName=f"m{tube}.mrc",
+                        rlnHelicalTubeID=tube,
+                        rlnHelicalTrackLengthAngst=pos,
+                        rlnClassNumber=cls,
+                        rlnCoordinateX=pos,
+                        rlnCoordinateY=100.0,
+                        rlnAnglePsi=5.0,
+                    )
+                )
+        params = pd.DataFrame(rows)
+        from helicon_tpu.helix import estimate_pitch_from_class2d
+
+        out = estimate_pitch_from_class2d(
+            params, class_indices=[0], csym=1, rise=4.75, bins=150
+        )
+        assert out["pitch"] == pytest.approx(P, rel=0.05), out["pitch"]
