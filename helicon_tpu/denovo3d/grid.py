@@ -155,6 +155,7 @@ def reconstruct_grid(
     algorithm: dict | None = None,
     cg_iters: int = 120,
     fista_iters: int = 60,
+    power_iters: int = 8,
     compute_dtype: str = "bfloat16",
     batch_size: int | None = None,
     devices=None,
@@ -243,6 +244,7 @@ def reconstruct_grid(
         model=model,
         cg_iters=cg_iters,
         fista_iters=fista_iters,
+        power_iters=power_iters,
         thresh_fraction=float(thresh_fraction),
         positive_constraint=int(positive_constraint),
         l1_reg=float(l1),

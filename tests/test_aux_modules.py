@@ -407,3 +407,24 @@ def test_shiny_client_url_query_params():
 
     tag = hshiny.set_client_url_query_params({"param1": "value1", "param2": "value2"})
     assert "param1=value1&param2=value2" in str(tag)
+
+
+def test_webapp_modules_importable_without_shiny():
+    """The compute layers import cleanly without shiny; the app modules
+    are gated (reference pattern: shiny is optional)."""
+    import importlib
+
+    m1 = importlib.import_module("helicon_tpu.webApps.denovo3D.pipeline")
+    m2 = importlib.import_module("helicon_tpu.webApps.whereIsMyClass.compute")
+    assert hasattr(m1, "process_one_task")
+    assert hasattr(m2, "compute_pair_distances")
+
+    try:
+        import shiny  # noqa: F401
+
+        has_shiny = True
+    except ImportError:
+        has_shiny = False
+    if has_shiny:
+        importlib.import_module("helicon_tpu.webApps.denovo3D.app")
+        importlib.import_module("helicon_tpu.webApps.whereIsMyClass.app")
