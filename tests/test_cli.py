@@ -156,3 +156,31 @@ def test_hom_core_math():
     vals = np.concatenate([np.full(20, 3.0), [100.0, -50.0]])
     m_best, _, _ = l1_core_average(vals, k=10)
     assert m_best == pytest.approx(3.0)
+
+
+def test_cli_denovo3d(tmp_path):
+    """Flagship grid-search CLI end-to-end on a tiny grid."""
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = np.squeeze(
+        np.asarray(
+            simulate_helical_projection(
+                n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+                ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48,
+                apix=2.0, rng=0,
+            )
+        )
+    ).astype(np.float32)
+    write_mrc(tmp_path / "cls.mrc", img[None], apix=2.0)
+    r = run_cli(
+        "denovo3d_cli", "cls.mrc", "result",
+        "--apix", "2.0",
+        "--twist", "25", "35", "5",
+        "--rise", "5.0", "7.0", "1.0",
+        "--cgIters", "10", "--fistaIters", "8",
+        "--horizontalize", "0", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    outs = sorted(tmp_path.glob("result*"))
+    assert outs, r.stdout
