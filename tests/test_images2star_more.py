@@ -470,3 +470,55 @@ class TestHeavyPlugins:
         )
         # identical data -> best scale 1.0 -> pixel size unchanged
         assert getPixelSize(out) == pytest.approx(1.5, rel=0.02)
+
+
+class TestBeamShiftXY:
+    def _xml(self, x, y):
+        return f"""<?xml version="1.0"?>
+<MicroscopeImage xmlns:a="http://schemas.datacontract.org/2004/07/Fei.Types">
+  <microscopeData><optics><BeamShift>
+    <a:_x>{x}</a:_x><a:_y>{y}</a:_y>
+  </BeamShift></optics></microscopeData>
+</MicroscopeImage>"""
+
+    def test_clusters_beam_shifts_from_xmls(self, tmp_path, monkeypatch):
+        from helicon_tpu.io import epu
+
+        monkeypatch.chdir(tmp_path)
+        # clear the per-folder xml cache between tests
+        if hasattr(epu.EPU_micrograph_path_2_movie_xml_path, "xml_files"):
+            epu.EPU_micrograph_path_2_movie_xml_path.xml_files = {}
+        # EPU-old style movies: 21-digit prefix + FoilHole id; 2 shift
+        # clusters of 2 micrographs each
+        shifts = [(0.01, 0.01), (0.011, 0.009), (-0.02, -0.02), (-0.021, -0.019)]
+        micros = []
+        for i, (sx, sy) in enumerate(shifts):
+            mid = (
+                f"FoilHole_2878814{i}_Data_2876475{i}_48576{i}_"
+                f"20240328_19211{i}"
+            )
+            (tmp_path / f"{mid}.xml").write_text(self._xml(sx, sy))
+            micros.append(f"{10**20 + i:021d}_{mid}_fractions.tiff")
+        df = make_epu_df(micros, groups=1)
+        out = dispatch(
+            "assignOpticGroupByBeamShiftXY", df,
+            f"nClusters=2:xmlFolder={tmp_path}",
+        )
+        assert len(out["rlnOpticsGroup"].unique()) == 2
+        g = out.groupby("rlnOpticsGroup")["rlnMicrographName"].apply(list)
+        # the two near-identical shifts must cluster together
+        for members in g.values:
+            assert len(members) == 2
+
+    def test_missing_xmls_error(self, tmp_path):
+        from helicon_tpu.io import epu
+        from helicon_tpu.utils import HeliconError
+
+        if hasattr(epu.EPU_micrograph_path_2_movie_xml_path, "xml_files"):
+            epu.EPU_micrograph_path_2_movie_xml_path.xml_files = {}
+        df = make_epu_df(EPU_MICROS, groups=1)
+        with pytest.raises(Exception):
+            dispatch(
+                "assignOpticGroupByBeamShiftXY", df,
+                f"nClusters=2:xmlFolder={tmp_path}",
+            )
