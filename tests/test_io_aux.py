@@ -341,3 +341,67 @@ def test_emdb_singleton_and_amyloid_ids(tmp_path, monkeypatch):
         assert a.amyloid_atlas_ids() == ["1234"]
     finally:
         ds.EMDB._instance = None
+
+
+class TestCistemIngest:
+    def _make_db(self, path, tables=("REFINEMENT_RESULT_1",)):
+        import sqlite3
+
+        con = sqlite3.connect(path)
+        for t in tables:
+            con.execute(
+                f"CREATE TABLE {t} (POSITION_IN_STACK INTEGER, PSI REAL, "
+                "THETA REAL, PHI REAL, XSHIFT REAL, YSHIFT REAL, "
+                "DEFOCUS1 REAL, DEFOCUS2 REAL, DEFOCUS_ANGLE REAL, "
+                "SCORE REAL)"
+            )
+            for i in range(4):
+                con.execute(
+                    f"INSERT INTO {t} VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    (i + 1, 10.0 * i, 90.0, 5.0 * i, 1.0, -1.0,
+                     12000.0, 11000.0, 30.0, 0.5 + 0.01 * int(t[-1])),
+                )
+        con.commit()
+        con.close()
+
+    def test_reads_latest_refinement(self, tmp_path):
+        from helicon_tpu.io.metadata import cistem2dataframe
+
+        db = tmp_path / "proj.db"
+        self._make_db(db, ("REFINEMENT_RESULT_1", "REFINEMENT_RESULT_2"))
+        df = cistem2dataframe(str(db))
+        assert len(df) == 4
+        # latest table wins
+        assert df["rlnParticleScore"].iloc[0] == pytest.approx(0.52)
+        assert df["rlnAnglePsi"].iloc[1] == pytest.approx(10.0)
+        assert df["rlnImageName"].iloc[0].startswith("000001@")
+
+    def test_refinement_selector_prefix(self, tmp_path):
+        from helicon_tpu.io.metadata import cistem2dataframe
+
+        db = tmp_path / "proj.db"
+        self._make_db(db, ("REFINEMENT_RESULT_1", "REFINEMENT_RESULT_2"))
+        df = cistem2dataframe(f"1@{db}")
+        assert df["rlnParticleScore"].iloc[0] == pytest.approx(0.51)
+
+    def test_no_refinement_tables_raises(self, tmp_path):
+        import sqlite3
+
+        from helicon_tpu.io.metadata import cistem2dataframe
+        from helicon_tpu.utils import HeliconIOError
+
+        db = tmp_path / "empty.db"
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE OTHER (x INTEGER)")
+        con.commit()
+        con.close()
+        with pytest.raises(HeliconIOError):
+            cistem2dataframe(str(db))
+
+    def test_images2dataframe_dispatches_db(self, tmp_path):
+        from helicon_tpu.io.metadata import images2dataframe
+
+        db = tmp_path / "proj.db"
+        self._make_db(db)
+        df = images2dataframe(str(db), target_convention="relion")
+        assert "rlnAnglePsi" in df and len(df) == 4
