@@ -467,19 +467,20 @@ def _h_denoiseCurvelet(data, args, index_d, param):
         pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
         for name, particles in names.groupby(names, sort=False):
             apix = mrc_header(name).apix
-            imgs = []
-            for pid in pids.loc[particles.index].astype(int):
-                img = read_image_2d(name, int(pid) - 1 if tmp.shape[1] > 1 else 0)
-                imgs.append(
-                    np.asarray(
-                        denoise_curvelet_2d(
-                            img, transform=transform, threshold_sigma=threshold_sigma
+            out = outdir / Path(name).name
+            if attrSrc == "rlnImageName":
+                imgs = []
+                for pid in pids.loc[particles.index].astype(int):
+                    img = read_image_2d(name, int(pid) - 1)
+                    imgs.append(
+                        np.asarray(
+                            denoise_curvelet_2d(
+                                img, transform=transform,
+                                threshold_sigma=threshold_sigma,
+                            )
                         )
                     )
-                )
-            out = outdir / Path(name).name
-            write_mrc(out, np.stack(imgs), apix=apix)
-            if attrSrc == "rlnImageName":
+                write_mrc(out, np.stack(imgs), apix=apix)
                 new_names = (
                     pd.Series(
                         range(1, len(imgs) + 1), index=particles.index
@@ -489,6 +490,23 @@ def _h_denoiseCurvelet(data, args, index_d, param):
                 )
                 data.loc[particles.index, attrSrc] = new_names.values
             else:
+                # micrograph fallback: denoise each unique path ONCE
+                # regardless of how many rows reference it (reference
+                # denoisecurvelet.py micrograph path)
+                if mrc_header(name).nz > 1:
+                    raise HeliconError(
+                        f"{name}: 3D maps are not supported by "
+                        "--denoiseCurvelet on micrographs; use "
+                        "helicon proc3d --denoiseCurvelet"
+                    )
+                img = read_image_2d(name, 0)
+                den = np.asarray(
+                    denoise_curvelet_2d(
+                        img, transform=transform,
+                        threshold_sigma=threshold_sigma,
+                    )
+                )
+                write_mrc(out, den, apix=apix)
                 data.loc[particles.index, attrSrc] = str(out)
         index_d["denoiseCurvelet"] += 1
     return data, index_d

@@ -522,3 +522,49 @@ class TestBeamShiftXY:
                 "assignOpticGroupByBeamShiftXY", df,
                 f"nClusters=2:xmlFolder={tmp_path}",
             )
+
+
+class TestDenoiseCurveletFallback:
+    def test_micrograph_fallback_denoises_once(self, tmp_path, monkeypatch):
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(0)
+        mic = rng.normal(0, 1, (32, 32)).astype(np.float32)
+        write_mrc(tmp_path / "m1.mrc", mic, apix=1.0)
+        # 4 rows referencing the SAME micrograph, no rlnImageName
+        df = pd.DataFrame({"rlnMicrographName": [str(tmp_path / "m1.mrc")] * 4})
+        out = dispatch(
+            "denoiseCurvelet", df, f"transform=udct:outdir={tmp_path}/dn"
+        )
+        den, apix = read_mrc(tmp_path / "dn" / "m1.mrc")
+        assert np.squeeze(den).shape == (32, 32)  # ONE image, not 4 copies
+        assert (out["rlnMicrographName"] == str(tmp_path / "dn" / "m1.mrc")).all()
+
+    def test_micrograph_fallback_rejects_3d(self, tmp_path, monkeypatch):
+        from helicon_tpu.io.mrc import write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        vol = np.zeros((8, 16, 16), np.float32)
+        write_mrc(tmp_path / "vol.mrc", vol, apix=1.0)
+        df = pd.DataFrame({"rlnMicrographName": [str(tmp_path / "vol.mrc")]})
+        with pytest.raises(HeliconError):
+            dispatch(
+                "denoiseCurvelet", df, f"transform=udct:outdir={tmp_path}/dn"
+            )
+
+    def test_mct_transform_accepted(self, tmp_path, monkeypatch):
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(1)
+        stack = rng.normal(0, 1, (2, 32, 32)).astype(np.float32)
+        write_mrc(tmp_path / "p.mrcs", stack, apix=1.0)
+        df = pd.DataFrame(
+            {"rlnImageName": [f"{i + 1:06d}@{tmp_path}/p.mrcs" for i in range(2)]}
+        )
+        out = dispatch(
+            "denoiseCurvelet", df, f"transform=mct:outdir={tmp_path}/dn"
+        )
+        den, _ = read_mrc(tmp_path / "dn" / "p.mrcs")
+        assert den.shape == (2, 32, 32) and np.isfinite(den).all()
