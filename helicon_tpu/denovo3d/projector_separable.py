@@ -349,25 +349,69 @@ def build_problem_separable(
     if pair_ops is not None:
         ops_hc, ops_valid, pair_idx = pair_ops
 
+        # The symmetry ops factorize like P does: a z-shift (l3, l3)
+        # matrix (x) an in-plane rotation (d3^2, d3^2) matrix, both
+        # x-independent. Precomputing them turns every S and S^T matvec
+        # into two dense dot_generals — NO gathers, and crucially no
+        # scatters in the vjp (TPU scatters serialize and dominated the
+        # CG/FISTA iteration in the gather formulation).
+        yc2 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[:, None]
+        xc2 = (jnp.arange(d3, dtype=jnp.float32) - d3 // 2)[None, :]
+        pX0 = jnp.broadcast_to(xc2, (d3, d3)).reshape(-1)
+        pY0 = jnp.broadcast_to(yc2, (d3, d3)).reshape(-1)
+        z_pos0 = jnp.arange(l3, dtype=jnp.float32)
+
+        def _op_mats(h, c):
+            th = jnp.deg2rad(
+                twist_degree * h.astype(jnp.float32)
+                + 360.0 * c.astype(jnp.float32) / csym
+            )
+            cs, sn = jnp.cos(th), jnp.sin(th)
+            Xp = (pX0 * cs - pY0 * sn) + d3 // 2
+            Yp = (pX0 * sn + pY0 * cs) + d3 // 2
+            Mxy, xy_ok = _xy_interp_matrix(Xp, Yp, d3, plane_ok_flat, linear)
+            Mz = _z_interp_matrix(z_pos0 + h.astype(jnp.float32) * rise_pixel,
+                                  l3, linear)
+            z_ok = jnp.sum(Mz, axis=1) > 0
+            return Mz, Mxy, z_ok, xy_ok
+
+        Mz_ops, Mxy_ops, z_ok_ops, xy_ok_ops = jax.vmap(_op_mats)(
+            ops_hc[:, 0], ops_hc[:, 1]
+        )
+        Mz_ops = Mz_ops.astype(cdt)
+        Mxy_ops = Mxy_ops.astype(cdt)
+        op_ok = (
+            (z_ok_ops[:, :, None] & xy_ok_ops[:, None, :]).reshape(
+                -1, l3, d3, d3
+            )
+            & ops_valid[:, None, None, None]
+        )
+        pair_ok = (
+            op_ok[pair_idx[:, 0]]
+            & op_ok[pair_idx[:, 1]]
+            & (mask_f > 0.5)[None]
+            & pairs_valid[:, None, None, None]
+        )
+        if sym_keep is not None:
+            pair_ok = pair_ok & sym_keep
+        pair_ok_f = pair_ok.astype(jnp.float32)
+
         def S(x_vol):
-            xf = x_vol.reshape(-1)
-
-            def one_op(carry, hc):
-                v, ok = _op_sample(xf, hc[0], hc[1])
-                return carry, (v, ok)
-
-            _, (vals, oks) = jax.lax.scan(one_op, 0.0, ops_hc)
+            X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
+            # tmp[o, p, m'] = sum_d Mxy[o, p, d] X[m', d]
+            tmp = jax.lax.dot_general(
+                Mxy_ops, X2, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)  # (O, P, l3)
+            # vals[o, m, p] = sum_m' Mz[o, m, m'] tmp[o, p, m']
+            vals = jax.lax.dot_general(
+                Mz_ops, tmp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (O, l3, P)
+            vals = vals.reshape(-1, l3, d3, d3)
             v1 = vals[pair_idx[:, 0]]
             v2 = vals[pair_idx[:, 1]]
-            ok = (
-                oks[pair_idx[:, 0]]
-                & oks[pair_idx[:, 1]]
-                & (mask_f > 0.5)[None]
-                & pairs_valid[:, None, None, None]
-            )
-            if sym_keep is not None:
-                ok = ok & sym_keep
-            return (v1 - v2) * ok.astype(jnp.float32)
+            return (v1 - v2) * pair_ok_f
 
     else:
 
