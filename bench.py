@@ -86,8 +86,8 @@ def bench_etl():
 def main():
     if os.environ.get("HELICON_BENCH_METRIC", "denovo3d") == "etl":
         return bench_etl()
-    n_cand = int(os.environ.get("HELICON_BENCH_N", 512))
-    batch = int(os.environ.get("HELICON_BENCH_BATCH", 128))
+    n_cand = int(os.environ.get("HELICON_BENCH_N", 2048))
+    batch = int(os.environ.get("HELICON_BENCH_BATCH", 1024))
 
     import jax
 

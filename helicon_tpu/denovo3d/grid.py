@@ -256,9 +256,15 @@ def reconstruct_grid(
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     if batch_size is None:
-        # large batches amortize dispatch + precompute (the TPU sweet
-        # spot measured ~128/chip); candidates are cheap to pad
-        batch_size = max(n_dev, min(n_cand, 128 * n_dev))
+        # Large batches amortize dispatch overhead (measured: 138 -> 303
+        # candidates/s going 128 -> 1024 per chip with the matmul
+        # operators). The HBM ceiling is the per-candidate Wsum tensor
+        # (~5x C*d2*d3^2 bytes live in bf16 incl. XLA copies); autosize
+        # against ~9 GB/chip and clamp to [64, 1024] per chip.
+        per_cand = 5.0 * n_copies * geom.d2 * geom.d3 * geom.d3
+        auto = int(9e9 / max(per_cand, 1.0))
+        per_chip = max(64, min(1024, auto))
+        batch_size = max(n_dev, min(n_cand, per_chip * n_dev))
     batch_size = max(1, (batch_size // n_dev) * n_dev)
 
     def one(tw, ri, a, b, c, d, e, oh, ov, pi):
