@@ -188,6 +188,52 @@ def test_objective_beats_reference(ref_solver, test_image):
     assert objective(v_mine) <= objective(v_ref) * 1.001
 
 
+def test_converged_scores_match_to_1e5(ref_solver, test_image):
+    """With BOTH solvers driven to convergence (reference: lsq_linear
+    tol=1e-12; ours: cg=400/fista=2000) the scores agree to ~1e-5 on
+    non-degenerate candidates — measured 7.8e-7 at (29, 3) and 6.6e-6 at
+    (25, 3.4), volume correlations 1.00000 / 0.99987. (At the fully
+    degenerate (30, 3) — twist divides 360 — the reference stays ~2e-3
+    higher with a WORSE objective even at tol=1e-12: its inner LSMR is
+    capped at 1000 iterations; excluded here.)"""
+    import scipy.optimize as so
+
+    import helicon_tpu.denovo3d.solver as sol
+
+    orig_lsq = so.lsq_linear
+
+    def tight(*a, **k):
+        k["tol"] = 1e-12
+        k["max_iter"] = 2000
+        return orig_lsq(*a, **k)
+
+    orig_cfg = sol.SolveConfig
+
+    class CFG(orig_cfg):
+        def __new__(cls, **kw):
+            kw.setdefault("cg_iters", 400)
+            kw.setdefault("fista_iters", 2000)
+            kw.setdefault("power_iters", 20)
+            return orig_cfg.__new__(orig_cfg, **kw)
+
+    so.lsq_linear = tight
+    sol.SolveConfig = CFG
+    try:
+        for tw, ri, tol in [(29.0, 3.0, 1e-5), (25.0, 3.4, 3e-5)]:
+            _, s_ref = ref_solver.lsq_reconstruct(
+                projection_image=test_image, twist_degree=tw,
+                rise_pixel=ri, **COMMON,
+            )
+            _, s_mine = sol.lsq_reconstruct(
+                projection_image=test_image, twist_degree=tw,
+                rise_pixel=ri, **COMMON,
+            )
+            assert abs(s_mine - s_ref) < tol, (tw, ri, s_mine, s_ref)
+    finally:
+        so.lsq_linear = orig_lsq
+        sol.SolveConfig = orig_cfg
+
+
 def test_volume_correlates_with_reference(ref_solver, test_image):
     from helicon_tpu.denovo3d.solver import lsq_reconstruct as mine
 
