@@ -428,3 +428,48 @@ def test_webapp_modules_importable_without_shiny():
     if has_shiny:
         importlib.import_module("helicon_tpu.webApps.denovo3D.app")
         importlib.import_module("helicon_tpu.webApps.whereIsMyClass.app")
+
+
+def test_ptycho_h5_loader(tmp_path):
+    """4D-STEM h5 ingest (reference lib/ptycho.py:12-52 analog)."""
+    import h5py
+
+    from helicon_tpu.core.ptycho import load_h5_file
+
+    f = tmp_path / "scan.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(f, "w") as h:
+        g = h.create_group("datacube")
+        d = g.create_dataset("data", data=rng.random((3, 4, 8, 8)))
+        d.attrs["energy"] = 200.0
+        d.attrs["pixel_size"] = 0.5
+    data, meta, energy, apix, defocus = load_h5_file(str(f))
+    assert data.shape == (3, 4, 8, 8)
+    assert energy == pytest.approx(200.0)
+    assert apix == pytest.approx(0.5)
+
+
+def test_ptycho_h5_loader_no_4d_raises(tmp_path):
+    import h5py
+
+    from helicon_tpu.core.ptycho import load_h5_file
+
+    f = tmp_path / "bad.h5"
+    with h5py.File(f, "w") as h:
+        h.create_dataset("img", data=np.zeros((4, 4)))
+    with pytest.raises(ValueError):
+        load_h5_file(str(f))
+
+
+def test_ptycho_reconstruct_gated():
+    from helicon_tpu.core.ptycho import reconstruct_ptychography
+    from helicon_tpu.utils import HeliconDependencyError
+
+    try:
+        import py4DSTEM  # noqa: F401
+
+        pytest.skip("py4DSTEM installed")
+    except ImportError:
+        pass
+    with pytest.raises(HeliconDependencyError):
+        reconstruct_ptychography()
