@@ -86,7 +86,10 @@ def bench_etl():
 def main():
     if os.environ.get("HELICON_BENCH_METRIC", "denovo3d") == "etl":
         return bench_etl()
-    n_cand = int(os.environ.get("HELICON_BENCH_N", 2048))
+    # default N = the north-star workload itself (10^4 candidates);
+    # async batch dispatch pipelines host prep + transfers behind device
+    # compute, so sustained throughput keeps rising with N
+    n_cand = int(os.environ.get("HELICON_BENCH_N", 10240))
     batch = int(os.environ.get("HELICON_BENCH_BATCH", 1024))
 
     import jax

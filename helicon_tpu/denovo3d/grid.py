@@ -298,6 +298,7 @@ def reconstruct_grid(
         put = jnp.asarray
 
     scores = np.zeros(n_cand, np.float32)
+    pending = []  # keep dispatch ASYNC: enqueue all batches, then block
     for start in range(0, n_cand, batch_size):
         end = min(start + batch_size, n_cand)
         sl = slice(start, end)
@@ -320,7 +321,9 @@ def reconstruct_grid(
             pad_to(ops_v[sl]),
             pad_to(pair_idx[sl]),
         )
-        scores[sl] = np.asarray(s)[: end - start]
+        pending.append((sl, end - start, s))
+    for sl, n_valid, s in pending:
+        scores[sl] = np.asarray(s)[:n_valid]
 
     result = GridResult(
         twists=twists,
