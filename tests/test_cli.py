@@ -184,3 +184,37 @@ def test_cli_denovo3d(tmp_path):
     assert r.returncode == 0, r.stderr
     outs = sorted(tmp_path.glob("result*"))
     assert outs, r.stdout
+
+
+def test_cli_images2star_split(tmp_path, relion_df):
+    """--splitNumSets by evenodd and by micrograph (reference
+    images2star.py:246-297 splitting)."""
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    dataframe2file(df, str(tmp_path / "in.star"))
+    r = run_cli(
+        "images2star", "in.star", "out.star",
+        "--splitNumSets", "2", "--splitMode", "evenodd",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "out.e.star").exists()
+    assert (tmp_path / "out.o.star").exists()
+    from helicon_tpu.io.metadata import star2dataframe
+
+    e = star2dataframe(tmp_path / "out.e.star")
+    o = star2dataframe(tmp_path / "out.o.star")
+    assert len(e) + len(o) == len(df)
+    assert abs(len(e) - len(o)) <= 1
+
+    r = run_cli(
+        "images2star", "in.star", "bymic.star",
+        "--splitNumSets", "2", "--splitMode", "micrograph",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    s0 = star2dataframe(tmp_path / "bymic.subset-0.star")
+    s1 = star2dataframe(tmp_path / "bymic.subset-1.star")
+    # micrograph granularity: each subset holds whole micrographs
+    assert set(s0["rlnMicrographName"]).isdisjoint(set(s1["rlnMicrographName"]))
+    assert len(s0) + len(s1) == len(df)
