@@ -83,9 +83,89 @@ def bench_etl():
     }))
 
 
+def bench_ctf():
+    """ctfSimulation 512^2 throughput (BASELINE.md benchmark config)."""
+    import jax
+
+    from helicon_tpu.core.ctf import ctf_2d
+
+    n_rep = int(os.environ.get("HELICON_BENCH_CTF_REPS", 200))
+    fn = jax.jit(
+        lambda d: ctf_2d((512, 512), apix=1.0, defocus_u_A=d, defocus_v_A=d * 0.9,
+                         astig_angle_deg=30.0)
+    )
+    fn(10000.0).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = fn(10000.0 + 10.0 * i)
+    out.block_until_ready()
+    rate = n_rep / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "ctf2d_512_images_per_s", "value": round(rate, 1),
+        "unit": "images/s", "vs_baseline": round(rate / 100, 4),
+    }))
+
+
+def bench_hill():
+    """hill power-spectrum pipeline on a 256^2 class average
+    (BASELINE.md benchmark config): compute_power_spectra + layer-line
+    detection."""
+    import helicon_tpu as ht
+    from helicon_tpu.helix import detect_layer_lines
+
+    img = np.squeeze(np.asarray(ht.simulate_helical_projection(
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=256, nx=256,
+        apix=1.5, rng=0))).T
+    # warm up the (jitted) spectrum path
+    pwr, _ = ht.compute_power_spectra(img, apix=1.5)
+    np.asarray(pwr)
+    n_rep = int(os.environ.get("HELICON_BENCH_HILL_REPS", 50))
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        pwr, _ = ht.compute_power_spectra(img, apix=1.5)
+        detect_layer_lines(np.asarray(pwr), apix=1.5, radius=50.0)
+    rate = n_rep / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "hill_256_spectra_per_s", "value": round(rate, 1),
+        "unit": "spectra/s", "vs_baseline": round(rate / 10, 4),
+    }))
+
+
+def bench_xcorr():
+    """whereIsMyClass 50 classes x 1k segments batched FFT xcorr
+    (BASELINE.md benchmark config)."""
+    from helicon_tpu.core.xcorr import batched_cross_correlation
+
+    rng = np.random.default_rng(0)
+    classes = rng.standard_normal((50, 64, 64)).astype(np.float32)
+    segments = rng.standard_normal((1000, 64, 64)).astype(np.float32)
+    # warm up / compile
+    batched_cross_correlation(segments[:8], classes)
+    t0 = time.perf_counter()
+    ccc, shifts = batched_cross_correlation(segments, classes)
+    np.asarray(ccc)
+    dt = time.perf_counter() - t0
+    n_pairs = len(classes) * len(segments)
+    rate = n_pairs / dt
+    print(json.dumps({
+        "metric": "xcorr_pairs_per_s", "value": round(rate, 1),
+        # baseline: measured numpy-FFT CPU rate on this host for the
+        # same (64^2) workload: ~1930 pairs/s
+        "unit": "pairs/s", "vs_baseline": round(rate / 1930, 4),
+    }))
+
+
 def main():
-    if os.environ.get("HELICON_BENCH_METRIC", "denovo3d") == "etl":
+    metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
+    if metric == "etl":
         return bench_etl()
+    if metric == "ctf":
+        return bench_ctf()
+    if metric == "hill":
+        return bench_hill()
+    if metric == "xcorr":
+        return bench_xcorr()
     # default N = the north-star workload itself (10^4 candidates);
     # async batch dispatch pipelines host prep + transfers behind device
     # compute, so sustained throughput keeps rising with N

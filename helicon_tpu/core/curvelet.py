@@ -96,14 +96,16 @@ def _windows_2d(ny: int, nx: int, n_scales: int, n_angles_coarse: int):
     raw = np.stack(raws)
     norm = np.sqrt(np.sum(raw * raw, axis=0))
     norm = np.where(norm > 1e-12, norm, 1.0)
+    # cache NUMPY only (jnp arrays cached inside a jit trace leak tracers)
     U = (raw / norm).astype(np.float32)
-    return jnp.asarray(U), meta
+    return U, meta
 
 
 def curvelet_bands_2d(shape, n_scales: int = 4, n_angles: int = 8):
     """The (K, ny, nx) tight-frame window stack and band metadata."""
     ny, nx = shape
-    return _windows_2d(ny, nx, n_scales, n_angles)
+    U, meta = _windows_2d(ny, nx, n_scales, n_angles)
+    return jnp.asarray(U), meta
 
 
 def curvelet_transform_2d(image, n_scales: int = 4, n_angles: int = 8):
@@ -231,7 +233,8 @@ def _radial_bands_3d(nz: int, ny: int, nx: int, n_scales: int):
     raw = np.stack(raws)
     norm = np.sqrt(np.sum(raw * raw, axis=0))
     norm = np.where(norm > 1e-12, norm, 1.0)
-    return jnp.asarray((raw / norm).astype(np.float32))
+    # cache NUMPY only (jnp arrays cached inside a jit trace leak tracers)
+    return (raw / norm).astype(np.float32)
 
 
 def denoise_curvelet_3d(

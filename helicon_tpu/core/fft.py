@@ -49,13 +49,21 @@ def use_matmul_dft() -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _dft_mats(n: int, inverse: bool):
-    """(cos, sin) of the n x n DFT matrix, sign folded into sin."""
+def _dft_mats_np(n: int, inverse: bool):
+    """(cos, sin) of the n x n DFT matrix, sign folded into sin.
+
+    Cache NUMPY arrays only: caching jnp arrays created inside a jit
+    trace leaks tracers into later traces (UnexpectedTracerError)."""
     k = np.arange(n)
     ang = 2.0 * math.pi * np.outer(k, k) / n
     sign = 1.0 if inverse else -1.0
     c = np.cos(ang).astype(np.float32)
     s = (sign * np.sin(ang)).astype(np.float32)
+    return c, s
+
+
+def _dft_mats(n: int, inverse: bool):
+    c, s = _dft_mats_np(n, inverse)
     return jnp.asarray(c), jnp.asarray(s)
 
 

@@ -521,26 +521,34 @@ def fft_rescale(data, apix: float = 1.0, cutoff_res=None, output_size=None):
             f = np.fft.fftfreq(om) * zoom
             p = np.exp(2j * np.pi * f * (n_in / 2.0))
             ph = p if ph is None else np.multiply.outer(ph, p)
-        return jnp.asarray(ph.astype(np.complex64))
+        return ph
+
+    def _apply_phase(fft, ph):
+        # decomposed complex multiply: the axon TPU backend lacks the
+        # complex-arithmetic HLOs (same reason core/fft.py emulates the
+        # DFT with real matmuls)
+        pr = jnp.asarray(np.real(ph).astype(np.float32))
+        pi = jnp.asarray(np.imag(ph).astype(np.float32))
+        fr = jnp.real(fft)
+        fi = jnp.imag(fft)
+        return jax.lax.complex(fr * pr - fi * pi, fr * pi + fi * pr)
 
     if data.ndim == 2:
         cy, cx = cutoff_res if cutoff_res else (2 * apix, 2 * apix)
         ony, onx = output_size if output_size else data.shape
         zooms = (2 * apix / cy, 2 * apix / cx)
         fft = zoom_fft_2d(data, (ony, onx), zooms)
-        fft = fft * _center_phase((ony, onx), zooms, data.shape)
         iy = np.indices((ony, onx)).sum(axis=0) % 2
-        phase = jnp.asarray(np.where(iy, -1.0, 1.0), jnp.float32)
-        return fft * phase
+        ph = _center_phase((ony, onx), zooms, data.shape) * np.where(iy, -1.0, 1.0)
+        return _apply_phase(fft, ph)
     if data.ndim == 3:
         cz, cy, cx = cutoff_res if cutoff_res else (2 * apix,) * 3
         onz, ony, onx = output_size if output_size else data.shape
         zooms = (2 * apix / cz, 2 * apix / cy, 2 * apix / cx)
         fft = zoom_fft_3d(data, (onz, ony, onx), zooms)
-        fft = fft * _center_phase((onz, ony, onx), zooms, data.shape)
         idx = np.indices((onz, ony, onx)).sum(axis=0) % 2
-        phase = jnp.asarray(np.where(idx, -1.0, 1.0), jnp.float32)
-        return fft * phase
+        ph = _center_phase((onz, ony, onx), zooms, data.shape) * np.where(idx, -1.0, 1.0)
+        return _apply_phase(fft, ph)
     raise ValueError("only 2D images and 3D maps are supported")
 
 
