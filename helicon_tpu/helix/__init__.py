@@ -35,3 +35,8 @@ from .pitch import (  # noqa: F401
     estimate_pitch_from_class2d,
     estimate_pitch_from_pair_distances,
 )
+from .lattice import (  # noqa: F401
+    helical_lattice_points,
+    lattice_vectors_from_parameters,
+    parameters_from_lattice_vectors,
+)

@@ -187,3 +187,47 @@ class TestPitchEstimation:
             params, class_indices=[0], csym=1, rise=4.75, bins=150
         )
         assert out["pitch"] == pytest.approx(P, rel=0.05), out["pitch"]
+
+
+class TestHelicalLattice:
+    """Native helicalLattice core (helicon_tpu/helix/lattice.py)."""
+
+    def test_round_trip_parameters(self):
+        from helicon_tpu.helix import (
+            lattice_vectors_from_parameters,
+            parameters_from_lattice_vectors,
+        )
+
+        for tw, ri, cs in [(29.4, 4.75, 1), (-50.0, 2.4, 3), (179.4, 2.35, 1)]:
+            v = lattice_vectors_from_parameters(tw, ri, radius=50.0, csym=cs)
+            tw2, ri2, cs2 = parameters_from_lattice_vectors(v[0], v[1], 50.0)
+            assert cs2 == cs
+            assert ri2 == pytest.approx(ri)
+            # twist recovered modulo the csym wedge and sign convention
+            period = 360.0 / cs
+            d = (tw2 - tw) % period
+            assert min(d, period - d) < 1e-6, (tw, tw2)
+
+    def test_lattice_points_on_helix(self):
+        from helicon_tpu.helix import helical_lattice_points
+
+        pts = helical_lattice_points(30.0, 4.75, radius=50.0, csym=2,
+                                     length=50.0)
+        assert pts.shape[1] == 2
+        circ = 2 * np.pi * 50.0
+        assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= circ).all()
+        assert np.abs(pts[:, 1]).max() <= 25.0
+        # z levels are multiples of the rise; each level holds csym points
+        levels, counts = np.unique(np.round(pts[:, 1], 6), return_counts=True)
+        assert (counts == 2).all()
+        spacing = np.diff(np.sort(levels))
+        assert np.allclose(spacing, 4.75)
+
+    def test_incommensurate_v2_rejected(self):
+        from helicon_tpu.helix import parameters_from_lattice_vectors
+
+        circ = 2 * np.pi * 50.0
+        with pytest.raises(ValueError):
+            parameters_from_lattice_vectors(
+                [10.0, 4.75], [circ / 2.37, 0.0], 50.0
+            )
