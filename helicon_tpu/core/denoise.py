@@ -48,8 +48,12 @@ def denoise_tv_chambolle(image, weight: float = 0.1, n_iter: int = 50):
         gx, gy = grad(u)
         norm = jnp.sqrt(gx * gx + gy * gy)
         denom = 1.0 + (tau / weight) * norm
-        px = (px + (tau / weight) * gx) / denom
-        py = (py + (tau / weight) * gy) / denom
+        # Chambolle 2004 dual ascent: p <- (p - (tau/lambda) grad u) /
+        # (1 + (tau/lambda)|grad u|)  — note the MINUS sign
+        # (p^{n+1} = (p + tau grad(div p - f/lambda)) / (...), and
+        # grad(div p - f/lambda) = -grad(u)/lambda)
+        px = (px - (tau / weight) * gx) / denom
+        py = (py - (tau / weight) * gy) / denom
         return (px, py), None
 
     (px, py), _ = jax.lax.scan(

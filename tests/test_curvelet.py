@@ -289,3 +289,53 @@ class TestFeatureFlags:
         assert ht.has_curvelet_fdct() is True
         assert ht.has_curvelet_udct() is True
         assert ht.has_curvelet_udct_gpu() is False
+
+
+class TestDenoisers:
+    """core/denoise.py (TV-Chambolle, Haar wavelet, NL-means) — the
+    pipeline's denoise= option backends (reference pipeline.py:180-229)."""
+
+    def _noisy(self, sigma=0.4, seed=0):
+        clean = _structured_image(48, 48)
+        rng = np.random.default_rng(seed)
+        return clean, (clean + rng.normal(0, sigma, clean.shape)).astype(
+            np.float32
+        )
+
+    def test_tv_improves_mse(self):
+        from helicon_tpu.core.denoise import denoise_tv_chambolle
+
+        clean, noisy = self._noisy()
+        den = np.asarray(denoise_tv_chambolle(noisy, weight=0.2))
+        assert np.mean((den - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+    def test_wavelet_improves_mse(self):
+        from helicon_tpu.core.denoise import denoise_wavelet
+
+        clean, noisy = self._noisy()
+        den = np.asarray(denoise_wavelet(noisy))
+        assert np.mean((den - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+    def test_nl_means_improves_mse(self):
+        from helicon_tpu.core.denoise import denoise_nl_means
+
+        clean, noisy = self._noisy()
+        den = np.asarray(denoise_nl_means(noisy, patch_size=3, search_radius=4))
+        assert np.mean((den - clean) ** 2) < np.mean((noisy - clean) ** 2)
+
+    def test_denoise_image_dispatch(self):
+        from helicon_tpu.core.denoise import denoise_image
+
+        _, noisy = self._noisy()
+        for method in ("tv", "wavelet", "nl_mean"):
+            out = np.asarray(denoise_image(noisy, method=method))
+            assert out.shape == noisy.shape and np.isfinite(out).all()
+        with pytest.raises(Exception):
+            denoise_image(noisy, method="nope")
+
+    def test_constant_image_stable(self):
+        from helicon_tpu.core.denoise import denoise_tv_chambolle
+
+        img = np.full((32, 32), 2.0, np.float32)
+        out = np.asarray(denoise_tv_chambolle(img))
+        np.testing.assert_allclose(out, img, atol=1e-4)
