@@ -142,3 +142,15 @@ def test_process_one_task_projections_match_volume(helix_image):
     assert np.isfinite(x_proj).all() and np.isfinite(y_proj).all()
     assert float(np.abs(x_proj).max()) > 0
     assert rec3d.ndim == 3 and np.isfinite(rec3d).all()
+
+
+@pytest.mark.parametrize("denoise", ["tv", "nl_mean", "wavelet"])
+def test_process_one_task_with_denoise(helix_image, denoise):
+    """All three denoise= preparation backends end-to-end (the TV sign
+    bug made denoise=tv AMPLIFY noise before this test existed)."""
+    noisy = np.asarray(helix_image) + 0.3 * np.random.default_rng(
+        0
+    ).standard_normal(np.asarray(helix_image).shape).astype(np.float32)
+    result = process_one_task(**make_task(noisy, 30.0, 6.0, denoise=denoise))
+    assert result is not None
+    assert 0 < result[0] <= 1
