@@ -218,3 +218,20 @@ def test_cli_images2star_split(tmp_path, relion_df):
     # micrograph granularity: each subset holds whole micrographs
     assert set(s0["rlnMicrographName"]).isdisjoint(set(s1["rlnMicrographName"]))
     assert len(s0) + len(s1) == len(df)
+
+
+def test_launcher_modules_well_formed():
+    """Every web-app launcher module imports and exposes add_args/main
+    (the dispatcher requires both; they stay hidden without
+    shiny/streamlit, matching the reference's gating)."""
+    from importlib import import_module
+
+    for name in (
+        "denovo3D", "whereIsMyClass", "helicalPitch", "helicalProjection",
+        "hill", "ctfSimulation", "hi3d", "helicalLattice", "procart",
+        "map2seq",
+    ):
+        mod = import_module(f"helicon_tpu.commands.{name}")
+        assert hasattr(mod, "add_args"), name
+        assert hasattr(mod, "main"), name
+        assert mod.__doc__, name
