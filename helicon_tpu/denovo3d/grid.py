@@ -257,13 +257,16 @@ def reconstruct_grid(
     n_dev = len(devices)
     if batch_size is None:
         # Large batches amortize dispatch overhead (measured: 138 -> 303
-        # candidates/s going 128 -> 1024 per chip with the matmul
-        # operators). The HBM ceiling is the per-candidate Wsum tensor
-        # (~5x C*d2*d3^2 bytes live in bf16 incl. XLA copies); autosize
-        # against ~9 GB/chip and clamp to [64, 1024] per chip.
-        per_cand = 5.0 * n_copies * geom.d2 * geom.d3 * geom.d3
+        # -> 1638 candidates/s going 128 -> 1024 per chip with the matmul
+        # operators + async dispatch). The HBM ceiling is the larger of
+        # the per-candidate Wsum tensor (~5x C*d2*d3^2 bytes live in
+        # bf16 incl. XLA copies) and the dense symmetry matrices
+        # (n_ops x d3^2 x d3^2 — dominant for d3 >~ 40); autosize
+        # against ~9 GB/chip and clamp to [8, 1024] per chip.
+        d3sq = geom.d3 * geom.d3
+        per_cand = 5.0 * n_copies * geom.d2 * d3sq + 3.0 * n_ops * d3sq * d3sq
         auto = int(9e9 / max(per_cand, 1.0))
-        per_chip = max(64, min(1024, auto))
+        per_chip = max(8, min(1024, auto))
         batch_size = max(n_dev, min(n_cand, per_chip * n_dev))
     batch_size = max(1, (batch_size // n_dev) * n_dev)
 
