@@ -346,7 +346,16 @@ def build_problem_separable(
         Z = (gZ0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
         return sym_sample(xf, sym_aux_flat, Z, Y, X, d3, l3)
 
-    if pair_ops is not None:
+    # The dense matmul-S matrices cost n_ops * d3^4 elements per
+    # candidate; past ~32 MB the HBM bill (x batch) outweighs the
+    # scatter savings, so fall back to the gather op-table formulation.
+    n_ops_static = int(pair_ops[0].shape[0]) if pair_ops is not None else 0
+    use_matmul_sym = (
+        pair_ops is not None
+        and n_ops_static * (d3**4) * 2 <= 32 * 1024 * 1024
+    )
+
+    if pair_ops is not None and use_matmul_sym:
         ops_hc, ops_valid, pair_idx = pair_ops
 
         # The symmetry ops factorize like P does: a z-shift (l3, l3)
@@ -414,6 +423,8 @@ def build_problem_separable(
             return (v1 - v2) * pair_ok_f
 
     else:
+        # gather formulation: used when pair_ops is absent OR the dense
+        # matrices would be too large (see use_matmul_sym above)
 
         _keep = (
             jnp.ones((len(pairs_hc),) + geom.volume_shape, bool)
