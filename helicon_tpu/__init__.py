@@ -73,6 +73,7 @@ from .io.metadata import (  # noqa: F401
     star2dataframe,
     star_build_opticsgroup,
     star_dissolve_opticsgroup,
+    star_to_dataframe,
 )
 from .io.epu import (  # noqa: F401
     EPU_micrograph_path_2_movie_xml_path,

@@ -1160,3 +1160,25 @@ def connect_cryosparc(*args, **kwargs):
             "connect_cryosparc requires the cryosparc-tools package"
         ) from e
     raise NotImplementedError  # pragma: no cover
+
+
+def star_to_dataframe(starFile, logger=None):
+    """star2dataframe plus split pid/filename columns (reference
+    io.py:1059-1096): identifies rlnImageName or rlnReferenceImage and
+    adds 0-based ``pid`` and ``filename`` columns."""
+    df = star2dataframe(starFile=starFile)
+    fileNameCol = next(
+        (c for c in ("rlnImageName", "rlnReferenceImage") if c in df), ""
+    )
+    if not fileNameCol:
+        msg = (
+            "cannot find 'rlnImageName' or 'rlnReferenceImage' in the "
+            f"input {starFile}"
+        )
+        if logger:
+            logger.error(msg)
+        raise KeyError(msg)
+    tmp = df[fileNameCol].str.split("@", expand=True)
+    df["pid"] = tmp.iloc[:, 0].astype(int) - 1
+    df["filename"] = tmp.iloc[:, -1]
+    return df

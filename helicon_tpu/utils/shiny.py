@@ -12,12 +12,15 @@ from ..utils.exceptions import HeliconDependencyError
 from .system import encode_numpy, has_shiny
 
 __all__ = [
+    "file_selection_server",
+    "file_selection_ui",
+    "get_client_url",
+    "get_client_url_query_params",
     "google_analytics",
     "image_gallery",
     "image_select",
-    "set_client_url_query_params",
-    "get_client_url_query_params",
     "server_file_browser",
+    "set_client_url_query_params",
 ]
 
 
@@ -140,3 +143,53 @@ def set_client_url_query_params(query_params: dict):
         return ui.tags.script(js)
     except ImportError:
         return f"<script>{js}</script>"
+
+
+def get_client_url(input):
+    """Full client URL reconstructed from Shiny clientdata (reference
+    lib/shiny.py:542-557)."""
+    d = input._map
+    return (
+        f"{d['.clientdata_url_protocol']()}//"
+        f"{d['.clientdata_url_hostname']()}:{d['.clientdata_url_port']()}"
+        f"{d['.clientdata_url_pathname']()}{d['.clientdata_url_search']()}"
+    )
+
+
+def file_selection_ui(label="Select a file", value=None, width="100%"):
+    """Browse-popover file selector UI (reference lib/shiny.py:343-397)."""
+    shiny = _require_shiny()
+    from shiny import ui
+
+    return ui.div(
+        ui.input_text("file_selection_path", label, value=value or "",
+                      width=width),
+        ui.input_action_button("file_selection_browse", "Browse"),
+    )
+
+
+def file_selection_server(
+    input, output, session, file_types=None, ignore_hidden_files=True
+):
+    """Server half of the file selector (reference lib/shiny.py:398-523):
+    returns a reactive calc yielding the selected path."""
+    shiny = _require_shiny()
+    from shiny import reactive
+
+    @reactive.calc
+    def selected_file():
+        path = input.file_selection_path()
+        if not path:
+            return None
+        if file_types:
+            types = [file_types] if isinstance(file_types, str) else file_types
+            if not any(str(path).endswith(t) for t in types):
+                return None
+        from pathlib import Path
+
+        p = Path(path)
+        if ignore_hidden_files and p.name.startswith("."):
+            return None
+        return p if p.exists() else None
+
+    return selected_file

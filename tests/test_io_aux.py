@@ -405,3 +405,21 @@ class TestCistemIngest:
         self._make_db(db)
         df = images2dataframe(str(db), target_convention="relion")
         assert "rlnAnglePsi" in df and len(df) == 4
+
+
+def test_star_to_dataframe_pid_filename(tmp_path, relion_df):
+    """star_to_dataframe adds 0-based pid + filename columns (reference
+    io.py:1059-1096)."""
+    import helicon_tpu as ht
+    from helicon_tpu.io.metadata import dataframe2star
+
+    dataframe2star(relion_df, tmp_path / "in.star")
+    df = ht.star_to_dataframe(tmp_path / "in.star")
+    assert "pid" in df and "filename" in df
+    assert df["pid"].iloc[0] == 0
+    assert df["filename"].iloc[0].endswith(".mrcs")
+
+    bad = relion_df.drop(columns=["rlnImageName"])
+    dataframe2star(bad, tmp_path / "bad.star")
+    with pytest.raises(KeyError):
+        ht.star_to_dataframe(tmp_path / "bad.star")
