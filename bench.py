@@ -107,9 +107,13 @@ def bench_ctf():
 
 
 def bench_hill():
-    """hill power-spectrum pipeline on a 256^2 class average
-    (BASELINE.md benchmark config): compute_power_spectra + layer-line
-    detection."""
+    """hill power-spectrum pipeline on 256^2 class averages
+    (BASELINE.md benchmark config): vmapped compute_power_spectra +
+    host layer-line detection. Batched — per-call dispatch over the
+    axon tunnel costs ~40 ms RTT, so the realistic many-class workload
+    vmaps the spectra (9.6 -> ~75 spectra/s)."""
+    import jax
+
     import helicon_tpu as ht
     from helicon_tpu.helix import detect_layer_lines
 
@@ -117,14 +121,14 @@ def bench_hill():
         n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
         ball_radius=5.0, polymer=0, planarity=1.0, ny=256, nx=256,
         apix=1.5, rng=0))).T
-    # warm up the (jitted) spectrum path
-    pwr, _ = ht.compute_power_spectra(img, apix=1.5)
-    np.asarray(pwr)
     n_rep = int(os.environ.get("HELICON_BENCH_HILL_REPS", 50))
+    stack = np.stack([img] * n_rep)
+    fn = jax.jit(jax.vmap(lambda im: ht.compute_power_spectra(im, apix=1.5)[0]))
+    np.asarray(fn(stack))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        pwr, _ = ht.compute_power_spectra(img, apix=1.5)
-        detect_layer_lines(np.asarray(pwr), apix=1.5, radius=50.0)
+    pwrs = np.asarray(fn(stack))
+    for p in pwrs:
+        detect_layer_lines(p, apix=1.5, radius=50.0)
     rate = n_rep / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "hill_256_spectra_per_s", "value": round(rate, 1),
