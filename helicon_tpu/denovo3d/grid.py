@@ -268,7 +268,10 @@ def reconstruct_grid(
         auto = int(9e9 / max(per_cand, 1.0))
         per_chip = max(8, min(1024, auto))
         batch_size = max(n_dev, min(n_cand, per_chip * n_dev))
-    batch_size = max(1, (batch_size // n_dev) * n_dev)
+    # round UP to a multiple of the device count (a user batch smaller
+    # than n_dev would otherwise produce an unshardable batch of 1;
+    # padding fills the remainder)
+    batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
 
     def one(tw, ri, a, b, c, d, e, oh, ov, pi):
         out = _solve_candidate_impl(

@@ -154,3 +154,53 @@ def test_process_one_task_with_denoise(helix_image, denoise):
     result = process_one_task(**make_task(noisy, 30.0, 6.0, denoise=denoise))
     assert result is not None
     assert 0 < result[0] <= 1
+
+
+def test_reconstruct_grid_linear_interpolation(helix_image):
+    """Grid search with trilinear interpolation end-to-end."""
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img = np.squeeze(np.asarray(helix_image))
+    res = reconstruct_grid(
+        img, apix=2.0, twists=np.array([25.0, 30.0, 35.0], np.float32),
+        rises=np.array([6.0, 6.0, 6.0], np.float32),
+        interpolation="linear", cg_iters=10, fista_iters=8,
+        batch_size=3, return_best_volume=True,
+    )
+    s = np.asarray(res.scores)
+    assert np.isfinite(s).all() and (s > 0).all()
+    assert int(np.argmax(s)) == 1  # truth twist=30
+    assert res.best_volume is not None
+
+
+def test_reconstruct_grid_gather_fallback_geometry(helix_image):
+    """A geometry past the 32MB dense-S threshold uses the gather
+    fallback inside the full grid flow (target_apix3d small -> big d3)."""
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img = np.squeeze(np.asarray(helix_image))
+    res = reconstruct_grid(
+        img, apix=2.0, twists=np.array([30.0], np.float32),
+        rises=np.array([6.0], np.float32),
+        target_apix2d=2.0, target_apix3d=1.0,  # d3 ~ 44+
+        cg_iters=5, fista_iters=4, batch_size=1, return_best_volume=False,
+    )
+    s = np.asarray(res.scores)
+    assert np.isfinite(s).all() and (s > 0).all()
+    assert res.geom.d3 >= 40  # confirms the big-geometry path was taken
+
+
+def test_build_candidate_grid_handedness():
+    from helicon_tpu.denovo3d import build_candidate_grid
+
+    tw, ri = build_candidate_grid(29.4, 29.4, 1.0, 4.75, 4.75, 1.0,
+                                  handedness="left")
+    np.testing.assert_allclose(tw, [-29.4], rtol=1e-6)
+    tw, ri = build_candidate_grid(29.4, 29.4, 1.0, 4.75, 4.75, 1.0,
+                                  handedness="right")
+    np.testing.assert_allclose(tw, [29.4], rtol=1e-6)
+    # reference semantics (app.py:2309-2321): anything other than
+    # left/right leaves the single twist as given (no +/- expansion)
+    tw, ri = build_candidate_grid(29.4, 29.4, 1.0, 4.75, 4.75, 1.0,
+                                  handedness="both")
+    np.testing.assert_allclose(tw, [29.4], rtol=1e-6)
