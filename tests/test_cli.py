@@ -235,3 +235,57 @@ def test_launcher_modules_well_formed():
         assert hasattr(mod, "add_args"), name
         assert hasattr(mod, "main"), name
         assert mod.__doc__, name
+
+
+def test_cli_images2star_cs_to_star(tmp_path):
+    """CryoSPARC .cs in -> RELION .star out through the CLI (the
+    cross-convention conversion path end-to-end)."""
+    from helicon_tpu.io.cs import write_cs
+
+    n = 8
+    arr = np.zeros(
+        n,
+        dtype=[
+            ("uid", "<u8"),
+            ("blob/idx", "<u4"),
+            ("blob/path", "S30"),
+            ("blob/psize_A", "<f4"),
+            ("ctf/df1_A", "<f4"),
+            ("ctf/df2_A", "<f4"),
+            ("ctf/df_angle_rad", "<f4"),
+            ("ctf/accel_kv", "<f4"),
+            ("ctf/cs_mm", "<f4"),
+            ("ctf/amp_contrast", "<f4"),
+            ("location/micrograph_path", "S20"),
+            ("location/center_x_frac", "<f4"),
+            ("location/center_y_frac", "<f4"),
+            ("location/micrograph_shape", "<u4", (2,)),
+        ],
+    )
+    arr["uid"] = np.arange(n) + 1
+    arr["blob/idx"] = np.arange(n)
+    arr["blob/path"] = b"extract/stack.mrcs"
+    arr["blob/psize_A"] = 1.2
+    arr["ctf/df1_A"] = 12000.0
+    arr["ctf/df2_A"] = 11000.0
+    arr["ctf/df_angle_rad"] = 0.5
+    arr["ctf/accel_kv"] = 300.0
+    arr["ctf/cs_mm"] = 2.7
+    arr["ctf/amp_contrast"] = 0.1
+    arr["location/micrograph_path"] = b"mics/m1.mrc"
+    arr["location/center_x_frac"] = 0.5
+    arr["location/center_y_frac"] = 0.5
+    arr["location/micrograph_shape"] = (4096, 4096)
+    write_cs(tmp_path / "particles.cs", arr)
+    r = run_cli(
+        "images2star", "particles.cs", "out.star", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    df = star2dataframe(tmp_path / "out.star")
+    assert len(df) == n
+    assert "rlnDefocusU" in df
+    assert df["rlnDefocusU"].iloc[0] == pytest.approx(12000.0)
+    assert df["rlnImageName"].iloc[0].startswith("000001@")
