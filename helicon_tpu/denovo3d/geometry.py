@@ -11,6 +11,7 @@ flags instead of Python-loop early stopping.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import math
 
@@ -30,12 +31,15 @@ __all__ = [
 ]
 
 
+@functools.lru_cache(maxsize=4096)
 def halton_permutation(n: int) -> np.ndarray:
     """Index sequence drawn from an unscrambled 1D Halton (van der Corput,
     base 2) sequence, matching scipy.stats.qmc.Halton.integers as used by
     the reference (solver_linear_regression.py:1570-1575).
 
     May repeat/omit indices — the reference has the same property.
+    Deterministic in n, so memoized (scipy Halton init dominates the
+    per-candidate table cost otherwise). Do not mutate the result.
     """
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
@@ -185,25 +189,36 @@ def select_copies(
     return h, c, v
 
 
-def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
-    """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
-    as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
-    |h2|) (stable, ties keep combinations order) then Halton-permuted."""
-    hmax = max(1, int(np.ceil(nz / (2 * rise_pixel))))
+@functools.lru_cache(maxsize=256)
+def _pair_combinatorics(hmax: int, csym: int):
+    """Twist-independent part of the pair table: the (h, c) op pairs in
+    combinations order plus the precomputed |h| sort keys (shared by
+    every candidate with the same rise-derived hmax)."""
     hs = np.arange(-hmax, hmax + 1)
     H, C = np.meshgrid(hs, np.arange(csym), indexing="ij")
     H, C = H.ravel(), C.ravel()  # itertools.product order
     i1, i2 = np.triu_indices(len(H), k=1)  # combinations order
     h1, c1, h2, c2 = H[i1], C[i1], H[i2], C[i2]
+    return h1, c1, h2, c2, np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2)
+
+
+@functools.lru_cache(maxsize=8192)
+def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
+    """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
+    as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
+    |h2|) (stable, ties keep combinations order) then Halton-permuted.
+    Memoized on the scalar args; the returned array is read-only."""
+    hmax = max(1, int(np.ceil(nz / (2 * rise_pixel))))
+    h1, c1, h2, c2, ah2, ah1, ahd, ahs = _pair_combinatorics(hmax, csym)
     a1 = twist * h1 + c1 * 360.0 / csym
     a2 = twist * h2 + c2 * 360.0 / csym
     angle = np.round(np.abs((a2 - a1 + 180.0) % 360.0 - 180.0), 2)
-    order = np.lexsort(
-        (np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2), angle)
-    )
+    order = np.lexsort((ah2, ah1, ahd, ahs, angle))
     idx = halton_permutation(len(order))
     sel = order[idx]
-    return np.stack([h1[sel], c1[sel], h2[sel], c2[sel]], axis=1).astype(np.int32)
+    out = np.stack([h1[sel], c1[sel], h2[sel], c2[sel]], axis=1).astype(np.int32)
+    out.flags.writeable = False
+    return out
 
 
 def sorted_hsym_csym_pairs(twist: float, rise_pixel: float, csym: int, nz: int):
