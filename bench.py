@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+# honor HELICON_PLATFORM=cpu (the axon TPU plugin ignores the plain
+# JAX_PLATFORMS env var) so tests/metadata runs can stay off the chip
+if os.environ.get("HELICON_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["HELICON_PLATFORM"])
+
 
 def bench_etl():
     """images2star plugin-pipeline throughput over 100k particles

@@ -289,3 +289,32 @@ def test_cli_images2star_cs_to_star(tmp_path):
     assert "rlnDefocusU" in df
     assert df["rlnDefocusU"].iloc[0] == pytest.approx(12000.0)
     assert df["rlnImageName"].iloc[0].startswith("000001@")
+
+
+def test_bench_script_runs_small(tmp_path):
+    """bench.py (the driver's benchmark entry) runs end-to-end on a tiny
+    grid; guards the metric JSON contract."""
+    env = dict(ENV, HELICON_BENCH_N="8", HELICON_BENCH_BATCH="8",
+               HELICON_BENCH_CG="3", HELICON_BENCH_FISTA="3",
+               HELICON_BENCH_POWER="2", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    line = r.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "denovo3d_candidates_per_s"
+    assert out["value"] > 0 and "vs_baseline" in out and "unit" in out
+
+
+def test_bench_etl_mode_runs_small():
+    env = dict(ENV, HELICON_BENCH_METRIC="etl", HELICON_BENCH_ETL_ROWS="2000",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "images2star_etl_rows_per_s" and out["value"] > 0
