@@ -318,3 +318,41 @@ def test_bench_etl_mode_runs_small():
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["metric"] == "images2star_etl_rows_per_s" and out["value"] > 0
+
+
+def test_cli_cryosparc_local_pipeline(tmp_path):
+    """helicon cryosparc on a local .cs: per-micrograph exposure groups +
+    pixel-size change end-to-end."""
+    from helicon_tpu.io.cs import read_cs, write_cs
+
+    n = 12
+    arr = np.zeros(
+        n,
+        dtype=[
+            ("uid", "<u8"), ("blob/psize_A", "<f4"),
+            ("ctf/df1_A", "<f4"), ("ctf/df2_A", "<f4"),
+            ("ctf/exp_group_id", "<u4"),
+            ("location/micrograph_path", "S20"),
+        ],
+    )
+    arr["uid"] = np.arange(n) + 1
+    arr["blob/psize_A"] = 1.2
+    arr["ctf/df1_A"] = 12000.0
+    arr["ctf/df2_A"] = 11000.0
+    arr["ctf/exp_group_id"] = 1
+    arr["location/micrograph_path"] = np.repeat(
+        [b"m1.mrc", b"m2.mrc", b"m3.mrc"], 4
+    )
+    write_cs(tmp_path / "in.cs", arr)
+    r = run_cli(
+        "cryosparc", "--csFile", "in.cs", "--output_csFile", "out.cs",
+        "--assignExposureGroupPerMicrograph", "1",
+        "--changePixelSize", "2.4", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    out = read_cs(tmp_path / "out.cs")
+    assert len(out) == n
+    assert len(np.unique(out["ctf/exp_group_id"])) == 3
+    assert out["blob/psize_A"][0] == pytest.approx(2.4)
+    assert out["ctf/df1_A"][0] == pytest.approx(48000.0)  # scaled by (2x)^2
