@@ -566,3 +566,52 @@ class TestRefineTiltPsiDy:
         refined = getattr(lsq_reconstruct, "_refined_params", None)
         assert refined is not None
         assert abs(refined["tilt"]) <= 3.0 and abs(refined["psi"]) <= 3.0
+
+
+def test_sym_keep_with_gather_fallback():
+    """sym_keep must thread through the big-geometry gather fallback of
+    the op-table S (use_matmul_sym False past the 32MB threshold)."""
+    import jax.numpy as jnp
+
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        compute_sym_dedup_mask,
+        select_copies,
+        select_pair_ops,
+        select_pairs,
+    )
+    from helicon_tpu.denovo3d.projector_separable import build_problem_separable
+
+    geom = ReconstructionGeometry(
+        d2=48, l2=32, d3=48, l3=10, rmin=0.0, rmax=23.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    assert 8 * (48**4) * 2 > 32 * 1024 * 1024  # fallback regime
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    ch, cc, cv = select_copies(geom, 3.0, 4)
+    phc, pv = select_pairs(geom, 30.0, 3.0, 5)
+    oh, ov, pi, _ = select_pair_ops(geom, 30.0, 3.0, 5, 8)
+    keep = compute_sym_dedup_mask(geom, 30.0, 3.0, phc, pv)
+    x = rng.random(geom.volume_shape).astype(np.float32)
+    args = (
+        geom, region, jnp.float32(30.0), jnp.float32(3.0),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv), 0.0, "nn",
+        geom.cylindrical_mask(), geom.cell_valid_mask(),
+    )
+    kw = dict(pair_ops=(jnp.asarray(oh), jnp.asarray(ov), jnp.asarray(pi)))
+    s_all = np.asarray(
+        build_problem_separable(*args, **kw)["S"](jnp.asarray(x))
+    )
+    s_kept = np.asarray(
+        build_problem_separable(*args, sym_keep=jnp.asarray(keep), **kw)["S"](
+            jnp.asarray(x)
+        )
+    )
+    # dedup only ZEROES rows; kept rows identical
+    mask = np.asarray(keep)
+    np.testing.assert_allclose(s_kept[mask], s_all[mask], atol=1e-6)
+    dropped = (~mask) & (s_all != 0)
+    assert (s_kept[~mask] == 0).all()
+    assert dropped.any()  # the mask actually removed duplicate rows
