@@ -134,6 +134,29 @@ def test_scores_match_reference(ref_solver, test_image):
     assert list(np.argsort(s_mine)) == list(np.argsort(s_ref))
 
 
+def test_csym2_scores_match_reference(ref_solver):
+    """csym > 1 parity (measured diffs 3.6-3.7e-3 at default iterations,
+    same regime as csym=1)."""
+    import helicon_tpu as ht
+    from helicon_tpu.denovo3d.solver import lsq_reconstruct as mine
+
+    imgs = ht.simulate_helical_projection(
+        n=1, twist=30, rise=6, csym=2, helical_diameter=40, ball_radius=5,
+        polymer=0, planarity=1, ny=32, nx=48, apix=2, rng=1,
+    )
+    img = np.squeeze(np.asarray(imgs)).astype(np.float32)
+    common = dict(COMMON)
+    common["csym"] = 2
+    for tw, ri in [(30.0, 3.0), (25.0, 3.4)]:
+        _, s_ref = ref_solver.lsq_reconstruct(
+            projection_image=img, twist_degree=tw, rise_pixel=ri, **common
+        )
+        _, s_mine = mine(
+            projection_image=img, twist_degree=tw, rise_pixel=ri, **common
+        )
+        assert abs(s_mine - s_ref) < 8e-3, (tw, ri, s_mine, s_ref)
+
+
 def test_objective_beats_reference(ref_solver, test_image):
     """On the identical deduped equation set, our bounded-LSQ solution
     must reach an objective at least as low as the reference's (whose
