@@ -222,9 +222,9 @@ def main():
         # 147-candidate CPU study, Spearman > 0.999).
         cg_iters=int(os.environ.get("HELICON_BENCH_CG", 10)),
         fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 16)),
-        # power=4..8 gives identical rankings (the 1.2x Lipschitz margin
-        # absorbs the Rayleigh underestimate); 5 is the safe floor
-        power_iters=int(os.environ.get("HELICON_BENCH_POWER", 5)),
+        # power=1..8 gives identical rankings (the adaptive Lipschitz
+        # margin absorbs the Rayleigh underestimate); 2 balances safety
+        power_iters=int(os.environ.get("HELICON_BENCH_POWER", 2)),
         compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "bfloat16"),
         batch_size=batch,
         return_best_volume=False,

@@ -123,8 +123,11 @@ def _power_iteration(N, shape, iters: int):
 
     v, _ = jax.lax.scan(body, v, None, length=iters)
     # Rayleigh quotient underestimates the top eigenvalue; pad it so the
-    # FISTA step 1/L stays inside the stable region.
-    return 1.2 * jnp.vdot(v, N(v))
+    # FISTA step 1/L stays inside the stable region. Fewer iterations
+    # need a larger pad (rankings identical down to iters=1/margin=1.8
+    # on the 147-candidate study; an over-padded L only shrinks steps).
+    margin = 1.2 if iters >= 4 else (1.5 if iters >= 2 else 1.8)
+    return margin * jnp.vdot(v, N(v))
 
 
 def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
