@@ -179,6 +179,14 @@ def reconstruct_grid(
     rises = np.asarray(rises, np.float32)
     assert twists.shape == rises.shape and twists.ndim == 1
     n_cand = len(twists)
+    if n_cand == 0:
+        from ..utils.exceptions import HeliconError
+
+        raise HeliconError(
+            "no (twist, rise) candidates to score — check the grid "
+            "ranges/filters (build_candidate_grid drops |twist| < 0.01, "
+            "|rise| < 0.01 and rise >= tube_length/2)"
+        )
 
     data = prepare_data(image, apix, denoise, low_pass, transpose, horizontalize)
     ny0, nx0 = data.shape

@@ -204,3 +204,15 @@ def test_build_candidate_grid_handedness():
     tw, ri = build_candidate_grid(29.4, 29.4, 1.0, 4.75, 4.75, 1.0,
                                   handedness="both")
     np.testing.assert_allclose(tw, [29.4], rtol=1e-6)
+
+
+def test_reconstruct_grid_empty_candidates_clear_error(helix_image):
+    from helicon_tpu.denovo3d import reconstruct_grid
+    from helicon_tpu.utils import HeliconError
+
+    img = np.squeeze(np.asarray(helix_image))
+    with pytest.raises(HeliconError, match="no .twist, rise. candidates"):
+        reconstruct_grid(
+            img, apix=2.0, twists=np.zeros(0, np.float32),
+            rises=np.zeros(0, np.float32),
+        )
