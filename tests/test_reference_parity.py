@@ -157,6 +157,27 @@ def test_csym2_scores_match_reference(ref_solver):
         assert abs(s_mine - s_ref) < 8e-3, (tw, ri, s_mine, s_ref)
 
 
+def test_linear_interpolation_scores_match_reference(ref_solver, test_image):
+    """Trilinear path parity (measured 5.1e-3 / 9.4e-3 at default
+    iterations — looser than nn because the reference's linear kernel
+    has no row dedup and its lsq_linear under-converges; orderings still
+    track)."""
+    from helicon_tpu.denovo3d.solver import lsq_reconstruct as mine
+
+    common = dict(COMMON)
+    common["interpolation"] = "linear"
+    for tw, ri in [(30.0, 3.0), (25.0, 3.4)]:
+        _, s_ref = ref_solver.lsq_reconstruct(
+            projection_image=test_image, twist_degree=tw, rise_pixel=ri,
+            **common,
+        )
+        _, s_mine = mine(
+            projection_image=test_image, twist_degree=tw, rise_pixel=ri,
+            **common,
+        )
+        assert abs(s_mine - s_ref) < 2e-2, (tw, ri, s_mine, s_ref)
+
+
 def test_objective_beats_reference(ref_solver, test_image):
     """On the identical deduped equation set, our bounded-LSQ solution
     must reach an objective at least as low as the reference's (whose
