@@ -15,15 +15,26 @@ from pathlib import Path
 logger = logging.getLogger(__name__)
 
 
+def _shiny_argv(app_file) -> list:
+    # argv list with shell=False: paths with shell metacharacters stay literal
+    return [
+        "shiny",
+        "run",
+        "--launch-browser",
+        "--no-dev-mode",
+        "--host",
+        "0.0.0.0",
+        "--port",
+        "0",
+        str(app_file),
+    ]
+
+
 def run_local_shiny_app(app_name: str, homepage: str):
     """shiny run on an in-repo webApps/<app_name>/app.py."""
     try:
         app_file = Path(__file__).parent.parent / "webApps" / app_name / "app.py"
-        cmd = (
-            "shiny run --launch-browser --no-dev-mode --host 0.0.0.0 "
-            f'--port 0 "{app_file}"'
-        )
-        subprocess.call(cmd, shell=True)
+        subprocess.call(_shiny_argv(app_file))
     except Exception:
         logger.error("Please visit %s for more information", homepage)
 
@@ -40,11 +51,7 @@ def download_files(urls):
 def run_remote_shiny_app(urls, homepage: str):
     try:
         folder = download_files(urls)
-        cmd = (
-            "shiny run --launch-browser --no-dev-mode --host 0.0.0.0 "
-            f"--port 0 {folder}/app.py"
-        )
-        subprocess.call(cmd, shell=True)
+        subprocess.call(_shiny_argv(folder / "app.py"))
     except Exception:
         logger.error(
             "ERROR running a local instance. Please visit %s instead", homepage
@@ -53,8 +60,7 @@ def run_remote_shiny_app(urls, homepage: str):
 
 def run_remote_streamlit_app(url: str, homepage: str):
     try:
-        cmd = f"streamlit run {url}"
-        subprocess.call(cmd, shell=True)
+        subprocess.call(["streamlit", "run", url])
     except Exception:
         logger.error(
             "ERROR running a local instance. Please visit %s instead", homepage

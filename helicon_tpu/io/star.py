@@ -22,13 +22,12 @@ def _coerce(series: pd.Series) -> pd.Series:
     """Numeric conversion where the whole column parses."""
     s = pd.to_numeric(series, errors="coerce")
     if s.notna().all():
-        if (s == s.astype(np.int64, errors="ignore")).all():
-            try:
-                as_int = s.astype(np.int64)
-                if (as_int == s).all():
-                    return as_int
-            except (ValueError, OverflowError):
-                pass
+        try:
+            as_int = s.astype(np.int64)
+            if (as_int == s).all():
+                return as_int
+        except (ValueError, TypeError, OverflowError):
+            pass  # non-finite or out-of-int64-range floats stay float
         return s
     return series
 
@@ -90,8 +89,15 @@ def read_star(path_or_buffer):
         if mode in ("loop_header", "loop_rows") and not line.startswith("_"):
             mode = "loop_rows"
             vals = _tokenize(line)
-            if len(vals) == len(cols):
-                rows.append(vals)
+            if len(vals) != len(cols):
+                # fail loudly like the reference's starfile does on malformed
+                # input — a silently truncated table corrupts the pipeline
+                raise ValueError(
+                    f"STAR loop row has {len(vals)} tokens but the header "
+                    f"declares {len(cols)} columns (block 'data_{name}', "
+                    f"row {len(rows) + 1}): {line!r}"
+                )
+            rows.append(vals)
             continue
         if line.startswith("_"):
             parts = _tokenize(line)
@@ -99,8 +105,12 @@ def read_star(path_or_buffer):
             val = parts[1] if len(parts) > 1 else ""
             try:
                 num = float(val)
-                val = int(num) if num == int(num) and "." not in str(val) else num
-            except (ValueError, TypeError):
+                val = (
+                    int(num)
+                    if np.isfinite(num) and num == int(num) and "." not in str(val)
+                    else num
+                )
+            except (ValueError, TypeError, OverflowError):
                 pass
             pairs[key] = val
             continue

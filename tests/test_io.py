@@ -90,6 +90,24 @@ def test_star_roundtrip(tmp_path):
     assert out["rlnClassNumber"].dtype.kind == "i"
 
 
+def test_star_malformed_loop_row_raises(tmp_path):
+    # a truncated/wrapped data row must fail loudly, not silently drop
+    path = tmp_path / "bad.star"
+    path.write_text(
+        "data_particles\nloop_\n_rlnCoordinateX #1\n_rlnCoordinateY #2\n"
+        "1.0 2.0\n3.0\n"
+    )
+    with pytest.raises(ValueError, match="2 columns"):
+        read_star(path)
+
+
+def test_star_key_value_inf_value(tmp_path):
+    # 'inf' parses as float without crashing (int(inf) would OverflowError)
+    path = tmp_path / "inf.star"
+    path.write_text("data_general\n_rlnValue inf\n")
+    assert read_star(path)["general"]["rlnValue"] == float("inf")
+
+
 def test_star_key_value_block(tmp_path):
     path = tmp_path / "kv.star"
     path.write_text("data_general\n_rlnVoltage 300\n_rlnName abc\n")

@@ -53,3 +53,26 @@ def test_dryrun_multichip_small():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_cold_shell():
+    """The driver invokes dryrun_multichip with no env prepared and JAX
+    possibly initialized on a single chip; it must self-configure (re-exec)."""
+    import os, pathlib, subprocess, sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip ok: 8 devices" in proc.stdout
