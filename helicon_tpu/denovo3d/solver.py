@@ -83,10 +83,60 @@ class SolveConfig(NamedTuple):
     compute_dtype: str = "float32"  # "bfloat16" for 2-4x MXU throughput
 
 
+SCORE_METRICS = ("cosine", "ssim", "ms_ssim", "mutual_information", "composite")
+
+
 def _cosine(a, b):
     num = jnp.vdot(a, b)
     den = jnp.linalg.norm(a) * jnp.linalg.norm(b)
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+
+
+def _candidate_score(pred, b_eff, b2d, rowv, cfg: SolveConfig):
+    """Score the reprojection per cfg.score_metric (solver:484-525).
+
+    cosine compares the full row stack A.x vs b. The 2D metrics
+    (ssim/ms_ssim/mutual_information) compare a reprojection image against
+    the input region; the reference scatters rows into pixels with
+    last-copy-wins semantics over its Halton-ordered copy list
+    (solver:507-516). select_copies reproduces that exact order, so the
+    per-pixel value from the LAST valid copy covering the pixel is the
+    same quantity. composite = mean(cosine, ssim, ms_ssim, mi).
+    """
+    metric = cfg.score_metric
+    cos = _cosine(pred.ravel(), b_eff.ravel())
+    if metric == "cosine":
+        return cos
+    from ..core.analysis import (
+        ms_ssim_score_traced,
+        mutual_information_score_traced,
+        ssim_score_traced,
+    )
+
+    c_last = (rowv.shape[0] - 1) - jnp.argmax(rowv[::-1] > 0, axis=0)
+    pred2d = jnp.take_along_axis(
+        pred.astype(jnp.float32), c_last[None], axis=0
+    )[0] * (jnp.max(rowv, axis=0) > 0)
+    ref2d = b2d.astype(jnp.float32)
+    if metric == "ssim":
+        return ssim_score_traced(pred2d, ref2d)
+    if metric == "ms_ssim":
+        return ms_ssim_score_traced(pred2d, ref2d)
+    if metric == "mutual_information":
+        return mutual_information_score_traced(pred2d, ref2d)
+    if metric == "composite":
+        parts = jnp.stack(
+            [
+                cos,
+                ssim_score_traced(pred2d, ref2d),
+                ms_ssim_score_traced(pred2d, ref2d),
+                mutual_information_score_traced(pred2d, ref2d),
+            ]
+        )
+        return jnp.mean(parts)
+    raise ValueError(
+        f"Unknown score_metric {metric!r}; supported: {SCORE_METRICS}"
+    )
 
 
 def _cg(N, rhs, iters: int):
@@ -199,7 +249,7 @@ def _solve_one_weighting(
     pred = P(x) * rowv
     if cfg.thresh_fraction >= 0:
         pred = jnp.clip(pred, 0.0, None)
-    score = _cosine(pred.ravel(), b_eff.ravel())
+    score = _candidate_score(pred, b_eff, ops["b"], rowv, cfg)
     return x, score
 
 
@@ -253,6 +303,10 @@ def _solve_candidate_impl(
     constraints, matching the reference's nn sym-row dedup.
     Returns dict(rec3d, rec3d_half1, rec3d_half2, score, scores).
     """
+    if cfg.score_metric not in SCORE_METRICS:
+        raise ValueError(
+            f"Unknown score_metric {cfg.score_metric!r}; supported: {SCORE_METRICS}"
+        )
     mask = geom.cylindrical_mask()  # numpy at trace time -> jit constant
     cellok = geom.cell_valid_mask()
     if key is None:

@@ -103,6 +103,31 @@ class TestScores:
     def test_r_factor(self, rng):
         a = rng.uniform(size=(16, 16)).astype(np.float32)
         assert np.isclose(ht.r_factor_score(a, a), 1.0)
+
+    def test_traced_metrics_match_eager(self, rng):
+        """The jittable metric variants (used inside the denovo3D scorer)
+        agree with the eager reference implementations."""
+        import jax
+        from helicon_tpu.core.analysis import (
+            ms_ssim_score_traced,
+            mutual_information_score_traced,
+            ssim_score_traced,
+        )
+
+        a = rng.normal(size=(32, 48)).astype(np.float32)
+        b = a + 0.5 * rng.normal(size=a.shape).astype(np.float32)
+        assert abs(float(jax.jit(ssim_score_traced)(a, b)) - ht.ssim_score(a, b)) < 1e-4
+        assert (
+            abs(float(jax.jit(ms_ssim_score_traced)(a, b)) - ht.ms_ssim_score(a, b))
+            < 1e-4
+        )
+        assert (
+            abs(
+                float(jax.jit(mutual_information_score_traced)(a, b))
+                - ht.mutual_information_score(a, b)
+            )
+            < 1e-4
+        )
         assert ht.r_factor_score(a * 0, a) == pytest.approx(0.5)
         assert ht.r_factor_score(a, a * 0) == 0.0
 
