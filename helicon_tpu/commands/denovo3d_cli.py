@@ -46,6 +46,18 @@ def main(args: argparse.Namespace) -> None:
         "%d (twist, rise) candidates for %s:%d (apix %.3f A)",
         len(twists), args.input_image, args.imageIndex, apix,
     )
+    # reference pipeline.py:357-368: bounds dict, empty -> no refinement
+    refine_range = None
+    if args.refineTiltPsiDy is not None:
+        t_rng, p_rng, d_rng = args.refineTiltPsiDy
+        r_dict = {}
+        if t_rng > 0:
+            r_dict["tilt"] = t_rng
+        if p_rng > 0:
+            r_dict["psi"] = p_rng
+        if d_rng > 0:
+            r_dict["dy"] = d_rng
+        refine_range = r_dict or None
     with Timer("grid search", verbose=args.verbose):
         res = reconstruct_grid(
             img,
@@ -64,6 +76,10 @@ def main(args: argparse.Namespace) -> None:
             positive_constraint=args.positiveConstraint,
             sym_oversample=args.symOversample,
             interpolation=args.interpolation,
+            score_metric=args.scoreMetric,
+            fsc_test=args.fscTest,
+            refine_tilt_psi_dy_range=refine_range,
+            refine_top_k=args.refineTopK,
             cg_iters=args.cgIters,
             fista_iters=args.fistaIters,
             compute_dtype=args.computeDtype,
@@ -93,6 +109,13 @@ def main(args: argparse.Namespace) -> None:
         best_score=float(res.scores[res.best_index]),
         n_candidates=int(len(twists)),
     )
+    if res.refined_params and res.best_index in res.refined_params:
+        t_r, p_r, d_r = res.refined_params[res.best_index]
+        summary.update(
+            refined_tilt=float(t_r),
+            refined_psi=float(p_r),
+            refined_dy_pixel=float(d_r),
+        )
     (out_prefix.with_suffix(".json")).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
 
@@ -125,6 +148,17 @@ def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("--symOversample", type=int, default=-1)
     parser.add_argument("--interpolation", type=str, default="nn",
                         choices=["nn", "linear"])
+    parser.add_argument("--scoreMetric", type=str, default="cosine",
+                        choices=["cosine", "ssim", "ms_ssim",
+                                 "mutual_information", "composite"])
+    parser.add_argument("--fscTest", type=int, default=0,
+                        help="half-set split mode 0-4 (0 = off)")
+    parser.add_argument("--refineTiltPsiDy", type=float, nargs=3,
+                        default=None, metavar=("TILT", "PSI", "DY"),
+                        help="Gauss-Newton pose refinement bounds "
+                             "(deg, deg, pixel); 0 disables an axis")
+    parser.add_argument("--refineTopK", type=int, default=1,
+                        help="refine this many top candidates")
     parser.add_argument("--cgIters", type=int, default=100)
     parser.add_argument("--fistaIters", type=int, default=40)
     parser.add_argument("--computeDtype", type=str, default="float32",

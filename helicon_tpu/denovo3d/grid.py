@@ -93,6 +93,9 @@ class GridResult:
     target_apix3d: float
     best_index: int = -1
     best_volume: np.ndarray | None = None
+    # {candidate index: (tilt_deg, psi_deg, dy_pixel)} for candidates that
+    # went through Gauss-Newton pose refinement (refine_tilt_psi_dy_range)
+    refined_params: dict | None = None
 
     def top(self, n: int = 10):
         """(twist, rise, score) rows of the n best candidates."""
@@ -156,6 +159,10 @@ def reconstruct_grid(
     sym_oversample: int = -1,
     interpolation: str = "nn",
     algorithm: dict | None = None,
+    score_metric: str = "cosine",
+    fsc_test: int = 0,
+    refine_tilt_psi_dy_range: dict | None = None,
+    refine_top_k: int = 1,
     cg_iters: int = 120,
     fista_iters: int = 60,
     power_iters: int = 8,
@@ -173,6 +180,13 @@ def reconstruct_grid(
     Spearman > 0.9999 vs float32; max score delta ~3e-4) while running
     ~6% faster on TPU. The final best-volume re-solve always runs in
     float32.
+
+    refine_tilt_psi_dy_range (reference pipeline.py:357-368: dict with
+    tilt/psi/dy bounds) enables Gauss-Newton pose refinement. Deviation
+    (documented): the reference refines inside EVERY task; here the
+    vmapped grid scores all candidates at the fixed pose, then the
+    refine_top_k best are GN-refined (autodiff Jacobians) and re-scored
+    at their refined pose — the grid locates the basin, GN polishes it.
     """
     algorithm = algorithm or dict(model="lsq")
     twists = np.asarray(twists, np.float32)
@@ -260,6 +274,8 @@ def reconstruct_grid(
         cg_iters=cg_iters,
         fista_iters=fista_iters,
         power_iters=power_iters,
+        fsc_test=int(fsc_test),
+        score_metric=score_metric,
         thresh_fraction=float(thresh_fraction),
         positive_constraint=int(positive_constraint),
         l1_reg=float(l1),
@@ -366,6 +382,49 @@ def reconstruct_grid(
     finally:
         executor.shutdown(wait=False)
 
+    refined_params: dict | None = None
+    if refine_tilt_psi_dy_range:
+        from .refine import refine_tilt_psi_dy
+
+        refine_cfg = cfg._replace(separable=False, compute_dtype="float32")
+        refined_params = {}
+        for idx in np.argsort(-scores)[: max(1, int(refine_top_k))]:
+            idx = int(idx)
+            ch, cc, cv, phc, pv, *_ = _candidate_tables(
+                geom, twists[idx : idx + 1], rise_pixels[idx : idx + 1],
+                n_copies, n_pairs, n_ops, copy_cache,
+            )
+            t_r, p_r, d_r = refine_tilt_psi_dy(
+                geom,
+                refine_cfg,
+                region,
+                float(twists[idx]),
+                float(rise_pixels[idx]),
+                (ch[0], cc[0], cv[0]),
+                (phc[0], pv[0]),
+                float(tilt),
+                float(psi),
+                float(dy / target_apix2d),
+                refine_tilt_psi_dy_range,
+            )
+            out = solve_candidate(
+                geom,
+                refine_cfg,
+                jnp.asarray(region),
+                jnp.float32(twists[idx]),
+                jnp.float32(rise_pixels[idx]),
+                jnp.asarray(ch[0]),
+                jnp.asarray(cc[0]),
+                jnp.asarray(cv[0]),
+                jnp.asarray(phc[0]),
+                jnp.asarray(pv[0]),
+                jnp.float32(t_r),
+                jnp.float32(p_r),
+                jnp.float32(d_r),
+            )
+            scores[idx] = float(out["score"])
+            refined_params[idx] = (t_r, p_r, d_r)
+
     result = GridResult(
         twists=twists,
         rises=rises,
@@ -373,10 +432,18 @@ def reconstruct_grid(
         geom=geom,
         target_apix2d=float(target_apix2d),
         target_apix3d=float(target_apix3d),
+        refined_params=refined_params,
     )
     result.best_index = int(np.argmax(scores))
     if return_best_volume and n_cand:
         bi = result.best_index
+        tilt_b, psi_b, dy_b = tilt, psi, dy / target_apix2d
+        if refined_params and bi in refined_params:
+            tilt_b, psi_b, dy_b = refined_params[bi]
+        cfg_best = cfg._replace(
+            compute_dtype="float32",
+            separable=(tilt_b == 0.0 and psi_b == 0.0),
+        )
         b = _candidate_tables(
             geom, twists[bi : bi + 1], rise_pixels[bi : bi + 1],
             n_copies, n_pairs, n_ops, copy_cache,
@@ -388,7 +455,7 @@ def reconstruct_grid(
         # the dedup masks; the final volume re-solve applies them for
         # exact reference-semantics output.
         sym_keep = None
-        if cfg.interpolation == "nn":
+        if cfg_best.interpolation == "nn":
             from .geometry import compute_sym_dedup_mask
 
             sym_keep = jnp.asarray(
@@ -402,7 +469,7 @@ def reconstruct_grid(
             )
         out = solve_candidate(
             geom,
-            cfg._replace(compute_dtype="float32"),
+            cfg_best,
             jnp.asarray(region),
             jnp.float32(twists[bi]),
             jnp.float32(rise_pixels[bi]),
@@ -411,12 +478,12 @@ def reconstruct_grid(
             jnp.asarray(cv[bi_loc]),
             jnp.asarray(phc[bi_loc]),
             jnp.asarray(pv[bi_loc]),
-            jnp.float32(tilt),
-            jnp.float32(psi),
-            jnp.float32(dy / target_apix2d),
+            jnp.float32(tilt_b),
+            jnp.float32(psi_b),
+            jnp.float32(dy_b),
             pair_ops=(
                 (jnp.asarray(ops_hc[bi_loc]), jnp.asarray(ops_v[bi_loc]), jnp.asarray(pair_idx[bi_loc]))
-                if cfg.separable
+                if cfg_best.separable
                 else None
             ),
             sym_keep=sym_keep,

@@ -186,6 +186,44 @@ def test_cli_denovo3d(tmp_path):
     assert outs, r.stdout
 
 
+def test_cli_denovo3d_refine_and_metric(tmp_path):
+    """Gauss-Newton pose refinement + score-metric selection reachable
+    from the CLI (VERDICT r1 items 2/3): one candidate, refine on, ssim
+    scoring; the summary JSON must carry the refined pose."""
+    import json
+
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = np.squeeze(
+        np.asarray(
+            simulate_helical_projection(
+                n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+                ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48,
+                apix=2.0, rng=0,
+            )
+        )
+    ).astype(np.float32)
+    write_mrc(tmp_path / "cls.mrc", img[None], apix=2.0)
+    r = run_cli(
+        "denovo3d_cli", "cls.mrc", "refined",
+        "--apix", "2.0",
+        "--twist", "30", "30", "1",
+        "--rise", "6.0", "6.0", "1.0",
+        "--handedness", "right",
+        "--cgIters", "10", "--fistaIters", "8",
+        "--horizontalize", "0", "--verbose", "0",
+        "--scoreMetric", "ssim",
+        "--refineTiltPsiDy", "5", "5", "2",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    summary = json.loads((tmp_path / "refined.json").read_text())
+    assert "refined_tilt" in summary and "refined_psi" in summary
+    assert abs(summary["refined_tilt"]) <= 5.0
+    assert abs(summary["refined_psi"]) <= 5.0
+    assert 0.0 <= summary["best_score"] <= 1.0
+
+
 def test_cli_images2star_split(tmp_path, relion_df):
     """--splitNumSets by evenodd and by micrograph (reference
     images2star.py:246-297 splitting)."""
