@@ -430,8 +430,28 @@ def test_webapp_modules_importable_without_shiny():
         importlib.import_module("helicon_tpu.webApps.whereIsMyClass.app")
 
 
-def test_ptycho_h5_loader(tmp_path):
-    """4D-STEM h5 ingest (reference lib/ptycho.py:12-52 analog)."""
+def test_ptycho_h5_loader_reference_layout(tmp_path):
+    """EMPIAR-12236 layout ingest (reference lib/ptycho.py:12-52)."""
+    import h5py
+
+    from helicon_tpu.core.ptycho import load_h5_file
+
+    f = tmp_path / "scan.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(f, "w") as h:
+        d = h.create_dataset("data", data=rng.random((3, 4, 8, 8)))
+        d.attrs["Acceleration voltage [kV]"] = 300.0
+        d.attrs["Convergence semi-angle [mrad]"] = 5.0
+        d.attrs["STEM step-size [A]"] = 20.0
+        h.create_dataset("vacuumProbe", data=rng.random((8, 8)))
+    data, vacuum, acc_v, semi, r_pix = load_h5_file(str(f))
+    assert data.shape == (3, 4, 8, 8) and vacuum.shape == (8, 8)
+    assert acc_v == pytest.approx(300e3)
+    assert semi == pytest.approx(5.0)
+    assert r_pix == pytest.approx(20.0)
+
+
+def test_ptycho_h5_loader_generic_layout(tmp_path):
     import h5py
 
     from helicon_tpu.core.ptycho import load_h5_file
@@ -440,13 +460,13 @@ def test_ptycho_h5_loader(tmp_path):
     rng = np.random.default_rng(0)
     with h5py.File(f, "w") as h:
         g = h.create_group("datacube")
-        d = g.create_dataset("data", data=rng.random((3, 4, 8, 8)))
+        d = g.create_dataset("cube", data=rng.random((3, 4, 8, 8)))
         d.attrs["energy"] = 200.0
         d.attrs["pixel_size"] = 0.5
-    data, meta, energy, apix, defocus = load_h5_file(str(f))
-    assert data.shape == (3, 4, 8, 8)
-    assert energy == pytest.approx(200.0)
-    assert apix == pytest.approx(0.5)
+    data, vacuum, acc_v, semi, r_pix = load_h5_file(str(f))
+    assert data.shape == (3, 4, 8, 8) and vacuum is None
+    assert acc_v == pytest.approx(200e3)
+    assert r_pix == pytest.approx(0.5)
 
 
 def test_ptycho_h5_loader_no_4d_raises(tmp_path):
@@ -461,15 +481,100 @@ def test_ptycho_h5_loader_no_4d_raises(tmp_path):
         load_h5_file(str(f))
 
 
-def test_ptycho_reconstruct_gated():
+def _make_ptycho_fixture(path, defocus=-600.0, scan=12, step_px=2, det=32):
+    """Synthetic 4D-STEM dataset with a defocused-aperture probe and a
+    smooth random phase object; returns (truth potential, gen offset)."""
+    import h5py
+
+    from helicon_tpu.core.ptycho import electron_wavelength_angstrom
+
+    rng = np.random.default_rng(0)
+    acc_v = 300e3
+    lam = electron_wavelength_angstrom(acc_v)
+    bf_r = 8.0
+    q_pixel_mrad = lam / (det * 1.0) * 1e3  # real-space dx = 1.0 A
+    semiconv = bf_r * q_pixel_mrad
+    ky = np.fft.fftfreq(det)[:, None] * det
+    kx = np.fft.fftfreq(det)[None, :] * det
+    rr = np.hypot(ky, kx)
+    k_a = rr * (q_pixel_mrad * 1e-3) / lam
+    chi = np.pi * lam * k_a**2 * defocus
+    probe_f = (rr <= bf_r) * np.exp(1j * chi)
+    probe = np.fft.ifft2(probe_f)
+    probe /= np.sqrt((np.abs(probe) ** 2).sum())
+
+    from scipy.ndimage import gaussian_filter
+
+    oy = ox = (scan - 1) * step_px + det + 8
+    # smooth random phase object; reflect-mode blur keeps boundary
+    # structure the parallax shift measurement needs on a tiny scan
+    V = gaussian_filter(rng.standard_normal((oy, ox)), 3)
+    V = (0.6 * V / np.abs(V).max()).astype(np.float32)
+    O = np.exp(1j * V)
+    pad_gen = 4
+    data = np.zeros((scan, scan, det, det), np.float32)
+    for i in range(scan):
+        for j in range(scan):
+            y0, x0 = i * step_px + pad_gen, j * step_px + pad_gen
+            psi = probe * O[y0 : y0 + det, x0 : x0 + det]
+            data[i, j] = np.fft.fftshift(np.abs(np.fft.fft2(psi)) ** 2)
+    with h5py.File(path, "w") as h:
+        d = h.create_dataset("data", data=data)
+        d.attrs["Acceleration voltage [kV]"] = acc_v / 1e3
+        d.attrs["Convergence semi-angle [mrad]"] = semiconv
+        d.attrs["STEM step-size [A]"] = float(step_px)
+        h.create_dataset("vacuumProbe", data=np.fft.fftshift(np.abs(probe_f) ** 2))
+    return V, pad_gen
+
+
+def test_ptycho_reconstruct_synthetic(tmp_path):
+    """Native Parallax + ePIE engine recovers a known phase object from a
+    synthetic 4D-STEM scan (replaces the reference's py4DSTEM driver,
+    lib/ptycho.py:54-239). Correlation > 0.9 over the scanned region."""
     from helicon_tpu.core.ptycho import reconstruct_ptychography
-    from helicon_tpu.utils import HeliconDependencyError
 
-    try:
-        import py4DSTEM  # noqa: F401
+    f = tmp_path / "scan4d.h5"
+    V, pad_gen = _make_ptycho_fixture(f)
+    scan, step_px, det = 12, 2, 32
+    pot = reconstruct_ptychography(
+        str(f), com_rotation_force=0.0, crop_margin=0,
+        num_iter=50, step_size=1.0, batch_size=1,
+    )
+    tru = np.zeros_like(pot)
+    oy, ox = V.shape
+    tru[16 - pad_gen : 16 - pad_gen + oy, 16 - pad_gen : 16 - pad_gen + ox] = V
+    span = (scan - 1) * step_px + det
+    m = 10
+    r = pot[16 + m : 16 + span - m, 16 + m : 16 + span - m]
+    t = tru[16 + m : 16 + span - m, 16 + m : 16 + span - m]
+    r = r - r.mean()
+    t = t - t.mean()
+    cc = float((r * t).sum() / np.sqrt((r * r).sum() * (t * t).sum()))
+    assert cc > 0.9, cc
 
-        pytest.skip("py4DSTEM installed")
-    except ImportError:
-        pass
-    with pytest.raises(HeliconDependencyError):
-        reconstruct_ptychography()
+
+def test_ptycho_parallax_defocus_estimate(tmp_path):
+    """The parallax stage recovers the generation defocus within 15%."""
+    from helicon_tpu.core.ptycho import (
+        electron_wavelength_angstrom,
+        estimate_defocus_parallax,
+        load_h5_file,
+    )
+
+    f = tmp_path / "scan4d.h5"
+    _make_ptycho_fixture(f, defocus=-600.0)
+    data, vacuum, acc_v, semi, r_pix = load_h5_file(str(f))
+    lam = electron_wavelength_angstrom(acc_v)
+    est = estimate_defocus_parallax(
+        np.asarray(data), lam, semi / 8.0, r_pix, 8.0, (16.0, 16.0)
+    )
+    assert est == pytest.approx(-600.0, rel=0.15)
+
+
+def test_ptycho_reconstruct_validates_inputs(tmp_path):
+    from helicon_tpu.core.ptycho import reconstruct_ptychography
+
+    with pytest.raises(ValueError):
+        reconstruct_ptychography("")
+    with pytest.raises(ValueError):
+        reconstruct_ptychography(str(tmp_path / "missing.h5"))
