@@ -170,6 +170,8 @@ def reconstruct_grid(
     batch_size: int | None = None,
     devices=None,
     return_best_volume: bool = True,
+    progress_callback=None,
+    should_abort=None,
 ) -> GridResult:
     """Score every (twist, rise) candidate for one class-average image.
 
@@ -352,8 +354,16 @@ def reconstruct_grid(
             )
             for sl in slices
         ]
-        pending = []  # keep dispatch ASYNC: enqueue all batches, then block
+        # incremental mode (progress_callback / should_abort, used by the
+        # web app): block per batch so completed scores stream out and an
+        # abort between batches keeps them. Otherwise keep dispatch ASYNC:
+        # enqueue all batches, then block.
+        incremental = progress_callback is not None or should_abort is not None
+        pending = []
+        done = 0
         for sl, fut in zip(slices, futures):
+            if should_abort is not None and should_abort():
+                break
             b_ch, b_cc, b_cv, b_phc, b_pv, b_oh, b_ov, b_pi = fut.result()
             pad = batch_size - (sl.stop - sl.start)
 
@@ -376,7 +386,13 @@ def reconstruct_grid(
                 pad_to(b_ov),
                 pad_to(b_pi),
             )
-            pending.append((sl, sl.stop - sl.start, s))
+            if incremental:
+                scores[sl] = np.asarray(s)[: sl.stop - sl.start]
+                done = sl.stop
+                if progress_callback is not None:
+                    progress_callback(done, n_cand, scores)
+            else:
+                pending.append((sl, sl.stop - sl.start, s))
         for sl, n_valid, s in pending:
             scores[sl] = np.asarray(s)[:n_valid]
     finally:

@@ -1,18 +1,34 @@
 """denovo3D Shiny Express app (requires the optional `shiny` extra).
 
-Reference: webApps/denovo3D/app.py (2598 LoC). This native app covers the
-core workflow — upload/URL input, image preparation, (twist, rise) grid
-setup, one-shot sharded grid search via helicon_tpu.denovo3d, and a
-score-ranked result display. Transform-chain editing and the ITK montage
-preview of the reference are not reproduced.
+Reference: webApps/denovo3D/app.py (2598 LoC). Workflow parity:
+
+- input modes upload / url / emdb with the EMPIAR-10940 default
+  (reference app.py:136-214); EMDB maps are symmetrized and projected to
+  synthetic 2D inputs (1768-1790)
+- clickable class-average gallery with multi-select + stitching preview
+  for multi-image runs (77-125)
+- per-image transform chain: negate/threshold/transpose/flip/rotation/
+  y-shift/crop with auto-transform and reset (1502-1605, 2086-2250)
+- grid search with incremental score-sorted display, ETA progress, and
+  an abort button (2455-2523); pose refinement + score metric + fsc_test
+  are exposed (2286-2452)
+- top-N result rendering with reprojections (2526-2579)
+
+The compute logic lives in the shiny-free :mod:`workflow` module (unit
+tested); this file is the reactive wiring. The grid itself is one
+sharded TPU computation per batch instead of the reference's ThreadPool.
 """
 
 from __future__ import annotations
 
+import asyncio
+import threading
+
 import numpy as np
 
 try:
-    from shiny import reactive, render, ui
+    import shiny
+    from shiny import reactive, render, req, ui
     from shiny.express import input, output  # noqa: F401
 except ImportError as e:  # pragma: no cover - gated on the shiny extra
     raise ImportError(
@@ -20,72 +36,519 @@ except ImportError as e:  # pragma: no cover - gated on the shiny extra
         "use `helicon denovo3d_cli` for the batch interface"
     ) from e
 
-from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
-from helicon_tpu.io.mrc import read_mrc
+import helicon_tpu as helicon
+from helicon_tpu.denovo3d import build_candidate_grid
+from helicon_tpu.utils.shiny import google_analytics, image_select
 from helicon_tpu.utils.system import encode_numpy
+from helicon_tpu.webApps.denovo3D import pipeline
+from helicon_tpu.webApps.denovo3D.workflow import (
+    DEFAULT_URL_KEY,
+    URLS,
+    apply_transform_chain,
+    auto_transform_params,
+    combine_images_for_display,
+    estimate_threshold_otsu,
+    run_grid_incremental,
+)
 
 ui.page_opts(title="denovo3D (helicon-tpu)", fillable=True)
+ui.head_content(ui.tags.title("Helicon denovo3D"))
+google_analytics(id="G-FDSYXQNKLX")
+ui.tags.style("* { font-size: 10pt; }")
 
-results = reactive.value(None)
+# ---------------------------------------------------------------- state
+input_data = reactive.value(None)  # DotDict(data, apix, emdb_id, is_3d)
+all_images = reactive.value(None)  # 2D image stack + apix
+selected_indices = reactive.value([])
+transformed_images = reactive.value([])
+stitch_offsets = reactive.value([])
+grid_progress = reactive.value(None)  # workflow.GridProgress
+grid_result = reactive.value(None)
+_abort_flag = threading.Event()
+_progress_holder: dict = {"snap": None, "done": False}
 
-with ui.sidebar():
-    ui.input_file("image_file", "2D class average (.mrc/.mrcs)")
-    ui.input_numeric("image_index", "Image index (1-based)", 1, min=1)
-    ui.input_numeric("apix", "Pixel size (A)", 0.0)
-    ui.input_slider("twist_range", "Twist range (deg)", 0.1, 180.0, (0.5, 45.0))
-    ui.input_numeric("twist_step", "Twist step (deg)", 1.0)
-    ui.input_slider("rise_range", "Rise range (A)", 1.0, 200.0, (4.0, 5.0))
-    ui.input_numeric("rise_step", "Rise step (A)", 0.25)
-    ui.input_numeric("csym", "Csym", 1, min=1)
-    ui.input_action_button("run", "Run denovo3D")
+
+def _selected_images():
+    imgs = all_images.get()
+    idx = selected_indices.get()
+    if imgs is None or not idx:
+        return []
+    return [np.asarray(imgs["data"][i], np.float32) for i in idx]
+
+
+# ---------------------------------------------------------------- sidebar
+with ui.sidebar(width="33vw"):
+    with ui.navset_pill(id="tab"):
+        with ui.nav_panel("Input"):
+            ui.input_radio_buttons(
+                "input_mode_images",
+                "How to obtain the input images:",
+                choices=["upload", "url", "emdb"],
+                selected="url",
+                inline=True,
+            )
+
+            @render.ui
+            @reactive.event(input.input_mode_images)
+            def input_source_ui():
+                mode = input.input_mode_images()
+                if mode == "upload":
+                    return ui.input_file(
+                        "upload_images",
+                        "Upload images in MRC format (.mrcs, .mrc)",
+                        accept=[".mrcs", ".mrc"],
+                    )
+                if mode == "url":
+                    return ui.input_text(
+                        "url_images",
+                        "Download URL for a RELION/cryoSPARC 2D class file",
+                        value=URLS[DEFAULT_URL_KEY][0],
+                    )
+                return ui.div(
+                    ui.input_text(
+                        "emdb_id",
+                        "Amyloid structure EMDB ID",
+                        value="EMD-14046",
+                    ),
+                    ui.input_action_button("randomize_emdb_id", "Randomize"),
+                )
+
+            ui.input_checkbox("is_3d", "The input is a 3D map", value=False)
+            ui.input_numeric("image_index_apix", "Pixel size override (A)", 0.0)
+
+        with ui.nav_panel("Transform"):
+            ui.input_checkbox("img_negate", "Negate", value=False)
+            ui.input_checkbox("img_transpose", "Transpose", value=False)
+            ui.input_checkbox("img_flip", "Flip left-right", value=False)
+            ui.input_numeric("threshold", "Threshold", 0.0, step=0.001)
+            ui.input_slider(
+                "pre_rotation", "Rotation (deg)", min=-45, max=45, value=0.0,
+                step=0.1,
+            )
+            ui.input_slider(
+                "shift_y", "Vertical shift (pixel)", min=-100, max=100,
+                value=0.0, step=1,
+            )
+            ui.input_numeric("vertical_crop_size", "Vertical crop (pixel)", 0)
+            ui.input_numeric(
+                "horizontal_crop_size", "Horizontal crop (pixel)", 0
+            )
+            ui.input_text(
+                "stitch_x_offsets",
+                "Stitching x-offsets (comma-separated, multi-image)",
+                value="",
+            )
+            ui.input_action_button("auto_transform", "Auto transform")
+            ui.input_action_button("reset_transform", "Reset")
+
+        with ui.nav_panel("Search"):
+            ui.input_slider(
+                "twist_range", "Twist range (deg)", 0.1, 180.0, (0.5, 45.0)
+            )
+            ui.input_numeric("twist_step", "Twist step (deg)", 1.0)
+            ui.input_slider("rise_range", "Rise range (A)", 1.0, 200.0, (4.0, 5.0))
+            ui.input_numeric("rise_step", "Rise step (A)", 0.25)
+            ui.input_radio_buttons(
+                "handedness", "Handedness",
+                choices=["both", "left", "right"], selected="both", inline=True,
+            )
+            ui.input_numeric("csym", "Csym", 1, min=1)
+            ui.input_select(
+                "interpolation", "Interpolation", ["nn", "linear"]
+            )
+            ui.input_select(
+                "score_metric", "Score metric",
+                ["cosine", "ssim", "ms_ssim", "mutual_information", "composite"],
+            )
+            ui.input_numeric("fsc_test", "FSC half-set mode (0=off)", 0, min=0, max=4)
+            ui.input_numeric("refine_tilt", "Refine tilt bound (deg)", 0.0)
+            ui.input_numeric("refine_psi", "Refine psi bound (deg)", 0.0)
+            ui.input_numeric("refine_dy", "Refine dy bound (pixel)", 0.0)
+            ui.input_select(
+                "lr_algorithm", "Solver model",
+                ["lsq", "lreg", "ridge", "lasso", "elasticnet", "ard"],
+            )
+            ui.input_numeric("lr_alpha", "Regularization alpha", -1.0)
+            ui.input_numeric("sym_oversample", "Symmetry oversample (-1=auto)", -1)
+            ui.input_numeric("top_n", "Top N results", 10, min=1)
+
+    ui.input_task_button("run_denovo3D", "Run denovo3D")
+    ui.input_action_button("abort", "Abort")
+    ui.input_action_button("clear_cache", "Clear joblib cache")
+
+
+# ---------------------------------------------------------------- ingest
+@reactive.effect
+@reactive.event(input.input_mode_images, input.upload_images)
+def get_images_from_upload():
+    req(input.input_mode_images() == "upload")
+    f = input.upload_images()
+    req(f)
+    from helicon_tpu.io.mrc import read_mrc
+
+    data, apix = read_mrc(f[0]["datapath"])[:2]
+    input_data.set(
+        helicon.DotDict(
+            data=np.asarray(data), apix=float(apix), emdb_id=None,
+            is_3d=helicon.is_3d(np.asarray(data)),
+        )
+    )
 
 
 @reactive.effect
-@reactive.event(input.run)
-def _run():
-    f = input.image_file()
-    if not f:
+@reactive.event(input.input_mode_images, input.url_images)
+def get_images_from_url():
+    req(input.input_mode_images() == "url")
+    url = input.url_images()
+    req(url)
+    try:
+        data, apix = pipeline.get_images_from_url(url)
+    except Exception:
+        ui.modal_show(
+            ui.modal(
+                f"failed to download 2D images from {url}",
+                title="File download error", easy_close=True, footer=None,
+            )
+        )
         return
-    path = f[0]["datapath"]
-    img = np.squeeze(read_mrc(path)[0])
-    if img.ndim == 3:
-        img = img[int(input.image_index()) - 1]
-    apix = float(input.apix()) or float(read_mrc(path)[1])
+    emdb_id = helicon.get_emdb_id(url)
+    input_data.set(
+        helicon.DotDict(
+            data=np.asarray(data), apix=float(apix), emdb_id=emdb_id,
+            is_3d=bool(emdb_id) or helicon.is_3d(np.asarray(data)),
+        )
+    )
+
+
+@reactive.effect
+@reactive.event(input.randomize_emdb_id)
+def randomize_emdb_id():
+    import random
+
+    from helicon_tpu.io.dataset import EMDB
+
+    ids = EMDB().amyloid_atlas_ids()
+    ui.update_text("emdb_id", value=f"EMD-{random.choice(ids)}")
+
+
+@reactive.effect
+@reactive.event(input.input_mode_images, input.emdb_id)
+def get_images_from_emdb():
+    req(input.input_mode_images() == "emdb")
+    emdb_id = input.emdb_id()
+    req(emdb_id)
+    try:
+        data, apix = pipeline.get_images_from_emdb(emd_id=emdb_id)
+    except Exception:
+        ui.modal_show(
+            ui.modal(
+                f"failed to obtain {emdb_id} map from EMDB",
+                title="File download error", easy_close=True, footer=None,
+            )
+        )
+        return
+    input_data.set(
+        helicon.DotDict(
+            data=np.asarray(data), apix=float(apix), emdb_id=emdb_id, is_3d=True,
+        )
+    )
+
+
+@reactive.effect
+@reactive.event(input_data, input.is_3d)
+def update_all_images():
+    d = input_data.get()
+    req(d is not None)
+    data, apix = np.asarray(d.data), float(d.apix)
+    if d.is_3d or input.is_3d():
+        # 3D map -> symmetrize -> XYZ projections as synthetic inputs
+        # (reference app.py:1768-1790)
+        from helicon_tpu.helix import generate_xyz_projections
+
+        projs = generate_xyz_projections(data)
+        stack = np.asarray(projs, np.float32)
+    else:
+        stack = data if data.ndim == 3 else data[None]
+    if float(input.image_index_apix()) > 0:
+        apix = float(input.image_index_apix())
+    all_images.set(dict(data=stack, apix=apix))
+    selected_indices.set([0] if len(stack) else [])
+
+
+@reactive.effect
+@reactive.event(input.select_image)
+def toggle_selected_image():
+    i = int(input.select_image())
+    sel = list(selected_indices.get())
+    if i in sel:
+        sel.remove(i)
+    else:
+        sel.append(i)
+    selected_indices.set(sorted(sel))
+
+
+# ------------------------------------------------------------- transforms
+@reactive.effect
+@reactive.event(selected_indices, input.img_negate)
+def update_threshold_estimate():
+    imgs = _selected_images()
+    req(imgs)
+    t = estimate_threshold_otsu(imgs, negate=bool(input.img_negate()))
+    ui.update_numeric("threshold", value=round(float(t), 3))
+
+
+@reactive.effect
+@reactive.event(input.auto_transform)
+def run_auto_transform():
+    imgs = _selected_images()
+    req(imgs)
+    d = input_data.get()
+    apix = float(all_images.get()["apix"])
+    rotation, shift_y, vc, hc = auto_transform_params(
+        imgs, apix=apix, is_3d=bool(d and d.is_3d)
+    )
+    ui.update_slider("pre_rotation", value=round(rotation, 1))
+    ui.update_slider("shift_y", value=round(shift_y / max(apix, 1e-6), 1))
+    ui.update_numeric("vertical_crop_size", value=int(vc))
+    ui.update_numeric("horizontal_crop_size", value=int(hc))
+
+
+@reactive.effect
+@reactive.event(input.reset_transform)
+def reset_transform():
+    ui.update_checkbox("img_negate", value=False)
+    ui.update_checkbox("img_transpose", value=False)
+    ui.update_checkbox("img_flip", value=False)
+    ui.update_slider("pre_rotation", value=0.0)
+    ui.update_slider("shift_y", value=0.0)
+    ui.update_numeric("vertical_crop_size", value=0)
+    ui.update_numeric("horizontal_crop_size", value=0)
+    ui.update_text("stitch_x_offsets", value="")
+
+
+@reactive.effect
+@reactive.event(
+    selected_indices, input.img_negate, input.threshold, input.img_transpose,
+    input.img_flip, input.pre_rotation, input.shift_y,
+    input.vertical_crop_size, input.horizontal_crop_size,
+)
+def update_transformed_images():
+    imgs = _selected_images()
+    if not imgs:
+        transformed_images.set([])
+        return
+    out = apply_transform_chain(
+        imgs,
+        negate=bool(input.img_negate()),
+        threshold=float(input.threshold()) if input.threshold() else None,
+        transpose=bool(input.img_transpose()),
+        flip=bool(input.img_flip()),
+        rotation=float(input.pre_rotation()),
+        shift_y_pixel=float(input.shift_y()),
+        vertical_crop_size=int(input.vertical_crop_size() or 0),
+        horizontal_crop_size=int(input.horizontal_crop_size() or 0),
+    )
+    transformed_images.set(out)
+
+
+@reactive.effect
+@reactive.event(input.stitch_x_offsets)
+def update_stitch_offsets():
+    txt = (input.stitch_x_offsets() or "").strip()
+    try:
+        stitch_offsets.set(
+            [float(v) for v in txt.split(",") if v.strip()] if txt else []
+        )
+    except ValueError:
+        pass
+
+
+@reactive.effect
+@reactive.event(input.clear_cache)
+def clear_joblib_cache():
+    from joblib import Memory
+
+    cache_dir = helicon.cache_dir / "denovo3D"
+    if cache_dir.exists():
+        Memory(location=str(cache_dir), verbose=0).clear()
+
+
+# ------------------------------------------------------------------- run
+def _search_image():
+    """One 2D image for the grid: the transformed image, or the stitched
+    montage when several are selected (reference app.py:77-125)."""
+    imgs = transformed_images.get()
+    if not imgs:
+        return None
+    if len(imgs) == 1:
+        return imgs[0]
+    return combine_images_for_display(imgs, stitch_offsets.get()).astype(
+        np.float32
+    )
+
+
+@ui.bind_task_button(button_id="run_denovo3D")
+@reactive.extended_task
+async def reconstruction_task(image, apix, twists, rises, kwargs):
+    _abort_flag.clear()
+    _progress_holder["snap"] = None
+    _progress_holder["done"] = False
+
+    def on_progress(snap):
+        _progress_holder["snap"] = snap
+
+    def work():
+        try:
+            return run_grid_incremental(
+                image, apix, twists, rises,
+                on_progress=on_progress,
+                should_abort=_abort_flag.is_set,
+                **kwargs,
+            )
+        finally:
+            _progress_holder["done"] = True
+
+    task = asyncio.get_event_loop().run_in_executor(None, work)
+    with ui.Progress(min=0, max=len(twists)) as p:
+        p.set(message="Grid search in progress", detail="compiling ...")
+        while not _progress_holder["done"]:
+            await asyncio.sleep(0.3)
+            snap = _progress_holder["snap"]
+            if snap is not None:
+                grid_progress.set(snap)
+                p.set(
+                    snap.done,
+                    message=f"Completed {snap.done}/{snap.total}",
+                    detail=f"{helicon.timedelta2string(snap.eta_seconds)} remaining",
+                )
+    res = await task
+    if _progress_holder["snap"] is not None:
+        grid_progress.set(_progress_holder["snap"])
+    return res
+
+
+@reactive.effect
+@reactive.event(input.run_denovo3D)
+def start_reconstruction():
+    img = _search_image()
+    req(img is not None)
     t0, t1 = input.twist_range()
     r0, r1 = input.rise_range()
     twists, rises = build_candidate_grid(
-        t0, t1, float(input.twist_step()), r0, r1, float(input.rise_step())
+        t0, t1, float(input.twist_step()), r0, r1, float(input.rise_step()),
+        handedness=input.handedness(),
     )
-    res = reconstruct_grid(
-        img, apix=apix, twists=twists, rises=rises, csym=int(input.csym()),
-        horizontalize=1, transpose=-1, return_best_volume=True,
+    algorithm = dict(model=input.lr_algorithm())
+    if float(input.lr_alpha()) >= 0:
+        algorithm["alpha"] = float(input.lr_alpha())
+    refine = {}
+    if float(input.refine_tilt()) > 0:
+        refine["tilt"] = float(input.refine_tilt())
+    if float(input.refine_psi()) > 0:
+        refine["psi"] = float(input.refine_psi())
+    if float(input.refine_dy()) > 0:
+        refine["dy"] = float(input.refine_dy())
+    kwargs = dict(
+        csym=int(input.csym()),
+        interpolation=input.interpolation(),
+        score_metric=input.score_metric(),
+        fsc_test=int(input.fsc_test()),
+        refine_tilt_psi_dy_range=refine or None,
+        algorithm=algorithm,
+        sym_oversample=int(input.sym_oversample()),
+        horizontalize=0,  # the transform chain already leveled the image
+        transpose=0,
+        return_best_volume=True,
     )
-    results.set(res)
+    apix = float(all_images.get()["apix"])
+    reconstruction_task(img, apix, twists, rises, kwargs)
+
+
+@reactive.effect
+@reactive.event(input.abort)
+def abort_reconstruction():
+    _abort_flag.set()
+
+
+@reactive.effect
+def collect_result():
+    res = reconstruction_task.result()
+    if res is not None:
+        grid_result.set(res)
+
+
+# --------------------------------------------------------------- display
+@render.ui
+def image_gallery_ui():
+    imgs = all_images.get()
+    if imgs is None or not len(imgs["data"]):
+        return ui.p("Provide input images (upload / URL / EMDB).")
+    return image_select(
+        "select_image",
+        "Click to select/deselect images:",
+        [np.asarray(im) for im in imgs["data"][:50]],
+        image_labels=[str(i + 1) for i in range(min(len(imgs["data"]), 50))],
+        image_size=96,
+    )
 
 
 @render.ui
-def result_table():
-    res = results.get()
-    if res is None:
-        return ui.p("Upload a class average and press Run.")
+def transformed_preview():
+    img = _search_image()
+    if img is None:
+        return None
+    return ui.div(
+        ui.tags.label("Search input (transformed/stitched):"),
+        ui.tags.img(src=encode_numpy(np.asarray(img)), width="512px"),
+    )
+
+
+@render.ui
+def progress_table():
+    snap = grid_progress.get()
+    if snap is None:
+        return ui.p("Press Run to start the grid search.")
+    head = ui.tags.tr(
+        ui.tags.th("twist (deg)"), ui.tags.th("rise (A)"), ui.tags.th("score")
+    )
+    n = int(input.top_n() or 10)
     rows = [
         ui.tags.tr(
             ui.tags.td(f"{t:.3f}"), ui.tags.td(f"{r:.3f}"), ui.tags.td(f"{s:.5f}")
         )
-        for t, r, s in res.top(20)
+        for t, r, s in snap.ranked[:n]
     ]
-    return ui.tags.table(
-        ui.tags.tr(
-            ui.tags.th("twist (deg)"), ui.tags.th("rise (A)"), ui.tags.th("score")
-        ),
-        *rows,
+    status = (
+        "aborted" if snap.aborted
+        else f"{snap.done}/{snap.total} candidates scored"
     )
+    return ui.div(ui.p(status), ui.tags.table(head, *rows))
 
 
 @render.ui
-def best_projection():
-    res = results.get()
+def best_result():
+    res = grid_result.get()
     if res is None or res.best_volume is None:
         return None
-    proj = np.asarray(res.best_volume).sum(axis=2).T
-    return ui.tags.img(src=encode_numpy(proj), width="512px")
+    vol = np.asarray(res.best_volume)
+    proj_y = vol.sum(axis=1)
+    proj_x = vol.sum(axis=2).T
+    bits = [
+        ui.tags.label(
+            f"Best: twist={float(res.twists[res.best_index]):.3f} deg, "
+            f"rise={float(res.rises[res.best_index]):.3f} A, "
+            f"score={float(res.scores[res.best_index]):.5f}"
+        ),
+        ui.tags.img(src=encode_numpy(proj_x), width="512px"),
+        ui.tags.img(src=encode_numpy(proj_y), width="512px"),
+    ]
+    if res.refined_params and res.best_index in res.refined_params:
+        t_r, p_r, d_r = res.refined_params[res.best_index]
+        bits.insert(
+            1,
+            ui.p(
+                f"refined pose: tilt={t_r:.2f} deg psi={p_r:.2f} deg "
+                f"dy={d_r:.2f} px"
+            ),
+        )
+    return ui.div(*bits)

@@ -1,0 +1,267 @@
+"""Pure (shiny-free) denovo3D app workflow logic.
+
+Everything the reference app.py computes outside its reactive wiring
+lives here so it is unit-testable without the optional `shiny` extra:
+
+- input-source registry with the EMPIAR-10940 default
+  (reference app.py:136-141)
+- multi-image stitching with overlap averaging (app.py:77-125)
+- per-image transform chain: negate/threshold/transpose/flip/
+  rotation/y-shift/crop (app.py:1994-2019, 2180-2250)
+- auto transform estimation (app.py:2123-2176)
+- incremental, abortable grid execution with ETA + score-sorted
+  snapshots (app.py:2455-2523) — TPU-shaped: the unit of progress is a
+  vmapped candidate batch instead of a thread-pool task.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+
+__all__ = [
+    "URLS",
+    "DEFAULT_URL_KEY",
+    "image_stitching_x_positions",
+    "combine_images_for_display",
+    "estimate_threshold_otsu",
+    "apply_transform_chain",
+    "auto_transform_params",
+    "run_grid_incremental",
+]
+
+# reference app.py:136-141 — default demo dataset
+URLS = {
+    "empiar-10940_job010": (
+        "https://ftp.ebi.ac.uk/empiar/world_availability/10940/data/EMPIAR/"
+        "Class2D/job010/run_it020_classes.mrcs",
+        "https://ftp.ebi.ac.uk/pub/databases/emdb/structures/EMD-14046/map/"
+        "emd_14046.map.gz",
+    )
+}
+DEFAULT_URL_KEY = "empiar-10940_job010"
+
+
+def image_stitching_x_positions(images, x_offsets=None):
+    """Per-image x start positions for stitching (app.py:77-88)."""
+    if not len(images):
+        return []
+    x_offsets = [] if x_offsets is None else list(x_offsets)
+    positions = []
+    next_x = 0
+    for i, img in enumerate(images):
+        offset = x_offsets[i] if i < len(x_offsets) else 0
+        positions.append(next_x + int(round(offset)))
+        next_x += img.shape[1]
+    return positions
+
+
+def combine_images_for_display(images, x_offsets=None):
+    """Overlap-averaged horizontal montage (app.py:91-125)."""
+    if not len(images):
+        return np.zeros((0, 0), dtype=np.float64)
+    x_positions = image_stitching_x_positions(images, x_offsets)
+    canvas_left = min(0, min(x_positions))
+    canvas_right = max(
+        start_x + img.shape[1] for start_x, img in zip(x_positions, images)
+    )
+    canvas_height = max(img.shape[0] for img in images)
+    canvas_width = max(0, canvas_right - canvas_left)
+    sum_image = np.zeros((canvas_height, canvas_width), dtype=np.float64)
+    count_image = np.zeros((canvas_height, canvas_width), dtype=np.uint16)
+    for start_x, img in zip(x_positions, images):
+        canvas_start = max(start_x - canvas_left, 0)
+        canvas_end = min(start_x - canvas_left + img.shape[1], canvas_width)
+        if canvas_start >= canvas_end:
+            continue
+        img_start = max(0, canvas_left - start_x)
+        img_end = img_start + (canvas_end - canvas_start)
+        img_slice = img[:, img_start:img_end].astype(np.float64)
+        h = img_slice.shape[0]
+        sum_image[:h, canvas_start:canvas_end] += img_slice
+        count_image[:h, canvas_start:canvas_end] += 1
+    return np.divide(
+        sum_image,
+        count_image,
+        where=(count_image > 0),
+        out=np.zeros_like(sum_image),
+    )
+
+
+def estimate_threshold_otsu(images, negate: bool = False) -> float:
+    """Median per-image Otsu threshold (app.py:1967-1989; native — the
+    reference calls skimage.filters.threshold_otsu)."""
+    values = []
+    for img in images:
+        a = np.asarray(-img if negate else img, np.float64).ravel()
+        lo, hi = a.min(), a.max()
+        if hi <= lo:
+            values.append(lo)
+            continue
+        hist, edges = np.histogram(a, bins=256, range=(lo, hi))
+        hist = hist.astype(np.float64)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        w0 = np.cumsum(hist)
+        w1 = w0[-1] - w0
+        m0 = np.cumsum(hist * centers)
+        mu0 = np.divide(m0, w0, where=w0 > 0, out=np.zeros_like(m0))
+        mu1 = np.divide(
+            m0[-1] - m0, w1, where=w1 > 0, out=np.zeros_like(m0)
+        )
+        between = w0 * w1 * (mu0 - mu1) ** 2
+        values.append(float(centers[int(np.argmax(between))]))
+    return float(np.median(values))
+
+
+def apply_transform_chain(
+    images,
+    negate: bool = False,
+    threshold: float | None = None,
+    transpose: bool = False,
+    flip: bool = False,
+    rotation: float = 0.0,
+    shift_y_pixel: float = 0.0,
+    vertical_crop_size: int = 0,
+    horizontal_crop_size: int = 0,
+):
+    """The reference's per-image transform chain, in its order:
+
+    negate -> threshold (app.py:1994-2011) -> transpose -> flip (2013-2019)
+    -> rotate + vertical shift (transform_selected_images, 2180-2205)
+    -> center crop to (vertical, horizontal) sizes (2207-2250).
+    Returns a list of float32 images.
+    """
+    from ...core.filters import threshold_data
+    from ...core.transforms import crop_center, rotate_shift_image
+
+    out = []
+    for img in images:
+        a = np.asarray(img, np.float32)
+        if negate:
+            a = -a
+        if threshold is not None:
+            a = np.asarray(threshold_data(a, thresh_value=float(threshold)))
+        if transpose:
+            a = a.T
+        if flip:
+            a = np.fliplr(a)
+        if rotation or shift_y_pixel:
+            a = np.asarray(
+                rotate_shift_image(
+                    a,
+                    angle=-float(rotation),
+                    post_shift=(float(shift_y_pixel), 0.0),
+                )
+            )
+        ny, nx = a.shape
+        cy = int(vertical_crop_size) if vertical_crop_size > 0 else ny
+        cx = int(horizontal_crop_size) if horizontal_crop_size > 0 else nx
+        cy, cx = min(cy, ny) // 2 * 2, min(cx, nx) // 2 * 2
+        if (cy, cx) != (ny, nx):
+            a = np.asarray(crop_center(a, (cy, cx)))
+        out.append(a.astype(np.float32))
+    return out
+
+
+def auto_transform_params(images, apix: float, is_3d: bool = False):
+    """Auto-estimated (rotation_deg, shift_y_angstrom, vertical_crop,
+    horizontal_crop) like the app's auto-transform handler
+    (app.py:2123-2176)."""
+    from ...core.analysis import estimate_helix_rotation_center_diameter
+
+    tmp = []
+    for img in images:
+        a = np.asarray(img, np.float32)
+        rot, sy, diam = estimate_helix_rotation_center_diameter(
+            a, threshold=float(np.max(a)) * 0.2
+        )
+        if is_3d:
+            rot, sy = 0.0, 0.0
+        tmp.append((rot, sy, diam))
+    tmp = np.asarray(tmp, np.float64)
+    rotation = float(np.mean(tmp[:, 0]))
+    shift_y = float(np.mean(tmp[:, 1])) * apix
+    diameter = float(np.max(tmp[:, 2]))
+    ny = int(np.max([img.shape[0] for img in images]))
+    nx = int(np.max([img.shape[1] for img in images]))
+    if is_3d:
+        crop = int(diameter * 1.2) // 4 * 4
+    else:
+        crop = int(diameter * 2) // 4 * 4
+    vertical_crop = max(32, min(crop, ny // 2 * 2))
+    horizontal_crop = nx // 2 * 2
+    return rotation, shift_y, vertical_crop, horizontal_crop
+
+
+class GridProgress:
+    """Snapshot handed to the app after every candidate batch."""
+
+    def __init__(self, done, total, eta_seconds, ranked, aborted=False):
+        self.done = done
+        self.total = total
+        self.eta_seconds = eta_seconds
+        self.ranked = ranked  # [(twist, rise, score)] best-first so far
+        self.aborted = aborted
+
+
+def run_grid_incremental(
+    image,
+    apix,
+    twists,
+    rises,
+    on_progress=None,
+    should_abort=None,
+    **grid_kwargs,
+):
+    """Abortable grid search with incremental score-sorted snapshots.
+
+    The reference streams ThreadPool task completions (app.py:2473-2523);
+    here the stream unit is one vmapped candidate batch. on_progress
+    receives a GridProgress after each batch; should_abort() -> True
+    stops between batches (completed scores are kept). Returns the
+    GridResult (best_volume computed only when the run finishes).
+    """
+    from ...denovo3d.grid import reconstruct_grid
+
+    twists = np.asarray(twists, np.float32)
+    rises = np.asarray(rises, np.float32)
+    t0 = time.time()
+    state = dict(aborted=False)
+
+    def progress_callback(done, total, scores):
+        elapsed = time.time() - t0
+        eta = elapsed / max(done, 1) * (total - done)
+        order = np.argsort(-scores[:done])
+        ranked = [
+            (float(twists[i]), float(rises[i]), float(scores[i])) for i in order
+        ]
+        if on_progress is not None:
+            on_progress(GridProgress(done, total, eta, ranked))
+
+    def abort():
+        if should_abort is not None and should_abort():
+            state["aborted"] = True
+            return True
+        return False
+
+    res = reconstruct_grid(
+        image,
+        apix=apix,
+        twists=twists,
+        rises=rises,
+        progress_callback=progress_callback,
+        should_abort=abort,
+        **grid_kwargs,
+    )
+    if on_progress is not None:
+        order = np.argsort(-res.scores)
+        ranked = [
+            (float(twists[i]), float(rises[i]), float(res.scores[i]))
+            for i in order
+        ]
+        on_progress(
+            GridProgress(len(twists), len(twists), 0.0, ranked, state["aborted"])
+        )
+    return res

@@ -1,0 +1,167 @@
+"""denovo3D app workflow logic (shiny-free module): stitching, transform
+chain, auto-transform, incremental/abortable grid execution.
+
+Reference: webApps/denovo3D/app.py 77-125 (stitching), 1994-2250
+(transform chain + auto-transform), 2455-2523 (incremental display +
+abort)."""
+
+import jax
+import numpy as np
+import pytest
+
+from helicon_tpu.webApps.denovo3D.workflow import (
+    DEFAULT_URL_KEY,
+    URLS,
+    apply_transform_chain,
+    auto_transform_params,
+    combine_images_for_display,
+    estimate_threshold_otsu,
+    image_stitching_x_positions,
+    run_grid_incremental,
+)
+
+
+@pytest.fixture(scope="module")
+def helix_image():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    imgs = simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48, apix=2.0,
+        rng=0,
+    )
+    return np.squeeze(np.asarray(imgs)).astype(np.float32)
+
+
+def test_default_url_is_empiar_10940():
+    assert "10940" in URLS[DEFAULT_URL_KEY][0]
+    assert "14046" in URLS[DEFAULT_URL_KEY][1]
+
+
+class TestStitching:
+    def test_positions_sequential(self):
+        imgs = [np.zeros((4, 10)), np.zeros((4, 6)), np.zeros((4, 8))]
+        assert image_stitching_x_positions(imgs) == [0, 10, 16]
+
+    def test_positions_with_offsets(self):
+        imgs = [np.zeros((4, 10)), np.zeros((4, 6))]
+        assert image_stitching_x_positions(imgs, [0, -4]) == [0, 6]
+
+    def test_combine_no_overlap(self):
+        a = np.full((4, 5), 1.0)
+        b = np.full((4, 5), 3.0)
+        canvas = combine_images_for_display([a, b])
+        assert canvas.shape == (4, 10)
+        np.testing.assert_allclose(canvas[:, :5], 1.0)
+        np.testing.assert_allclose(canvas[:, 5:], 3.0)
+
+    def test_combine_overlap_averages(self):
+        a = np.full((4, 6), 1.0)
+        b = np.full((4, 6), 3.0)
+        canvas = combine_images_for_display([a, b], x_offsets=[0, -2])
+        # columns 4-5 are covered by both images -> mean
+        np.testing.assert_allclose(canvas[:, 4:6], 2.0)
+        np.testing.assert_allclose(canvas[:, :4], 1.0)
+        np.testing.assert_allclose(canvas[:, 6:], 3.0)
+
+    def test_combine_empty(self):
+        assert combine_images_for_display([]).shape == (0, 0)
+
+
+class TestTransformChain:
+    def test_identity(self, helix_image):
+        (out,) = apply_transform_chain([helix_image])
+        np.testing.assert_allclose(out, helix_image)
+
+    def test_negate_threshold(self):
+        img = np.array([[-2.0, -1.0], [1.0, 2.0]], np.float32)
+        (out,) = apply_transform_chain([img], negate=True, threshold=0.5)
+        # negate then clip below threshold at 0 (threshold_data semantics)
+        assert out[0, 0] > 0 and out[1, 1] == 0
+
+    def test_transpose_flip(self, helix_image):
+        (out,) = apply_transform_chain([helix_image], transpose=True)
+        assert out.shape == helix_image.shape[::-1]
+        (out2,) = apply_transform_chain([helix_image], flip=True)
+        np.testing.assert_allclose(out2, np.fliplr(helix_image), atol=1e-6)
+
+    def test_crop_even_center(self, helix_image):
+        (out,) = apply_transform_chain(
+            [helix_image], vertical_crop_size=16, horizontal_crop_size=32
+        )
+        assert out.shape == (16, 32)
+
+    def test_rotation_preserves_shape(self, helix_image):
+        (out,) = apply_transform_chain([helix_image], rotation=10.0)
+        assert out.shape == helix_image.shape
+        assert np.isfinite(out).all()
+
+
+def test_estimate_threshold_otsu_bimodal():
+    rng = np.random.default_rng(0)
+    img = np.concatenate(
+        [rng.normal(0, 0.1, 500), rng.normal(10, 0.1, 500)]
+    ).reshape(20, 50)
+    t = estimate_threshold_otsu([img])
+    # the between-class variance is flat across the bimodal gap; like
+    # skimage, the first maximal bin (just past mode 1) is returned —
+    # any value separating the modes is correct
+    assert 0.25 < t < 9.7
+
+
+def test_auto_transform_params():
+    # a straight horizontal rod rotated off-axis: the auto transform must
+    # recover the leveling rotation and an even crop window
+    from helicon_tpu.core.transforms import rotate_shift_image
+
+    ys = np.arange(48)[:, None]
+    rod = np.exp(-((ys - 24.0) ** 2) / 8.0) * np.ones((48, 64), np.float32)
+    rot_img = np.asarray(rotate_shift_image(rod, angle=10.0))
+    rotation, shift_y, vc, hc = auto_transform_params([rot_img], apix=2.0)
+    assert abs(abs(rotation) - 10.0) < 2.0
+    assert vc % 2 == 0 and hc % 2 == 0 and vc >= 32
+
+
+class TestIncrementalGrid:
+    def test_progress_snapshots_and_result(self, helix_image):
+        snaps = []
+        res = run_grid_incremental(
+            helix_image, 2.0,
+            np.array([25.0, 30.0, 35.0], np.float32),
+            np.array([6.0, 6.0, 6.0], np.float32),
+            on_progress=snaps.append,
+            cg_iters=8, fista_iters=6, batch_size=1,
+            devices=jax.devices()[:1],
+            return_best_volume=False, horizontalize=0,
+        )
+        assert len(snaps) >= 3
+        final = snaps[-1]
+        assert final.done == final.total == 3 and not final.aborted
+        # ranked best-first, matches the GridResult ordering
+        scores = [s for _, _, s in final.ranked]
+        assert scores == sorted(scores, reverse=True)
+        assert final.ranked[0][0] == pytest.approx(
+            float(res.twists[res.best_index])
+        )
+        # mid-run snapshot carries a finite ETA
+        assert snaps[0].eta_seconds >= 0
+
+    def test_abort_keeps_completed_scores(self, helix_image):
+        calls = dict(n=0)
+
+        def should_abort():
+            calls["n"] += 1
+            return calls["n"] > 1  # allow the first batch only
+
+        res = run_grid_incremental(
+            helix_image, 2.0,
+            np.array([25.0, 30.0, 35.0], np.float32),
+            np.array([6.0, 6.0, 6.0], np.float32),
+            should_abort=should_abort,
+            cg_iters=8, fista_iters=6, batch_size=1,
+            devices=jax.devices()[:1],
+            return_best_volume=False, horizontalize=0,
+        )
+        s = np.asarray(res.scores)
+        assert s[0] > 0  # first batch completed
+        assert (s[2:] == 0).all()  # aborted before the tail
