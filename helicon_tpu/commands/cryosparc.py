@@ -42,30 +42,61 @@ def main(args: argparse.Namespace) -> None:
         stream=sys.stdout,
     )
 
-    if not args.csFile:
-        raise HeliconError(
-            "CryoSPARC server mode (--projectID/--jobID) requires "
-            "cryosparc-tools; provide local --csFile inputs instead"
-        )
+    server = None
+    if args.csFile:
+        frames = []
+        input_types = []
+        for f in args.csFile:
+            cs = read_cs(f)
+            df = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
+            pts = sorted(Path(f).parent.glob("*_passthrough_particles.cs")) or sorted(
+                Path(f).parent.glob("*_passthrough_exposures.cs")
+            )
+            if pts:
+                p = read_cs(pts[0])
+                pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)
+                add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
+                if "uid" in pdf and "uid" in df:
+                    df = df.merge(pdf[add], on="uid", how="left")
+            frames.append(df)
+            input_types.append("particle" if "blob/path" in df else "exposure")
+    else:
+        # live-server mode (reference cryosparc.py:78-96): connect, pull
+        # each job's output group; gated on cryosparc-tools
+        try:
+            import cryosparc.tools  # noqa: F401
+        except ImportError as e:
+            from helicon_tpu.utils.exceptions import HeliconDependencyError
 
-    frames = []
-    input_types = []
-    for f in args.csFile:
-        cs = read_cs(f)
-        df = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
-        pts = sorted(Path(f).parent.glob("*_passthrough_particles.cs")) or sorted(
-            Path(f).parent.glob("*_passthrough_exposures.cs")
-        )
-        if pts:
-            p = read_cs(pts[0])
-            pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)
-            add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
-            if "uid" in pdf and "uid" in df:
-                df = df.merge(pdf[add], on="uid", how="left")
-        frames.append(df)
-        input_types.append("particle" if "blob/path" in df else "exposure")
+            raise HeliconDependencyError(
+                "CryoSPARC server mode (--projectID/--jobID) requires the "
+                "cryosparc-tools package; provide local --csFile inputs "
+                "instead"
+            ) from e
+        from helicon_tpu.io.metadata import connect_cryosparc
+
+        cs_client = connect_cryosparc()
+        project = cs_client.find_project(args.projectID)
+        frames = []
+        input_types = []
+        for i, jobID in enumerate(args.jobID):
+            input_job = cs_client.find_job(args.projectID, jobID)
+            groups = input_job.doc["output_result_groups"]
+            if len(groups) < 1:
+                logger.warning("%s has no output groups. Ignored", jobID)
+                continue
+            group = groups[args.groupIndex[i]]
+            ds = input_job.load_output(group["name"])
+            frames.append(_dataset_to_dataframe(ds))
+            input_types.append(group["type"])
+            if args.outputWorkspaceID is None:
+                args.outputWorkspaceID = input_job.doc["workspace_uids"][-1]
+        if not frames:
+            raise HeliconError("no input data")
+        server = (cs_client, project)
     if len(set(input_types)) > 1:
         raise HeliconError(f"mixed input types: {input_types}")
+    input_type = input_types[0]
     data = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     if not len(data):
         raise HeliconError("no data in the input")
@@ -105,12 +136,78 @@ def main(args: argparse.Namespace) -> None:
             exp_group_id_name, micrograph_name, original_exp_group_ids,
         )
 
+    if server is not None and not args.saveLocal:
+        _save_to_server(
+            server, args, data, input_type, output_slots, output_title
+        )
+        if args.verbose:
+            logger.info(
+                "%d rows uploaded to %s/%s (%s)",
+                len(data), args.projectID, args.outputWorkspaceID, output_title,
+            )
+        return
     out = args.output_csFile or (
-        Path(args.csFile[0]).stem + ".helicon.cs"
+        (Path(args.csFile[0]).stem if args.csFile else
+         f"{args.projectID}_{'-'.join(args.jobID)}") + ".helicon.cs"
     )
     dataframe2cs(data, out)
     if args.verbose:
         logger.info("%d rows saved to %s (%s)", len(data), out, output_title)
+
+
+def _dataset_to_dataframe(ds) -> pd.DataFrame:
+    """cryosparc Dataset (or structured array) -> DataFrame, one column
+    per field; fixed-length subarray fields stay as object columns."""
+    if isinstance(ds, np.ndarray) and ds.dtype.names:
+        names = ds.dtype.names
+        get = lambda n: ds[n]
+    else:  # cryosparc.dataset.Dataset duck type
+        names = [f for f in ds.fields() if f]
+        get = lambda n: np.asarray(ds[n])
+    cols = {}
+    for n in names:
+        v = np.asarray(get(n))
+        cols[n] = list(v) if v.ndim > 1 else v
+    df = pd.DataFrame(cols)
+    df.attrs["convention"] = "cryosparc"
+    return df
+
+
+def _save_to_server(server, args, data, input_type, output_slots, output_title):
+    """Write results back as a CryoSPARC external job (the reference's
+    extractParticles pattern, extractparticles.py:266-302, 453,
+    generalized to the whole pipeline): connect each input job's output
+    group, declare an output with the touched slots, save the dataset."""
+    from helicon_tpu.io.metadata import dataframe_to_cs_array
+
+    cs_client, project = server
+    target_input = "particles" if input_type == "particle" else "exposures"
+    output_job = project.create_external_job(
+        args.outputWorkspaceID,
+        title="helicon cryosparc",
+        desc=" ".join(sys.argv),
+    )
+    for i, jobID in enumerate(args.jobID):
+        input_job = cs_client.find_job(args.projectID, jobID)
+        group = input_job.doc["output_result_groups"][args.groupIndex[i]]
+        output_job.connect(
+            target_input=target_input,
+            source_job_uid=jobID,
+            source_output=group["name"],
+            title=target_input.capitalize(),
+        )
+    output_job.add_output(
+        type=input_type,
+        name="helicon_output",
+        slots=sorted(output_slots),
+        passthrough=target_input,
+        title=output_title or "helicon output",
+    )
+    output_job.start(status="running")
+    try:
+        output_job.save_output("helicon_output", dataframe_to_cs_array(data))
+    finally:
+        output_job.stop()
 
 
 def add_args(parser: argparse.ArgumentParser) -> None:
@@ -127,9 +224,11 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--jobID", metavar="<JX>", type=str, nargs="+",
                         default=[], help="CryoSPARC job(s)")
     parser.add_argument("--groupIndex", metavar="<n>", type=int, nargs="+",
-                        default=[0], help="output group index per job")
-    parser.add_argument("--saveLocal", type=int, metavar="<0|1>", default=1,
-                        help="save outputs locally")
+                        default=[], help="output group index per job (default 0)")
+    parser.add_argument("--outputWorkspaceID", metavar="<WX>", type=str,
+                        default=None, help="output workspace (server mode)")
+    parser.add_argument("--saveLocal", type=int, metavar="<0|1>", default=0,
+                        help="save output as a local .cs instead of uploading")
     parser.add_argument("--verbose", type=int, metavar="<0|1|2>", default=2,
                         help="verbose level")
     parser.add_argument("--cpu", type=int, metavar="<n>", default=-1,
@@ -149,9 +248,31 @@ def check_args(args, parser):
     ]
     all_options = get_option_list(sys.argv[1:])
     skip = (
-        "cpu csFile output_csFile projectID jobID groupIndex saveLocal verbose"
+        "cpu csFile output_csFile projectID jobID groupIndex saveLocal "
+        "verbose outputWorkspaceID"
     ).split()
     args.all_options = [o for o in all_options if o not in skip]
+
+    # reference check_args (cryosparc.py:267-303): exactly one input source
+    from helicon_tpu.utils.exceptions import HeliconError
+
+    if (args.projectID or args.jobID) and args.csFile:
+        raise HeliconError(
+            "specify either server inputs (--projectID --jobID) or local "
+            "--csFile, not both"
+        )
+    if not ((args.projectID and args.jobID) or args.csFile):
+        raise HeliconError(
+            "specify server inputs (--projectID --jobID) or a local --csFile"
+        )
+    if args.jobID:
+        if len(args.groupIndex) not in (0, len(args.jobID)):
+            raise HeliconError(
+                f"--groupIndex must be given once per --jobID "
+                f"({len(args.jobID)}) or not at all"
+            )
+        if not args.groupIndex:
+            args.groupIndex = [0] * len(args.jobID)
     return args
 
 

@@ -661,10 +661,16 @@ def dataframe2star(data: pd.DataFrame, starFile, format: str = "v3") -> None:
 
 
 def dataframe2cs(data: pd.DataFrame, csFile) -> None:
-    """DataFrame -> .cs structured array (io.py:1538-1560).
+    """DataFrame -> .cs file (io.py:1538-1560)."""
+    write_cs(csFile, dataframe_to_cs_array(data))
+
+
+def dataframe_to_cs_array(data: pd.DataFrame) -> np.ndarray:
+    """DataFrame -> CryoSPARC structured array (io.py:1538-1560).
 
     Object columns holding fixed-length arrays (e.g. alignments3D/pose)
     become subarray fields; other object columns become byte strings.
+    Used by the .cs writer and by the server write-back path.
     """
     dtypes = []
     columns = list(data.columns)
@@ -693,7 +699,7 @@ def dataframe2cs(data: pd.DataFrame, csFile) -> None:
             out[name] = [str(v).encode() for v in col.values]
         else:
             out[name] = col.values
-    write_cs(csFile, out)
+    return out
 
 
 def dataframe2file(data: pd.DataFrame, outputFile: str) -> None:
@@ -1149,17 +1155,53 @@ def mrc2mrcs(data: pd.DataFrame) -> pd.DataFrame:
     return data
 
 
-def connect_cryosparc(*args, **kwargs):
-    """CryoSPARC server login (io.py:2434+) — requires cryosparc-tools."""
+def connect_cryosparc(
+    cryosparc_server_info_file: str = "$HOME/.cryosparc/cryosparc.toml",
+):
+    """CryoSPARC server login (io.py:2434-2497) — requires cryosparc-tools.
+
+    Reads credentials from a 600-permission TOML file (license, host,
+    base_port, email, password), builds a cryosparc.tools.CryoSPARC
+    client, and verifies the connection.
+    """
     try:
-        from cryosparc.tools import CryoSPARC  # noqa: F401
+        from cryosparc.tools import CryoSPARC
     except ImportError as e:
         from ..utils.exceptions import HeliconDependencyError
 
         raise HeliconDependencyError(
             "connect_cryosparc requires the cryosparc-tools package"
         ) from e
-    raise NotImplementedError  # pragma: no cover
+    from ..utils.exceptions import HeliconConfigError
+
+    p = Path(os.path.expandvars(cryosparc_server_info_file))
+    if not p.exists():
+        raise HeliconConfigError(
+            f"CryoSPARC server info file not found: {cryosparc_server_info_file}. "
+            "Create it with license/host/base_port/email/password entries and "
+            f"run 'chmod 600 {cryosparc_server_info_file}'"
+        )
+    if oct(p.stat().st_mode)[-3:] != "600":
+        raise HeliconConfigError(
+            f"Please run 'chmod 600 {cryosparc_server_info_file}' to keep "
+            "your server info secure"
+        )
+    import tomllib
+
+    with open(p, "rb") as fp:
+        info = tomllib.load(fp)
+    cs = CryoSPARC(
+        license=info["license"],
+        host=info["host"],
+        base_port=info["base_port"],
+        email=info["email"],
+        password=info["password"],
+    )
+    if not cs.test_connection():
+        from ..utils.exceptions import HeliconError
+
+        raise HeliconError("CryoSPARC server connection test failed")
+    return cs
 
 
 def star_to_dataframe(starFile, logger=None):
