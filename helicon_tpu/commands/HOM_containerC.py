@@ -7,8 +7,9 @@ progression are flagged/filtered.
 Reference: src/helicon/commands/HOM_containerC.py (1561 LoC): mod-P phase
 unwrapping (123-167), grid search over slope with closed-form intercept
 (168-243), angular error metrics + trimmed l1_core_average (288-385),
-HelicalSegmentConsistency (386-1418). The JPG/PDF batch report of the
-reference is reduced to summary statistics + optional single PDF.
+HelicalSegmentConsistency (386-1418), known-slope refit (894-933),
+G/G2-model Gaussian error-distribution fits (1305-1418), per-helix JPG
+batch reports + jpgs_to_pdf (55-121).
 """
 
 from __future__ import annotations
@@ -107,6 +108,146 @@ def l1_core_average(x, k=50):
     return best_m, best_sum, xs[best_slice[0] : best_slice[1]]
 
 
+def fit_line_wrapped_by_m_known(x, o, P, m_best):
+    """Known-slope refit (HOM_containerC.py:894-933): with |m| fixed,
+    try both signs, take the closed-form intercept for each, and keep the
+    sign with the lower L1 residual. Returns (m, b, SSE_l1)."""
+    m_abs = abs(float(m_best))
+    x = np.asarray(x, float)
+    o = np.asarray(o, float)
+    best = None
+    for m in (m_abs, -m_abs):
+        r = unwrap_sequence(o - m * x, P)
+        b = float(np.mean(r % P))
+        d = wrap_sym(o - (m * x + b), P)
+        sse = float(np.sum(np.abs(d)))
+        if best is None or sse < best[2]:
+            best = (float(m), b, sse)
+    return best
+
+
+def G_model(x, A, sigma, Period, n_vals=(-1.0, 0.0, 1.0, 2.0)):
+    """Periodic Gaussian error model (HOM_containerC.py:1349-1352)."""
+    x = np.asarray(x, float)
+    n = np.asarray(n_vals, float)
+    dx = x[None, :] - n[:, None] * Period
+    return A * np.exp(-0.5 * (dx / sigma) ** 2).sum(axis=0)
+
+
+def G2_model(x, APeak, sigmaPeak, ATail, sigmaTail):
+    """Peak + tail two-Gaussian error model (HOM_containerC.py:1354-1358)."""
+    x = np.asarray(x, float)
+    return APeak * np.exp(-0.5 * (x / sigmaPeak) ** 2) + ATail * np.exp(
+        -0.5 * (x / sigmaTail) ** 2
+    )
+
+
+def fit_error_distribution(abs_errors, Period, sigma0=None):
+    """G2-model fit of the |angular error| histogram
+    (HOM_containerC.py:1305-1418): Freedman-Diaconis binning on
+    [0, P/2], Poisson bin errors, empty bins dropped, scipy curve_fit.
+
+    Returns dict(APeak, sigmaPeak, ATail, sigmaTail, xx, yy,
+    bin_centers, counts); the (xx, yy) dense curve matches the
+    reference's plotting grid (500 points on [0, P/2]).
+    """
+    from scipy.optimize import curve_fit
+
+    data = np.abs(np.asarray(abs_errors, float))
+    data = data[np.isfinite(data)]
+    if data.size < 4:
+        raise HeliconError("too few angular errors to fit the error model")
+    counts, edges = np.histogram(data, bins="fd", range=(0, Period / 2))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    sigma_counts = np.sqrt(counts + 0.5)
+    mask = counts > 0
+    x_fit, y_fit, y_err = centers[mask], counts[mask], sigma_counts[mask]
+    A0 = float(np.max(y_fit))
+    s0 = float(sigma0) if sigma0 else max(float(np.std(data)), 1e-3)
+    ATail0 = float(np.min(y_fit))
+    p0 = [A0, s0, ATail0, Period]
+    try:
+        popt, _ = curve_fit(
+            G2_model, x_fit, y_fit, p0=p0, sigma=y_err, absolute_sigma=False,
+            maxfev=20000,
+        )
+    except RuntimeError:
+        popt = p0  # fall back to the initial guess on non-convergence
+    APeak, sigmaPeak, ATail, sigmaTail = (float(v) for v in popt)
+    xx = np.linspace(0, Period / 2, 500)
+    yy = G2_model(xx, APeak, sigmaPeak, ATail, sigmaTail)
+    return dict(
+        APeak=APeak, sigmaPeak=abs(sigmaPeak), ATail=ATail,
+        sigmaTail=abs(sigmaTail), xx=xx, yy=yy,
+        bin_centers=centers, counts=counts,
+    )
+
+
+def _plot_one_helix(ax, x, o, m, b, P):
+    """One observed-vs-fit panel (HOM_containerC.py:1280-1301 condensed)."""
+    xx = np.linspace(float(np.min(x)), float(np.max(x)), 200)
+    ax.scatter(x, o, s=4)
+    ax.plot(xx, (m * xx + b) % P, "g-", lw=1)
+    ax.set_xticks([])
+    ax.set_yticks([])
+
+
+def save_helix_reports(fits, prefix, per_page=50, grid=(10, 5), dpi=150):
+    """Per-helix JPG batch pages (10x5 grids) + one combined PDF
+    (HOM_containerC.py:55-121). fits: list of dicts with keys
+    (label, x, o, m, b, P). Returns (jpg_paths, pdf_path)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows, cols = grid
+    per_page = rows * cols if per_page <= 0 else min(per_page, rows * cols)
+    jpgs = []
+    for page_start in range(0, len(fits), per_page):
+        page = fits[page_start : page_start + per_page]
+        fig, axes = plt.subplots(rows, cols, figsize=(cols * 2, rows * 1.4))
+        axes = np.atleast_1d(axes).ravel()
+        for ax in axes:
+            ax.axis("off")
+        for ax, fit in zip(axes, page):
+            ax.axis("on")
+            _plot_one_helix(ax, fit["x"], fit["o"], fit["m"], fit["b"], fit["P"])
+            ax.set_title(str(fit["label"]), fontsize=6)
+        fig.tight_layout()
+        path = f"{prefix}_page_{page_start // per_page + 1:02d}.jpg"
+        fig.savefig(path, dpi=dpi)
+        plt.close(fig)
+        jpgs.append(path)
+    pdf_path = None
+    if jpgs:
+        pdf_path = f"{prefix}_report.pdf"
+        jpgs_to_pdf(jpgs, pdf_path, dpi=dpi)
+    return jpgs, pdf_path
+
+
+def jpgs_to_pdf(jpg_paths, pdf_path, dpi=200):
+    """Combine JPGs into one multi-page PDF (HOM_containerC.py:88-121)."""
+    from PIL import Image
+
+    jpg_paths = [str(p) for p in jpg_paths]
+    if not jpg_paths:
+        raise ValueError("jpg_paths is empty.")
+    images = []
+    for p in jpg_paths:
+        im = Image.open(p)
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        images.append(im)
+    first, rest = images[0], images[1:]
+    pdf_path = Path(pdf_path)
+    first.save(
+        pdf_path, "PDF", resolution=float(dpi), save_all=True,
+        append_images=rest,
+    )
+    return str(pdf_path)
+
+
 def HelicalSegmentConsistency(
     data: pd.DataFrame,
     *,
@@ -114,6 +255,9 @@ def HelicalSegmentConsistency(
     rise: float = 4.75,
     twist_range=(-5.0, 5.0),
     max_error_deg: float = 30.0,
+    refit_known_slope: bool = False,
+    fit_error_model: bool = True,
+    report_prefix: str = "",
     verbose: int = 0,
     **kwargs,
 ):
@@ -144,9 +288,10 @@ def HelicalSegmentConsistency(
     ][:1] + ["rlnHelicalTubeID"]
     P = 360.0 / max(1, csym)
     slopes, sses, n_segments = [], [], []
+    fits = []  # per-helix fit records (for the refit pass + reports)
     data = data.copy()
     data["rlnAngleRotError"] = 0.0
-    for _, g in data.groupby(group_cols, sort=False):
+    for label, g in data.groupby(group_cols, sort=False):
         x = g["rlnHelicalTrackLengthAngst"].astype(float).values
         o = g["rlnAngleRot"].astype(float).values % P
         if len(g) < 3:
@@ -159,14 +304,27 @@ def HelicalSegmentConsistency(
         slopes.append(m)
         sses.append(sse)
         n_segments.append(len(g))
-    data["rlnHelicalConsistencyGood"] = (
-        data["rlnAngleRotError"] <= max_error_deg
-    ).astype(int)
+        fits.append(dict(label=label, index=g.index, x=x, o=o, m=m, b=b, P=P))
     slopes = np.asarray(slopes)
     if len(slopes):
         consensus, _, _ = l1_core_average(slopes, k=max(3, len(slopes) // 2))
     else:
         consensus = 0.0
+
+    if refit_known_slope and fits:
+        # second pass with the consensus slope magnitude fixed
+        # (reference's known-slope refit, HOM_containerC.py:894-933)
+        for fit in fits:
+            m2, b2, _ = fit_line_wrapped_by_m_known(
+                fit["x"], fit["o"], P, consensus
+            )
+            _, abs_err = get_angular_errors(fit["x"], fit["o"], m2, b2, P)
+            data.loc[fit["index"], "rlnAngleRotError"] = np.round(abs_err, 2)
+            fit["m"], fit["b"] = m2, b2
+
+    data["rlnHelicalConsistencyGood"] = (
+        data["rlnAngleRotError"] <= max_error_deg
+    ).astype(int)
     stats = dict(
         n_helices=len(slopes),
         n_segments=int(sum(n_segments)),
@@ -175,6 +333,26 @@ def HelicalSegmentConsistency(
         consensus_twist_per_rise=float(consensus * rise),
         median_sse=float(np.median(sses)) if sses else 0.0,
     )
+
+    if fit_error_model and fits:
+        try:
+            err_fit = fit_error_distribution(
+                data.loc[data["rlnAngleRotError"] > 0, "rlnAngleRotError"], P
+            )
+            stats.update(
+                error_fit_APeak=err_fit["APeak"],
+                error_fit_sigmaPeak=err_fit["sigmaPeak"],
+                error_fit_ATail=err_fit["ATail"],
+                error_fit_sigmaTail=err_fit["sigmaTail"],
+            )
+        except HeliconError:
+            pass  # too few errors: skip the distribution fit
+
+    if report_prefix and fits:
+        jpgs, pdf = save_helix_reports(fits, report_prefix)
+        stats["report_pages"] = jpgs
+        stats["report_pdf"] = pdf
+
     if verbose:
         logger.info("HelicalSegmentConsistency: %s", stats)
     return data, stats
@@ -196,6 +374,8 @@ def main(args):
         rise=args.rise,
         twist_range=(args.twistMin, args.twistMax),
         max_error_deg=args.maxError,
+        refit_known_slope=bool(args.refitKnownSlope),
+        report_prefix=args.reportPrefix,
         verbose=args.verbose,
     )
     if args.filterBad:
@@ -223,6 +403,11 @@ def add_args(parser):
                         help="max angular error (deg) for a good segment")
     parser.add_argument("--filterBad", type=int, default=0,
                         help="drop inconsistent segments")
+    parser.add_argument("--refitKnownSlope", type=int, default=0,
+                        help="refit each helix with the consensus slope")
+    parser.add_argument("--reportPrefix", type=str, default="",
+                        help="write per-helix JPG report pages + PDF "
+                             "with this prefix")
     parser.add_argument("--verbose", type=int, default=1)
     return parser
 

@@ -112,6 +112,49 @@ class TestHelicalSegmentConsistency:
         with pytest.raises(Exception):
             hom.HelicalSegmentConsistency(_segments().head(0))
 
+    def test_error_distribution_fit_in_stats(self):
+        """G2-model Gaussian error fit (reference 1305-1418) lands in
+        stats; the peak width tracks the injected noise."""
+        df = _segments(n_tubes=8, n_seg=24, noise=3.0, seed=1)
+        _, stats = hom.HelicalSegmentConsistency(df)
+        assert "error_fit_sigmaPeak" in stats
+        assert 0.5 < stats["error_fit_sigmaPeak"] < 15.0
+        assert stats["error_fit_APeak"] > 0
+
+    def test_refit_known_slope(self):
+        """Known-slope refit (reference 894-933) pins every helix to the
+        consensus slope magnitude; errors stay small on clean data."""
+        df = _segments(n_tubes=4, n_seg=12, twist=2.0)
+        out, stats = hom.HelicalSegmentConsistency(df, refit_known_slope=True)
+        assert (out["rlnAngleRotError"] < 1.0).all()
+        assert stats["consensus_twist_per_rise"] == pytest.approx(2.0, abs=0.1)
+
+    def test_known_slope_sign_selection(self):
+        """fit_line_wrapped_by_m_known picks the correct sign."""
+        x = np.arange(20) * 47.5
+        for m_true in (0.04, -0.04):
+            o = (m_true * x + 33.0) % 360
+            m, b, sse = hom.fit_line_wrapped_by_m_known(x, o, 360.0, 0.04)
+            assert m == pytest.approx(m_true, abs=1e-9)
+            assert sse < 1e-6
+
+    def test_report_pdf(self, tmp_path):
+        """Per-helix JPG batch pages + combined PDF (reference 55-121)."""
+        df = _segments(n_tubes=6, n_seg=10, noise=1.0)
+        prefix = str(tmp_path / "hom")
+        _, stats = hom.HelicalSegmentConsistency(df, report_prefix=prefix)
+        assert stats["report_pages"] and stats["report_pdf"]
+        import pathlib
+
+        pdf = pathlib.Path(stats["report_pdf"])
+        assert pdf.exists() and pdf.stat().st_size > 1000
+        for jpg in stats["report_pages"]:
+            assert pathlib.Path(jpg).exists()
+
+    def test_jpgs_to_pdf_empty_raises(self):
+        with pytest.raises(ValueError):
+            hom.jpgs_to_pdf([], "out.pdf")
+
 
 class TestHOMArgs:
     def test_parser_has_expected_arguments(self):
