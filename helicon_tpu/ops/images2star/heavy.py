@@ -39,21 +39,104 @@ def _add_recoverFullFilaments(parser):
     )
 
 
+def get_input_star_file(starFile, arg="--i "):
+    """Parse a RELION job's note.txt for the given command argument and
+    return the referenced star file, resolved against the project folder
+    (reference recoverfullfilaments.py:64-89). None when the star file is
+    not inside a RELION job folder (no job_pipeline.star / note.txt)."""
+    from pathlib import Path
+
+    sf = Path(starFile).resolve()
+    pipelineFile = sf.parent / "job_pipeline.star"
+    if not pipelineFile.exists():
+        return None
+    noteFile = sf.parent / "note.txt"
+    if not noteFile.exists():
+        return None
+    relionProjectFolder = noteFile.parent.parent.parent
+    with open(noteFile) as fp:
+        for line in fp.readlines()[::-1]:
+            pos = line.find(arg)
+            if pos == -1:
+                continue
+            l2 = line[pos:]
+            pos2 = l2.find(" --")
+            s = l2[:pos2] if pos2 != -1 else l2
+            name = s[len(arg):].strip('"').strip().split()[0]
+            return str(relionProjectFolder / name)
+    return None
+
+
+def trace_back_to_extract_job(inputStarFile, forcePickJob=0, history=None):
+    """Walk RELION note.txt provenance back to the Extract/Polish star
+    the particles came from (reference recoverfullfilaments.py:93-120).
+    Appends every visited file to `history`; returns None when the trace
+    dead-ends before reaching an Extract/Polish job."""
+    if history is None:
+        history = []
+    history.append(str(inputStarFile))
+    new_star = get_input_star_file(inputStarFile)
+    if new_star is None:
+        return None
+    if "Polish" in new_star or "Extract" in new_star:
+        if not forcePickJob:
+            history.append(new_star)
+            return new_star
+        parent_pick = get_input_star_file(new_star, arg="--coord_list ")
+        parent_reextract = get_input_star_file(
+            new_star, arg="--reextract_data_star "
+        )
+        if parent_pick and "Pick" in parent_pick:
+            history.append(new_star)
+            return new_star
+        if parent_reextract:
+            history.append(new_star)
+            return trace_back_to_extract_job(
+                parent_reextract, forcePickJob, history
+            )
+    return trace_back_to_extract_job(new_star, forcePickJob, history)
+
+
 def _h_recoverFullFilaments(data, args, index_d, param):
     from ...io.metadata import images2dataframe
 
     if len(param):
         pd_ = parse_param_str(param)[1] if "=" in param else {}
         required = "rlnImageName rlnHelicalTubeID".split()
+        forcePickJob = int(pd_.get("forcePickJob", 0))
+        if forcePickJob:
+            required += (
+                "rlnMicrographName rlnCoordinateX rlnCoordinateY "
+                "rlnHelicalTrackLengthAngst"
+            ).split()
         missing = [p for p in required if p not in data]
         assert not missing, f"required parameters {' '.join(missing)} missing"
         fullStarFile = pd_.get("fullStarFile", None)
         if fullStarFile is None:
-            raise HeliconError(
-                "--recoverFullFilaments: specify fullStarFile=<file> (the "
-                "RELION job-note auto-trace of the reference requires a "
-                "RELION project; pass the Extract/Polish star explicitly)"
+            # auto-trace the Extract/Polish job from RELION note.txt
+            # provenance (reference recoverfullfilaments.py:64-130)
+            history: list = []
+            fullStarFile = trace_back_to_extract_job(
+                args.input_imageFiles[0], forcePickJob, history
             )
+            if getattr(args, "verbose", 0) > 2:
+                logger.info("\t%s", "\t->\n\t".join(history))
+            if fullStarFile is None:
+                if len(history) > 1:
+                    fullStarFile = history[-1]
+                    logger.warning(
+                        "auto-traced back to '%s' but it is not a Polish/"
+                        "Extract star file; using it for recovery — specify "
+                        "--recoverFullFilaments fullStarFile=<file> to "
+                        "override",
+                        fullStarFile,
+                    )
+                else:
+                    raise HeliconError(
+                        "--recoverFullFilaments: the input star is not "
+                        "inside a RELION project (no note.txt provenance); "
+                        "specify fullStarFile=<file> explicitly"
+                    )
         data = data.drop_duplicates(subset=["rlnImageName"], keep="last").reset_index(
             drop=True
         )

@@ -322,6 +322,84 @@ class TestHelixMetadata:
         assert len(out) == 4
         assert set(out["rlnHelicalTubeID"]) == {1}
 
+    def _relion_project(self, root, relion_df):
+        """Fixture RELION project tree: Extract job holding the full
+        particle set, Select job holding the fragmented subset whose
+        note.txt records the Extract star as its --i input."""
+        from helicon_tpu.io.metadata import dataframe2star
+
+        extract = root / "Extract" / "job003"
+        select = root / "Select" / "job005"
+        extract.mkdir(parents=True)
+        select.mkdir(parents=True)
+        dataframe2star(relion_df, extract / "particles.star")
+        (extract / "job_pipeline.star").write_text("data_pipeline_general\n")
+        (extract / "note.txt").write_text(
+            "++++ relion_preprocess --coord_list Pick/job002/coords.star "
+            "--part_star Extract/job003/particles.star\n"
+        )
+        frag = pd.concat(
+            [relion_df.iloc[0:3], relion_df.iloc[4:5]]
+        ).reset_index(drop=True)
+        frag.attrs["convention"] = "relion"
+        dataframe2star(frag, select / "particles.star")
+        (select / "job_pipeline.star").write_text("data_pipeline_general\n")
+        (select / "note.txt").write_text(
+            "++++ relion_star_handler --i Extract/job003/particles.star "
+            "--o Select/job005/particles.star\n"
+        )
+        return select / "particles.star", frag
+
+    def test_recover_full_filaments_auto_trace(
+        self, tmp_path, relion_df, monkeypatch
+    ):
+        """No fullStarFile=: the Extract job is auto-traced from the
+        RELION note.txt provenance (reference
+        recoverfullfilaments.py:64-130)."""
+        monkeypatch.chdir(tmp_path)
+        select_star, frag = self._relion_project(tmp_path, relion_df)
+        out = dispatch(
+            "recoverFullFilaments", frag, "minFraction=0.5",
+            input_imageFiles=[str(select_star)],
+        )
+        assert len(out) == 4
+        assert set(out["rlnHelicalTubeID"]) == {1}
+
+    def test_recover_auto_trace_outside_project_raises(
+        self, tmp_path, relion_df, monkeypatch
+    ):
+        monkeypatch.chdir(tmp_path)
+        from helicon_tpu.io.metadata import dataframe2star
+
+        dataframe2star(relion_df, tmp_path / "bare.star")
+        with pytest.raises(HeliconError, match="note.txt provenance"):
+            dispatch(
+                "recoverFullFilaments", relion_df.copy(), "minFraction=0.5",
+                input_imageFiles=[str(tmp_path / "bare.star")],
+            )
+
+    def test_trace_back_follows_chain(self, tmp_path, relion_df):
+        """A Class2D job chained onto the Select job still traces back to
+        the Extract star through two note.txt hops."""
+        from helicon_tpu.ops.images2star.heavy import trace_back_to_extract_job
+
+        select_star, _ = self._relion_project(tmp_path, relion_df)
+        cls = tmp_path / "Class2D" / "job008"
+        cls.mkdir(parents=True)
+        (cls / "job_pipeline.star").write_text("data_pipeline_general\n")
+        (cls / "note.txt").write_text(
+            "++++ relion_refine --i Select/job005/particles.star --o x\n"
+        )
+        (cls / "run_it020_data.star").write_text("data_\n")
+        history = []
+        got = trace_back_to_extract_job(
+            str(cls / "run_it020_data.star"), history=history
+        )
+        assert got is not None and got.endswith(
+            "Extract/job003/particles.star"
+        )
+        assert len(history) == 3
+
 
 class TestPathAndTime:
     def test_path_abs(self, tmp_path, relion_df, monkeypatch):
