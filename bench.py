@@ -118,7 +118,8 @@ def bench_hill():
     (BASELINE.md benchmark config): vmapped compute_power_spectra +
     host layer-line detection. Batched — per-call dispatch over the
     axon tunnel costs ~40 ms RTT, so the realistic many-class workload
-    vmaps the spectra (9.6 -> ~75 spectra/s)."""
+    vmaps the spectra (9.6 unbatched -> 42-65 batched, tunnel-latency
+    dependent; see PARITY.md section 2)."""
     import jax
 
     import helicon_tpu as ht
@@ -230,8 +231,21 @@ def main():
         return_best_volume=False,
     )
 
-    # warmup / compile on a small same-batch-size slice
-    reconstruct_grid(img, twists=twists[:batch], rises=rises[:batch], **kwargs)
+    # warmup / compile on a small same-batch-size slice; cost_analysis
+    # records XLA's own flop count for one compiled scoring batch
+    warm = reconstruct_grid(
+        img, twists=twists[:batch], rises=rises[:batch],
+        cost_analysis=True, **kwargs,
+    )
+
+    trace_dir = os.environ.get("HELICON_BENCH_TRACE", "")
+    if trace_dir:
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            reconstruct_grid(
+                img, twists=twists[:batch], rises=rises[:batch], **kwargs
+            )
 
     t0 = time.perf_counter()
     res = reconstruct_grid(img, twists=twists, rises=rises, **kwargs)
@@ -246,8 +260,36 @@ def main():
         "unit": "candidates/s",
         "vs_baseline": round(rate / target_rate, 4),
     }
+    # MFU: XLA-counted flops per candidate x achieved rate / chip peak
+    peak = _peak_flops_per_s()
+    if warm.cost and warm.cost["flops"] > 0:
+        flops_per_cand = warm.cost["flops"] / warm.cost["batch_size"]
+        out["flops_per_candidate"] = round(flops_per_cand)
+        if peak:
+            out["mfu"] = round(flops_per_cand * rate / (peak * n_dev), 4)
     print(json.dumps(out))
     return res
+
+
+def _peak_flops_per_s():
+    """Per-chip peak dense-matmul FLOP/s for the current backend (bf16
+    for TPUs — the bench's compute dtype). None when unknown (e.g. CPU)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v4": 275e12,
+        "v5 lite": 197e12,  # v5e
+        "v5litepod": 197e12,
+        "v5e": 197e12,
+        "v5p": 459e12,
+        "v6 lite": 918e12,  # trillium / v6e
+        "v6e": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return None
 
 
 if __name__ == "__main__":

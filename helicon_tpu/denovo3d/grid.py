@@ -96,6 +96,10 @@ class GridResult:
     # {candidate index: (tilt_deg, psi_deg, dy_pixel)} for candidates that
     # went through Gauss-Newton pose refinement (refine_tilt_psi_dy_range)
     refined_params: dict | None = None
+    # XLA cost analysis of one scoring batch (cost_analysis=True):
+    # dict(flops, bytes_accessed, batch_size) — flops is XLA's own count
+    # for the compiled vmapped solve, the basis for the bench's MFU figure
+    cost: dict | None = None
 
     def top(self, n: int = 10):
         """(twist, rise, score) rows of the n best candidates."""
@@ -172,6 +176,7 @@ def reconstruct_grid(
     return_best_volume: bool = True,
     progress_callback=None,
     should_abort=None,
+    cost_analysis: bool = False,
 ) -> GridResult:
     """Score every (twist, rise) candidate for one class-average image.
 
@@ -361,6 +366,7 @@ def reconstruct_grid(
         incremental = progress_callback is not None or should_abort is not None
         pending = []
         done = 0
+        cost_stats = None
         for sl, fut in zip(slices, futures):
             if should_abort is not None and should_abort():
                 break
@@ -374,7 +380,7 @@ def reconstruct_grid(
                     )
                 return put(x)
 
-            s = vsolve(
+            batch_args = (
                 pad_to(twists[sl]),
                 pad_to(rise_pixels[sl]),
                 pad_to(b_ch),
@@ -386,6 +392,19 @@ def reconstruct_grid(
                 pad_to(b_ov),
                 pad_to(b_pi),
             )
+            if cost_analysis and cost_stats is None:
+                try:
+                    ca = vsolve.lower(*batch_args).compile().cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    cost_stats = dict(
+                        flops=float(ca.get("flops", 0.0)),
+                        bytes_accessed=float(ca.get("bytes accessed", 0.0)),
+                        batch_size=batch_size,
+                    )
+                except Exception:  # cost analysis is best-effort
+                    cost_stats = None
+            s = vsolve(*batch_args)
             if incremental:
                 scores[sl] = np.asarray(s)[: sl.stop - sl.start]
                 done = sl.stop
@@ -449,6 +468,7 @@ def reconstruct_grid(
         target_apix2d=float(target_apix2d),
         target_apix3d=float(target_apix3d),
         refined_params=refined_params,
+        cost=cost_stats,
     )
     result.best_index = int(np.argmax(scores))
     if return_best_volume and n_cand:
