@@ -13,7 +13,16 @@ from helicon_tpu.io.mrc import read_mrc, write_mrc
 from helicon_tpu.io.metadata import dataframe2file
 
 
-ENV = dict(os.environ, HELICON_PLATFORM="cpu")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    HELICON_PLATFORM="cpu",
+    # the CLI subprocess runs with cwd=tmp_path; make helicon_tpu importable
+    # without requiring an editable install of the package
+    PYTHONPATH=os.pathsep.join(
+        p for p in (_REPO_ROOT, os.environ.get("PYTHONPATH", "")) if p
+    ),
+)
 
 
 def run_cli(*argv, cwd=None):
