@@ -9,9 +9,12 @@ the reference's task parallelism (SURVEY.md section 2h).
 
 Deviation (documented): the reference grows the reconstruction length
 with each candidate's rise (reconstruct_length_rise * rise); a vmapped
-grid needs one static geometry, so the volume length is derived from
-max(rises) for every candidate. Scores remain comparable across the grid
-because the objective normalizes by the populated equations.
+grid needs one static geometry per compilation. Candidates are therefore
+partitioned into RISE BUCKETS (max/min rise <= rise_bucket_ratio, default
+1.6) and each bucket gets its own geometry sized from its largest rise —
+a handful of compiles instead of one per candidate, with every
+candidate's volume length within the ratio of the reference's. A search
+whose rises already fit one bucket compiles exactly once, as before.
 """
 
 from __future__ import annotations
@@ -177,6 +180,7 @@ def reconstruct_grid(
     progress_callback=None,
     should_abort=None,
     cost_analysis: bool = False,
+    rise_bucket_ratio: float = 1.6,
 ) -> GridResult:
     """Score every (twist, rise) candidate for one class-average image.
 
@@ -207,6 +211,20 @@ def reconstruct_grid(
             "no (twist, rise) candidates to score — check the grid "
             "ranges/filters (build_candidate_grid drops |twist| < 0.01, "
             "|rise| < 0.01 and rise >= tube_length/2)"
+        )
+
+    # Wide rise ranges: one static geometry sized from max(rises) lets
+    # large-rise candidates out-score small-rise ones (longer volume =
+    # more unknowns; measured Spearman ~0.06 vs per-candidate lengths on
+    # a 4-48 A search). Bucket the candidates so each bucket's rises stay
+    # within rise_bucket_ratio, derive geometry per bucket (recursing into
+    # this function), and merge — the reference's per-candidate
+    # reconstruct_length_rise * rise, quantized to a handful of compiles.
+    if rise_bucket_ratio > 1 and float(np.max(rises)) > rise_bucket_ratio * max(
+        float(np.min(rises)), 1e-6
+    ):
+        return _reconstruct_grid_bucketed(
+            image, apix, twists, rises, rise_bucket_ratio, locals()
         )
 
     data = prepare_data(image, apix, denoise, low_pass, transpose, horizontalize)
@@ -289,6 +307,7 @@ def reconstruct_grid(
         l2_reg=float(l2r),
         separable=(tilt == 0.0 and psi == 0.0),
         compute_dtype=compute_dtype,
+        ard_prior=float(algorithm.get("alpha", 1e-6)),
     )
 
     devices = devices if devices is not None else jax.devices()
@@ -525,4 +544,100 @@ def reconstruct_grid(
             sym_keep=sym_keep,
         )
         result.best_volume = np.asarray(out["rec3d"])
+    return result
+
+
+def _rise_buckets(rises: np.ndarray, ratio: float):
+    """Partition candidate indices into rise buckets with bounded spread.
+
+    Greedy over ascending rises: a bucket absorbs rises up to
+    ratio * (its smallest rise), so every bucket's geometry length (sized
+    from its max rise) is within `ratio` of what the reference would use
+    per candidate. Returns a list of index arrays covering range(len(rises)).
+    """
+    order = np.argsort(rises, kind="stable")
+    buckets, cur = [], [int(order[0])]
+    r0 = float(rises[order[0]])
+    for i in order[1:]:
+        if float(rises[i]) <= ratio * r0:
+            cur.append(int(i))
+        else:
+            buckets.append(np.asarray(cur))
+            cur, r0 = [int(i)], float(rises[i])
+    buckets.append(np.asarray(cur))
+    return buckets
+
+
+def _reconstruct_grid_bucketed(image, apix, twists, rises, ratio, caller_locals):
+    """Run reconstruct_grid once per rise bucket and merge the results.
+
+    Each bucket recurses into reconstruct_grid (its rises now within
+    `ratio`, so it takes the single-geometry path) with bucket-local
+    progress/abort plumbing; scores land in one global array. The merged
+    GridResult carries the winning bucket's geometry/apix/volume.
+    """
+    import inspect
+
+    sig = inspect.signature(reconstruct_grid)
+    kw = {
+        k: caller_locals[k]
+        for k in sig.parameters
+        if k in caller_locals
+        and k not in ("image", "apix", "twists", "rises", "rise_bucket_ratio")
+    }
+    progress_callback = kw.pop("progress_callback", None)
+    should_abort = kw.pop("should_abort", None)
+
+    n_cand = len(twists)
+    scores = np.zeros(n_cand, np.float32)
+    merged_refined: dict = {}
+    best_sub = None
+    best_score = -np.inf
+    best_global_idx = -1
+    cost = None
+    done_off = 0
+    for idx in _rise_buckets(rises, ratio):
+        if should_abort is not None and should_abort():
+            break
+
+        def cb(done_b, _n_b, scores_b, idx=idx, off=done_off):
+            scores[idx[: len(scores_b)]] = scores_b[: len(idx)]
+            if progress_callback is not None:
+                progress_callback(off + done_b, n_cand, scores)
+
+        sub = reconstruct_grid(
+            image,
+            apix,
+            twists[idx],
+            rises[idx],
+            progress_callback=cb if (progress_callback or should_abort) else None,
+            should_abort=should_abort,
+            rise_bucket_ratio=ratio,
+            **kw,
+        )
+        scores[idx] = sub.scores
+        done_off += len(idx)
+        if cost is None:
+            cost = sub.cost
+        if sub.refined_params:
+            for k, v in sub.refined_params.items():
+                merged_refined[int(idx[k])] = v
+        if len(sub.scores) and float(np.max(sub.scores)) > best_score:
+            best_score = float(np.max(sub.scores))
+            best_sub = sub
+            best_global_idx = int(idx[int(np.argmax(sub.scores))])
+
+    result = GridResult(
+        twists=twists,
+        rises=rises,
+        scores=scores,
+        geom=best_sub.geom if best_sub is not None else None,
+        target_apix2d=best_sub.target_apix2d if best_sub is not None else -1.0,
+        target_apix3d=best_sub.target_apix3d if best_sub is not None else -1.0,
+        refined_params=merged_refined or None,
+        cost=cost,
+    )
+    result.best_index = best_global_idx if best_global_idx >= 0 else int(np.argmax(scores))
+    if best_sub is not None:
+        result.best_volume = best_sub.best_volume
     return result
