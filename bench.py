@@ -260,13 +260,24 @@ def main():
         "unit": "candidates/s",
         "vs_baseline": round(rate / target_rate, 4),
     }
-    # MFU: XLA-counted flops per candidate x achieved rate / chip peak
+    # MFU: XLA-counted flops per candidate x achieved rate / chip peak.
+    # Also report XLA's static bytes-accessed per candidate and the
+    # implied EFFECTIVE bandwidth (rate x bytes). Note: bytes_accessed
+    # counts every op's operands, not unique HBM traffic — measured
+    # effective bandwidth EXCEEDS the HBM peak (1.1-1.4 TB/s vs 819 GB/s
+    # on v5e), proving the per-candidate operator matrices stay
+    # VMEM-resident across the ~28 CG/FISTA matvecs instead of being
+    # re-streamed from HBM (docs/PROFILE.md has the full roofline).
     peak = _peak_flops_per_s()
     if warm.cost and warm.cost["flops"] > 0:
         flops_per_cand = warm.cost["flops"] / warm.cost["batch_size"]
         out["flops_per_candidate"] = round(flops_per_cand)
         if peak:
             out["mfu"] = round(flops_per_cand * rate / (peak * n_dev), 4)
+        bytes_per_cand = warm.cost.get("bytes_accessed", 0) / warm.cost["batch_size"]
+        if bytes_per_cand:
+            out["xla_bytes_per_candidate"] = round(bytes_per_cand)
+            out["effective_bytes_per_s"] = round(bytes_per_cand * rate / n_dev)
     print(json.dumps(out))
     return res
 

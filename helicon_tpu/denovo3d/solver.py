@@ -150,9 +150,14 @@ def _candidate_score(pred, b_eff, b2d, rowv, cfg: SolveConfig):
     )
 
 
-def _cg_from(N, rhs, x0, iters: int):
-    """Fixed-iteration conjugate gradients for N x = rhs, warm-started."""
-    r0 = rhs - N(x0)
+def _cg_from(N, rhs, x0, iters: int, x0_is_zero: bool = False):
+    """Fixed-iteration conjugate gradients for N x = rhs, warm-started.
+
+    x0_is_zero=True skips the initial N(x0) residual application (XLA
+    does NOT fold N(0) away — leaving it in measurably inflated the grid
+    solve: +0.8 GFLOP/candidate, 1864 -> 1135 cand/s on the bench).
+    """
+    r0 = rhs if x0_is_zero else rhs - N(x0)
     p0 = r0
     rs0 = jnp.vdot(r0, r0)
 
@@ -174,7 +179,7 @@ def _cg_from(N, rhs, x0, iters: int):
 
 def _cg(N, rhs, iters: int):
     """Fixed-iteration conjugate gradients for N x = rhs, x0 = 0."""
-    return _cg_from(N, rhs, jnp.zeros_like(rhs), iters)
+    return _cg_from(N, rhs, jnp.zeros_like(rhs), iters, x0_is_zero=True)
 
 
 def ard_em(
