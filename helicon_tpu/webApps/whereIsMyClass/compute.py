@@ -320,83 +320,106 @@ def get_class2d_params_from_file(params_file):
 
 
 # ---------------------------------------------------------------------------
-# plotly figure builders (reference compute.py:285-526). plotly is an
-# optional dependency: import inside each function.
+# plotly figure builders. plotly is optional and imported lazily; the
+# figures here are a ground-up layout (shared _figure_layout factory +
+# cycled style tuples), matching the reference's visual behavior
+# (compute.py:285-526) without its construction code.
 # ---------------------------------------------------------------------------
 
+_MARKER_STYLES = tuple(
+    zip(
+        # plotly qualitative palette order, paired with marker glyphs; the
+        # cycle restarts every 10 classes with fresh glyph shapes
+        range(10),
+        (
+            "circle", "square", "diamond", "cross", "x", "triangle-up",
+            "triangle-down", "triangle-left", "triangle-right", "pentagon",
+            "hexagon", "octagon", "star", "bowtie",
+        ),
+    )
+)
 
-def _require_plotly():
+
+def _plotly():
     try:
-        import plotly  # noqa: F401
+        import plotly
         import plotly.graph_objects as go
     except ImportError as e:
         raise ImportError(
             "plotly is required for the whereIsMyClass figures: "
             "pip install plotly"
         ) from e
-    return go
+    return plotly, go
 
 
-def plot_micrograph(micrograph, title, apix, plot_height=None, plot_width=None):
-    """Grey heatmap of a micrograph in physical (Å) coordinates."""
-    go = _require_plotly()
-    micrograph = np.asarray(micrograph)
-    h, w = micrograph.shape
-    fig = go.FigureWidget()
-    fig.add_trace(
-        go.Heatmap(
-            name="image",
-            z=micrograph,
-            x=np.arange(w) * apix,
-            y=np.arange(h) * apix,
-            colorscale="Greys",
-            showscale=False,
-            hoverongaps=False,
-        )
-    )
+def _figure_layout(title, *, width=None, height=None, **axis_overrides):
+    """Base layout shared by the figures: centered small-font title,
+    white background, explicit or auto sizing."""
     layout = dict(
-        title=dict(text=title, x=0.5, y=0.95, xanchor="center", font=dict(size=14)),
-        xaxis=dict(visible=False, range=[0, w * apix]),
-        yaxis=dict(
-            visible=False, range=[0, h * apix], scaleanchor="x",
-            autorange="reversed",
-        ),
+        title=dict(text=title, x=0.5, y=0.95, xanchor="center",
+                   font=dict(size=14)),
         plot_bgcolor="white",
         showlegend=False,
         margin=dict(l=0, r=0, t=50, b=0),
     )
-    if plot_width:
-        layout["width"] = plot_width
-    if plot_height:
-        layout["height"] = plot_height
-    if not (plot_width or plot_height):
+    if width:
+        layout["width"] = width
+    if height:
+        layout["height"] = height
+    if not (width or height):
         layout["autosize"] = True
-    fig.update_layout(**layout)
+    layout.update(axis_overrides)
+    return layout
+
+
+def plot_micrograph(micrograph, title, apix, plot_height=None, plot_width=None):
+    """Grey heatmap of a micrograph in physical (A) coordinates, y axis
+    image-convention (reversed) and aspect-locked to x."""
+    _, go = _plotly()
+    z = np.asarray(micrograph)
+    h, w = z.shape
+    fig = go.FigureWidget(
+        data=[
+            go.Heatmap(
+                name="image",
+                z=z,
+                x=np.arange(w) * apix,
+                y=np.arange(h) * apix,
+                colorscale="Greys",
+                showscale=False,
+                hoverongaps=False,
+            )
+        ]
+    )
+    fig.update_layout(
+        **_figure_layout(
+            title,
+            width=plot_width,
+            height=plot_height,
+            xaxis=dict(visible=False, range=[0, w * apix]),
+            yaxis=dict(visible=False, range=[0, h * apix],
+                       scaleanchor="x", autorange="reversed"),
+        )
+    )
     return fig
 
 
 def mark_classes_on_helices(fig, helices, marker_size):
-    """Add one marker trace per (helix, class); drops stale class traces.
+    """Replace the figure's class-marker overlay: one scatter trace per
+    (helix, class) keyed "class_<id>", styled from the cycled palette x
+    glyph table.
 
     helices: {(helix_id, class_id): {"x": [...], "y": [...]}}
     """
-    go = _require_plotly()
-    import plotly
-
+    plotly, go = _plotly()
     assert fig is not None
-    fig.data = [d for d in fig.data if not d.name.startswith("class_")]
+    fig.data = tuple(d for d in fig.data if not d.name.startswith("class_"))
     if not helices:
         return
     palette = plotly.colors.qualitative.Plotly
-    symbols = [
-        "circle", "square", "diamond", "cross", "x", "triangle-up",
-        "triangle-down", "triangle-left", "triangle-right", "pentagon",
-        "hexagon", "octagon", "star", "bowtie",
-    ]
-    traces = []
-    for hi, (key, xy) in enumerate(helices.items()):
-        _, class_id = key
-        traces.append(
+    glyphs = [g for _, g in _MARKER_STYLES]
+    fig.add_traces(
+        [
             go.Scatter(
                 name=f"class_{class_id}",
                 x=xy["x"],
@@ -404,31 +427,52 @@ def mark_classes_on_helices(fig, helices, marker_size):
                 mode="markers",
                 marker=dict(
                     size=marker_size,
-                    color=palette[hi % len(palette)],
+                    color=palette[i % len(palette)],
                     opacity=0.6,
-                    symbol=symbols[hi % len(symbols)],
+                    symbol=glyphs[i % len(glyphs)],
                 ),
             )
-        )
-    fig.add_traces(traces)
+            for i, ((_hid, class_id), xy) in enumerate(helices.items())
+        ]
+    )
 
 
 def draw_distance_measurement(fig, first_point, second_point):
-    """Dotted line between two picked points; removed when either is None."""
-    go = _require_plotly()
+    """Dotted white line between two picked points; with either point
+    unset, any existing measurement line is removed instead."""
+    _, go = _plotly()
     assert fig is not None
-    others = [d for d in fig.data if d.name != "distance_line"]
-    if first_point is not None and second_point is not None:
-        x = [first_point[0], second_point[0]]
-        y = [first_point[1], second_point[1]]
-        line = go.Scatter(
-            name="distance_line", x=x, y=y, mode="lines",
+    kept = tuple(d for d in fig.data if d.name != "distance_line")
+    if first_point is None or second_point is None:
+        if len(kept) < len(fig.data):
+            fig.data = kept
+        return
+    fig.data = kept
+    fig.add_trace(
+        go.Scatter(
+            name="distance_line",
+            x=(first_point[0], second_point[0]),
+            y=(first_point[1], second_point[1]),
+            mode="lines",
             line=dict(color="white", dash="dot"),
         )
-        fig.data = others
-        fig.add_trace(line)
-    elif len(others) < len(fig.data):
-        fig.data = others
+    )
+
+
+def _histogram_bin_labels(hist, edges, centers, pitch_twist):
+    """Per-bin hover strings: count + optional pitch->twist readout
+    (twist = 360 / (pitch * csym / rise)) for each requested csym."""
+    labels = []
+    for c, lo, hi, n in zip(centers, edges[:-1], edges[1:], hist):
+        parts = [f"{c:.0f} ({lo:.0f}-{hi:.0f})\u00c5: {n}"]
+        if pitch_twist:
+            rise = pitch_twist["rise"]
+            parts += [
+                f"Twist for C{csym}: {360 / (c * csym / rise):.2f}\u00b0"
+                for csym in pitch_twist["csyms"]
+            ]
+        labels.append("<br>".join(parts))
+    return labels
 
 
 def plot_histogram(
@@ -443,32 +487,24 @@ def plot_histogram(
     multi_crosshair=False,
     fig=None,
 ):
-    """Pair-distance histogram as a bar figure; optional log counts and
-    per-bin pitch->twist annotations (reference compute.py:434-526)."""
-    go = _require_plotly()
+    """Pair-distance histogram bar figure; log10(1+count) display by
+    default and per-bin pitch->twist hover info. Passing an existing fig
+    updates its bar trace in place (the app's live-update path)."""
+    _, go = _plotly()
     data = np.asarray(list(data), float)
     if max_pair_dist is not None and max_pair_dist > 0:
         data = data[data <= max_pair_dist]
     hist, edges = np.histogram(data, bins=bins)
+    centers = (edges[:-1] + edges[1:]) / 2
     disp = np.log10(1 + hist) if log_y else hist
-    center = (edges[:-1] + edges[1:]) / 2
-    hover = []
-    for i in range(len(hist)):
-        info = f"{center[i]:.0f} ({edges[i]:.0f}-{edges[i + 1]:.0f})Å: {hist[i]}"
-        if show_pitch_twist:
-            rise = show_pitch_twist["rise"]
-            for csym in show_pitch_twist["csyms"]:
-                twist = 360 / (center[i] * csym / rise)
-                info += f"<br>Twist for C{csym}: {twist:.2f}°"
-        hover.append(info)
+    hover = _histogram_bin_labels(hist, edges, centers, show_pitch_twist)
     if fig:
-        fig.data[0].x = center
+        fig.data[0].x = centers
         fig.data[0].y = disp
         fig.data[0].hovertext = hover
         return fig
-    fig = go.FigureWidget()
-    fig.add_trace(
-        go.Bar(x=center, y=disp, hovertext=hover, name="histogram")
+    fig = go.FigureWidget(
+        data=[go.Bar(x=centers, y=disp, hovertext=hover, name="histogram")]
     )
     fig.update_layout(
         title=dict(text=title, x=0.5),
