@@ -1,0 +1,93 @@
+"""Native (C++) runtime components, compiled on demand.
+
+The TPU compute path is JAX/XLA; the host-side runtime around it — here
+the STAR table codec that feeds every images2star/metadata pipeline —
+is C++ (star_codec.cpp), loaded through ctypes. No pybind11: the ABI is
+plain C arrays + numpy buffers.
+
+Build model: the .cpp ships with the package; the first use compiles it
+with g++ into a per-source-hash shared object under
+~/.cache/helicon_tpu/ (or $HELICON_NATIVE_CACHE). Every entry point
+degrades to the pure-Python implementation when the toolchain or a
+compiled object is unavailable, and HELICON_NO_NATIVE=1 disables native
+paths outright (used by the fallback tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_CODEC: object = None  # None = untried, False = unavailable, CDLL = loaded
+
+
+def _cache_dir() -> pathlib.Path:
+    d = os.environ.get("HELICON_NATIVE_CACHE", "")
+    p = pathlib.Path(d) if d else pathlib.Path.home() / ".cache" / "helicon_tpu"
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _compile(src: pathlib.Path) -> pathlib.Path | None:
+    code = src.read_bytes()
+    tag = hashlib.sha256(code).hexdigest()[:16]
+    so = _cache_dir() / f"{src.stem}-{tag}.so"
+    if so.exists():
+        return so
+    tmp = so.with_suffix(f".{os.getpid()}.tmp")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)  # atomic: concurrent builders race benignly
+        return so
+    except Exception:
+        tmp.unlink(missing_ok=True)
+        return None
+
+
+def load_star_codec():
+    """ctypes handle to the STAR codec, or None (pure-Python fallback)."""
+    global _CODEC
+    if os.environ.get("HELICON_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if _CODEC is None:
+            _CODEC = False
+            src = pathlib.Path(__file__).parent / "star_codec.cpp"
+            so = _compile(src) if src.exists() else None
+            if so is not None:
+                try:
+                    lib = ctypes.CDLL(str(so))
+                    c_char_p = ctypes.c_char_p
+                    i8p = ctypes.POINTER(ctypes.c_int8)
+                    i32p = ctypes.POINTER(ctypes.c_int32)
+                    i64p = ctypes.POINTER(ctypes.c_int64)
+                    f64p = ctypes.POINTER(ctypes.c_double)
+                    lib.star_scan.restype = ctypes.c_int64
+                    lib.star_scan.argtypes = [
+                        c_char_p, ctypes.c_int64, ctypes.c_int32, i8p,
+                    ]
+                    lib.star_parse.restype = ctypes.c_int64
+                    lib.star_parse.argtypes = [
+                        c_char_p, ctypes.c_int64, ctypes.c_int32, i8p,
+                        ctypes.c_int64, f64p, i64p, i32p,
+                    ]
+                    lib.star_format.restype = ctypes.c_int64
+                    lib.star_format.argtypes = [
+                        ctypes.c_int64, ctypes.c_int32, i8p, f64p, i64p,
+                        c_char_p, i64p, i32p, ctypes.c_char_p, ctypes.c_int64,
+                    ]
+                    lib.star_gather_strings.restype = ctypes.c_int64
+                    lib.star_gather_strings.argtypes = [
+                        c_char_p, i64p, i32p, ctypes.c_int64,
+                        ctypes.c_char_p, i32p,
+                    ]
+                    _CODEC = lib
+                except OSError:
+                    _CODEC = False
+        return _CODEC or None
