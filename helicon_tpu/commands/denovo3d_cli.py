@@ -35,16 +35,19 @@ def main(args: argparse.Namespace) -> None:
         stream=sys.stdout,
     )
 
-    img = read_image_2d(args.input_image, args.imageIndex - 1)
-    apix = args.apix if args.apix > 0 else mrc_header(args.input_image).apix
+    header = mrc_header(args.input_image)
+    apix = args.apix if args.apix > 0 else header.apix
+    indices = list(args.imageIndex)
+    if indices == [0]:  # 0 = every image in the stack (batch mode)
+        indices = list(range(1, int(getattr(header, "nz", 1)) + 1))
     twists, rises = build_candidate_grid(
         args.twist[0], args.twist[1], args.twist[2],
         args.rise[0], args.rise[1], args.rise[2],
         handedness=args.handedness,
     )
     logger.info(
-        "%d (twist, rise) candidates for %s:%d (apix %.3f A)",
-        len(twists), args.input_image, args.imageIndex, apix,
+        "%d (twist, rise) candidates x %d image(s) of %s (apix %.3f A)",
+        len(twists), len(indices), args.input_image, apix,
     )
     # reference pipeline.py:357-368: bounds dict, empty -> no refinement
     refine_range = None
@@ -58,7 +61,27 @@ def main(args: argparse.Namespace) -> None:
         if d_rng > 0:
             r_dict["dy"] = d_rng
         refine_range = r_dict or None
-    with Timer("grid search", verbose=args.verbose):
+    all_summaries = []
+    for image_index in indices:
+        img = read_image_2d(args.input_image, image_index - 1)
+        res, summary = _search_one(
+            args, img, apix, twists, rises, refine_range, image_index,
+            multi=len(indices) > 1,
+        )
+        all_summaries.append(summary)
+    if len(indices) > 1:
+        batch = Path(args.output_prefix).with_suffix(".batch.json")
+        batch.write_text(json.dumps(all_summaries, indent=1))
+        logger.info("batch summary -> %s", batch)
+
+
+def _search_one(args, img, apix, twists, rises, refine_range, image_index,
+                multi=False):
+    from helicon_tpu.denovo3d import reconstruct_grid
+    from helicon_tpu.io.mrc import write_mrc
+    from helicon_tpu.utils.logging import Timer
+
+    with Timer(f"grid search (image {image_index})", verbose=args.verbose):
         res = reconstruct_grid(
             img,
             apix=apix,
@@ -89,6 +112,8 @@ def main(args: argparse.Namespace) -> None:
 
     top = res.top(args.topN)
     out_prefix = Path(args.output_prefix)
+    if multi:  # per-image outputs in batch mode
+        out_prefix = out_prefix.parent / f"{out_prefix.name}_{image_index:03d}"
     table = out_prefix.with_suffix(".csv")
     with open(table, "w") as f:
         f.write("twist_degree,rise_angstrom,score\n")
@@ -104,6 +129,7 @@ def main(args: argparse.Namespace) -> None:
         write_mrc(vol_file, res.best_volume, apix=res.target_apix3d)
         logger.info("best reconstruction -> %s", vol_file)
     summary = dict(
+        image_index=int(image_index),
         best_twist=float(res.twists[res.best_index]),
         best_rise=float(res.rises[res.best_index]),
         best_score=float(res.scores[res.best_index]),
@@ -118,13 +144,15 @@ def main(args: argparse.Namespace) -> None:
         )
     (out_prefix.with_suffix(".json")).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
+    return res, summary
 
 
 def add_args(parser: argparse.ArgumentParser):
     parser.add_argument("input_image", help="2D class average (.mrc/.mrcs)")
     parser.add_argument("output_prefix", help="output file prefix")
-    parser.add_argument("--imageIndex", type=int, default=1,
-                        help="1-based image index in the stack")
+    parser.add_argument("--imageIndex", type=int, nargs="+", default=[1],
+                        help="1-based image index(es) in the stack; a "
+                             "single 0 = every image (batch mode)")
     parser.add_argument("--apix", type=float, default=0,
                         help="pixel size (A); 0 = from the MRC header")
     parser.add_argument("--twist", type=float, nargs=3, default=[0.5, 45.0, 0.5],

@@ -403,3 +403,39 @@ def test_cli_cryosparc_local_pipeline(tmp_path):
     assert len(np.unique(out["ctf/exp_group_id"])) == 3
     assert out["blob/psize_A"][0] == pytest.approx(2.4)
     assert out["ctf/df1_A"][0] == pytest.approx(48000.0)  # scaled by (2x)^2
+
+
+def test_cli_denovo3d_batch_all_images(tmp_path):
+    """--imageIndex 0 = every image in the stack: per-image outputs plus
+    a combined .batch.json summary."""
+    import json
+
+    from helicon_tpu.helix import simulate_helical_projection
+
+    imgs = [
+        np.squeeze(np.asarray(simulate_helical_projection(
+            n=1, twist=tw, rise=6.0, csym=1, helical_diameter=40.0,
+            ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48,
+            apix=2.0, rng=0,
+        ))).astype(np.float32)
+        for tw in (30.0, 40.0)
+    ]
+    write_mrc(tmp_path / "cls.mrcs", np.stack(imgs), apix=2.0)
+    r = run_cli(
+        "denovo3d_cli", "cls.mrcs", "batch",
+        "--imageIndex", "0",
+        "--apix", "2.0",
+        "--twist", "30", "40", "10",
+        "--rise", "6.0", "6.0", "1.0",
+        "--cgIters", "8", "--fistaIters", "6",
+        "--horizontalize", "0", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    summaries = json.loads((tmp_path / "batch.batch.json").read_text())
+    assert [s["image_index"] for s in summaries] == [1, 2]
+    assert (tmp_path / "batch_001.csv").exists()
+    assert (tmp_path / "batch_002.csv").exists()
+    # each image's own twist wins its search
+    assert summaries[0]["best_twist"] == 30.0
+    assert summaries[1]["best_twist"] == 40.0
