@@ -40,6 +40,11 @@ def main(args: argparse.Namespace) -> None:
     indices = list(args.imageIndex)
     if indices == [0]:  # 0 = every image in the stack (batch mode)
         indices = list(range(1, int(getattr(header, "nz", 1)) + 1))
+    elif any(i < 1 for i in indices):
+        raise SystemExit(
+            "--imageIndex values are 1-based (a SINGLE 0 selects every "
+            f"image); got {indices}"
+        )
     twists, rises = build_candidate_grid(
         args.twist[0], args.twist[1], args.twist[2],
         args.rise[0], args.rise[1], args.rise[2],

@@ -223,8 +223,31 @@ def reconstruct_grid(
     if rise_bucket_ratio > 1 and float(np.max(rises)) > rise_bucket_ratio * max(
         float(np.min(rises)), 1e-6
     ):
+        # explicit forwarding dict: every reconstruct_grid parameter
+        # except the ones the bucket driver owns (image/apix/candidates,
+        # progress/abort plumbing, return_best_volume, the ratio itself)
+        fwd = dict(
+            csym=csym, tilt=tilt, psi=psi, dy=dy, low_pass=low_pass,
+            transpose=transpose, horizontalize=horizontalize,
+            denoise=denoise, target_apix2d=target_apix2d,
+            target_apix3d=target_apix3d, tube_diameter=tube_diameter,
+            tube_diameter_inner=tube_diameter_inner,
+            tube_length=tube_length,
+            reconstruct_length_rise=reconstruct_length_rise,
+            thresh_fraction=thresh_fraction,
+            positive_constraint=positive_constraint,
+            sym_oversample=sym_oversample, interpolation=interpolation,
+            algorithm=algorithm, score_metric=score_metric,
+            fsc_test=fsc_test,
+            refine_tilt_psi_dy_range=refine_tilt_psi_dy_range,
+            refine_top_k=refine_top_k, cg_iters=cg_iters,
+            fista_iters=fista_iters, power_iters=power_iters,
+            compute_dtype=compute_dtype, batch_size=batch_size,
+            devices=devices, cost_analysis=cost_analysis,
+        )
         return _reconstruct_grid_bucketed(
-            image, apix, twists, rises, rise_bucket_ratio, locals()
+            image, apix, twists, rises, rise_bucket_ratio, fwd,
+            return_best_volume, progress_callback, should_abort,
         )
 
     data = prepare_data(image, apix, denoise, low_pass, transpose, horizontalize)
@@ -568,26 +591,20 @@ def _rise_buckets(rises: np.ndarray, ratio: float):
     return buckets
 
 
-def _reconstruct_grid_bucketed(image, apix, twists, rises, ratio, caller_locals):
+def _reconstruct_grid_bucketed(
+    image, apix, twists, rises, ratio, kw,
+    return_best_volume, progress_callback, should_abort,
+):
     """Run reconstruct_grid once per rise bucket and merge the results.
 
     Each bucket recurses into reconstruct_grid (its rises now within
     `ratio`, so it takes the single-geometry path) with bucket-local
-    progress/abort plumbing; scores land in one global array. The merged
-    GridResult carries the winning bucket's geometry/apix/volume.
+    progress/abort plumbing; scores land in one global array. Buckets
+    run WITHOUT best-volume reconstruction; the winner candidate is
+    re-solved once at the end, so only one volume is ever computed.
+    `cost` is the first bucket's (per-candidate flops differ between
+    geometries; the bench is single-bucket).
     """
-    import inspect
-
-    sig = inspect.signature(reconstruct_grid)
-    kw = {
-        k: caller_locals[k]
-        for k in sig.parameters
-        if k in caller_locals
-        and k not in ("image", "apix", "twists", "rises", "rise_bucket_ratio")
-    }
-    progress_callback = kw.pop("progress_callback", None)
-    should_abort = kw.pop("should_abort", None)
-
     n_cand = len(twists)
     scores = np.zeros(n_cand, np.float32)
     merged_refined: dict = {}
@@ -610,6 +627,7 @@ def _reconstruct_grid_bucketed(image, apix, twists, rises, ratio, caller_locals)
             apix,
             twists[idx],
             rises[idx],
+            return_best_volume=False,
             progress_callback=cb if (progress_callback or should_abort) else None,
             should_abort=should_abort,
             rise_bucket_ratio=ratio,
@@ -638,6 +656,24 @@ def _reconstruct_grid_bucketed(image, apix, twists, rises, ratio, caller_locals)
         cost=cost,
     )
     result.best_index = best_global_idx if best_global_idx >= 0 else int(np.argmax(scores))
-    if best_sub is not None:
-        result.best_volume = best_sub.best_volume
+    if return_best_volume and best_sub is not None:
+        # one single-candidate pass on the winner (its own bucket's
+        # geometry) for the volume; refinement (if configured) re-runs
+        # deterministically on this one candidate
+        win = reconstruct_grid(
+            image,
+            apix,
+            twists[best_global_idx: best_global_idx + 1],
+            rises[best_global_idx: best_global_idx + 1],
+            return_best_volume=True,
+            rise_bucket_ratio=ratio,
+            **kw,
+        )
+        result.best_volume = win.best_volume
+        result.geom = win.geom
+        result.target_apix2d = win.target_apix2d
+        result.target_apix3d = win.target_apix3d
+        if win.refined_params:
+            merged_refined[best_global_idx] = win.refined_params[0]
+            result.refined_params = merged_refined
     return result

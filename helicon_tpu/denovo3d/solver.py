@@ -220,13 +220,19 @@ def ard_em(
     alpha0 = jnp.float32(n_rows) / jnp.maximum(b_sq, 1e-30)
     lam0 = mask_f  # unit precision on in-mask voxels
     coef0 = jnp.zeros_like(rhs)
-    zs = (
-        jax.random.rademacher(key, (iters, probes) + rhs.shape, jnp.float32)
-        * mask_f
-    )
 
-    def em(carry, z_i):
+    def em(carry, it):
         coef, lam, alpha, diag_prev = carry
+        # probes are generated per EM step (folded key): materializing
+        # all iters*probes volumes up front multiplies per-candidate
+        # memory ~iters*probes-fold under vmap
+        z_i = (
+            jax.random.rademacher(
+                jax.random.fold_in(key, it), (probes,) + rhs.shape,
+                jnp.float32,
+            )
+            * mask_f
+        )
         keep = mask_b & (lam < threshold_lambda)
         keep_f = keep.astype(jnp.float32)
         # pruned voxels get a huge on-diagonal term so CG leaves them ~0
@@ -255,7 +261,7 @@ def ard_em(
         return (coef, lam_new, alpha_new, diag), None
 
     (coef, _, _, _), _ = jax.lax.scan(
-        em, (coef0, lam0, alpha0, mask_f), zs
+        em, (coef0, lam0, alpha0, mask_f), jnp.arange(iters)
     )
     return coef
 
@@ -333,21 +339,22 @@ def _solve_one_weighting(
     rhs = PT(b_eff) * mask_f
 
     if cfg.model == "ard":
-        # equation count: valid data rows + valid symmetry rows. The sym
-        # count is probed with a fixed injective-valued volume: a row of
+        # equation count: valid data rows + valid symmetry rows. A row of
         # S is structurally zero iff it is invalid (or its two ends hit
-        # the same voxel, which contributes nothing either way).
-        probe_v = (
-            jnp.arange(rhs.size, dtype=jnp.float32).reshape(rhs.shape)
-            * 0.6180339887
-            % 1.0
-            + 0.1
-        ) * mask_f
-        n_sym = jnp.sum(S(probe_v) != 0.0)
-        n_rows = jnp.sum(rowv) + n_sym
-        b_sq = jnp.vdot(b_eff, b_eff)
+        # the same voxel, which contributes nothing either way). Probing
+        # with TWO independent random volumes and OR-ing the nonzero
+        # masks makes a per-row miscount need a float32 value collision
+        # in both probes (~1e-14): an arange-based "injective" probe is
+        # NOT injective in float32 past ~2^23 voxels (consecutive
+        # indices collapse to identical fractional values).
         if key is None:
             key = jax.random.PRNGKey(0)
+        kp1, kp2 = jax.random.split(jax.random.fold_in(key, 7))
+        p1 = jax.random.uniform(kp1, rhs.shape, jnp.float32, 1.0, 2.0) * mask_f
+        p2 = jax.random.uniform(kp2, rhs.shape, jnp.float32, 1.0, 2.0) * mask_f
+        n_sym = jnp.sum((S(p1) != 0.0) | (S(p2) != 0.0))
+        n_rows = jnp.sum(rowv) + n_sym
+        b_sq = jnp.vdot(b_eff, b_eff)
         x = ard_em(
             N0,
             rhs,

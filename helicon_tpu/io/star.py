@@ -82,6 +82,8 @@ def _parse_loop_native(rows_or_body, cols, block=""):
             f"declares {ncols} columns (block 'data_{block}', "
             f"row {bad + 1}): {clean[bad]!r}"
         )
+    if nrows == 0:
+        return _empty_loop_frame(cols)
     n_num = int(kind.sum())
     n_str = ncols - n_num
     num = np.empty((max(n_num, 1), max(nrows, 1)), np.float64)
@@ -100,12 +102,12 @@ def _parse_loop_native(rows_or_body, cols, block=""):
             col = num[num_slot, :nrows]
             num_slot += 1
             finite = np.isfinite(col)
-            if (
-                nrows
-                and finite.all()
-                and np.abs(col).max() < 2**62
-                and (col == np.floor(col)).all()
-            ):
+            if finite.all() and (col == np.floor(col)).all():
+                # float64 is exact only below 2^53: larger integers must
+                # go through the Python parser (pd.to_numeric is exact
+                # int64) or the two paths would disagree by rounding
+                if np.abs(col).max() >= 2**53:
+                    return None
                 data[c] = col.astype(np.int64)
             else:
                 data[c] = col.copy()
@@ -114,6 +116,15 @@ def _parse_loop_native(rows_or_body, cols, block=""):
             str_slot += 1
             data[c] = _strings_from_offsets(lib, body, st, ln, nrows)
     return pd.DataFrame(data, columns=list(cols))
+
+
+def _empty_loop_frame(cols):
+    """Zero-row loop table with the line machine's dtypes (vacuous
+    to_numeric succeeds on empty columns -> int64)."""
+    df = pd.DataFrame([], columns=list(cols))
+    for c in df.columns:
+        df[c] = _coerce(df[c])
+    return df
 
 
 def _strings_from_offsets(lib, body: bytes, starts, lens, nrows: int):
@@ -220,7 +231,7 @@ def _read_star_blocks(text: str):
         if not cols:
             return None  # loop_ with no columns: let the machine decide
         if body_start is None:
-            df = pd.DataFrame(columns=cols)
+            df = _empty_loop_frame(cols)
         else:
             body = rest[body_start:]
             if "\n_" in body:

@@ -26,27 +26,35 @@ _LOCK = threading.Lock()
 _CODEC: object = None  # None = untried, False = unavailable, CDLL = loaded
 
 
-def _cache_dir() -> pathlib.Path:
-    d = os.environ.get("HELICON_NATIVE_CACHE", "")
-    p = pathlib.Path(d) if d else pathlib.Path.home() / ".cache" / "helicon_tpu"
-    p.mkdir(parents=True, exist_ok=True)
-    return p
-
-
 def _compile(src: pathlib.Path) -> pathlib.Path | None:
-    code = src.read_bytes()
-    tag = hashlib.sha256(code).hexdigest()[:16]
-    so = _cache_dir() / f"{src.stem}-{tag}.so"
-    if so.exists():
-        return so
-    tmp = so.with_suffix(f".{os.getpid()}.tmp")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)]
+    """Compile src into the cache dir; None on ANY failure (read-only
+    home, no g++, timeout, ...) so callers fall back to pure Python."""
+    tmp = None
     try:
+        d = os.environ.get("HELICON_NATIVE_CACHE", "")
+        cache = (
+            pathlib.Path(d)
+            if d
+            else pathlib.Path.home() / ".cache" / "helicon_tpu"
+        )
+        cache.mkdir(parents=True, exist_ok=True)
+        code = src.read_bytes()
+        tag = hashlib.sha256(code).hexdigest()[:16]
+        so = cache / f"{src.stem}-{tag}.so"
+        if so.exists():
+            return so
+        tmp = so.with_suffix(f".{os.getpid()}.tmp")
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-o", str(tmp), str(src)]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)  # atomic: concurrent builders race benignly
         return so
     except Exception:
-        tmp.unlink(missing_ok=True)
+        if tmp is not None:
+            try:
+                tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
         return None
 
 

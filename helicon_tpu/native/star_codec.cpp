@@ -14,15 +14,35 @@
 // lines and full-line '#' comments are skipped here, matching the
 // Python reader's line filter.
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <limits>
 
 namespace {
 
 inline bool is_sep(char c) { return c == ' ' || c == '\t' || c == '\r'; }
+
+// Locale-independent full-token double parse (strtod/snprintf honor
+// LC_NUMERIC; a host app calling setlocale() must not change STAR
+// semantics). Returns true iff the whole token parses; matches pandas
+// to_numeric: leading '+' allowed, overflow -> +-inf.
+inline bool parse_double(const char* s, int32_t len, double& out) {
+    if (len <= 0) return false;
+    const char* p = s;
+    if (*p == '+') { ++p; --len; if (len <= 0) return false; }
+    auto r = std::from_chars(p, p + len, out);
+    if (r.ptr != p + len) return false;
+    if (r.ec == std::errc::result_out_of_range) {
+        out = (*p == '-') ? -std::numeric_limits<double>::infinity()
+                          : std::numeric_limits<double>::infinity();
+        return true;
+    }
+    return r.ec == std::errc();
+}
 
 // Walk one row starting at `p` (end `e`). Calls `tok(start, len, idx)`
 // for every token. Full-line '#' comments yield zero tokens (like the
@@ -49,17 +69,10 @@ const char* walk_row(const char* p, const char* e, int64_t& ntok, F&& tok) {
 }
 
 inline bool token_is_numeric(const char* s, int32_t len) {
-    char tmp[64];
-    if (len <= 0 || len >= 63) return false;  // numbers longer than 62 chars: not worth it
-    // strtod accepts hex ("0x1A") but pandas to_numeric does not
-    if (len >= 2 && s[0] == '0' && (s[1] == 'x' || s[1] == 'X')) return false;
-    std::memcpy(tmp, s, len);
-    tmp[len] = '\0';
-    char* endp = nullptr;
-    double v = std::strtod(tmp, &endp);
+    double v;
     // match pandas to_numeric + notna(): a full parse that yields NaN
     // (token "nan") leaves the column non-numeric in the Python path
-    return endp == tmp + len && !std::isnan(v);
+    return parse_double(s, len, v) && !std::isnan(v);
 }
 
 }  // namespace
@@ -106,18 +119,15 @@ int64_t star_parse(const char* buf, int64_t len, int32_t ncols,
     const char* p = buf;
     const char* e = buf + len;
     int64_t row = 0;
-    char tmp[64];
     while (p < e && row < nrows) {
         int64_t ntok = 0;
         const char* row_p = p;
         p = walk_row(p, e, ntok, [&](const char* s, int32_t l, int64_t i) {
             if (i >= ncols) return;
             if (col_is_num[i]) {
-                int32_t n = l < 63 ? l : 63;
-                std::memcpy(tmp, s, n);
-                tmp[n] = '\0';
-                num_out[static_cast<int64_t>(slot[i]) * nrows + row] =
-                    std::strtod(tmp, nullptr);
+                double v = 0.0;
+                parse_double(s, l, v);
+                num_out[static_cast<int64_t>(slot[i]) * nrows + row] = v;
             } else {
                 int64_t k = static_cast<int64_t>(slot[i]) * nrows + row;
                 str_start[k] = s - buf;
@@ -171,7 +181,17 @@ int64_t star_format(int64_t nrows, int32_t ncols, const int8_t* kind,
             int64_t k = static_cast<int64_t>(slot[c]) * nrows + r;
             if (kind[c] == 0) {
                 if (oe - o < 32) { std::free(slot); return -1; }
-                o += std::snprintf(o, 32, "%.6f", dcols[k]);
+                double v = dcols[k];
+                if (std::isnan(v)) {  // to_chars may emit "-nan"
+                    std::memcpy(o, "nan", 3);
+                    o += 3;
+                } else {
+                    // locale-independent "%.6f" (Python "{:.6f}" match)
+                    auto res = std::to_chars(o, o + 32, v,
+                                             std::chars_format::fixed, 6);
+                    if (res.ec != std::errc()) { std::free(slot); return -1; }
+                    o = res.ptr;
+                }
             } else if (kind[c] == 1) {
                 if (oe - o < 24) { std::free(slot); return -1; }
                 o += std::snprintf(o, 24, "%lld",

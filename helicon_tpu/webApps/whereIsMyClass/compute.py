@@ -326,17 +326,13 @@ def get_class2d_params_from_file(params_file):
 # (compute.py:285-526) without its construction code.
 # ---------------------------------------------------------------------------
 
-_MARKER_STYLES = tuple(
-    zip(
-        # plotly qualitative palette order, paired with marker glyphs; the
-        # cycle restarts every 10 classes with fresh glyph shapes
-        range(10),
-        (
-            "circle", "square", "diamond", "cross", "x", "triangle-up",
-            "triangle-down", "triangle-left", "triangle-right", "pentagon",
-            "hexagon", "octagon", "star", "bowtie",
-        ),
-    )
+# marker glyphs cycled independently of the 10-color plotly palette:
+# (10 colors) x (14 glyphs) = 140 distinct (color, symbol) combinations
+# before any two class overlays look identical
+_MARKER_GLYPHS = (
+    "circle", "square", "diamond", "cross", "x", "triangle-up",
+    "triangle-down", "triangle-left", "triangle-right", "pentagon",
+    "hexagon", "octagon", "star", "bowtie",
 )
 
 
@@ -417,7 +413,7 @@ def mark_classes_on_helices(fig, helices, marker_size):
     if not helices:
         return
     palette = plotly.colors.qualitative.Plotly
-    glyphs = [g for _, g in _MARKER_STYLES]
+    glyphs = _MARKER_GLYPHS
     fig.add_traces(
         [
             go.Scatter(

@@ -439,3 +439,22 @@ def test_cli_denovo3d_batch_all_images(tmp_path):
     # each image's own twist wins its search
     assert summaries[0]["best_twist"] == 30.0
     assert summaries[1]["best_twist"] == 40.0
+
+
+def test_cli_denovo3d_rejects_mixed_zero_index(tmp_path):
+    """0 mixed with other indices is ambiguous and must fail with a
+    clear message, not an IndexError mid-batch."""
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48,
+        apix=2.0, rng=0,
+    ))).astype(np.float32)
+    write_mrc(tmp_path / "cls.mrc", img[None], apix=2.0)
+    r = run_cli(
+        "denovo3d_cli", "cls.mrc", "out", "--imageIndex", "0", "2",
+        "--apix", "2.0", "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode != 0
+    assert "1-based" in (r.stderr + r.stdout)

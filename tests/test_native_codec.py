@@ -156,3 +156,84 @@ def test_no_native_env_disables_codec():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd="/root/repo")
     assert r.returncode == 0 and "ok" in r.stdout
+
+
+def test_large_int64_column_exact_both_paths():
+    """Integers above 2^53 must not be rounded through float64: the
+    native path falls back to exact pd.to_numeric for such columns."""
+    big = 2**53 + 1
+    text = f"data_x\nloop_\n_a #1\n{big}\n{big + 2}\n"
+    fast = read_star(io.StringIO(text))["x"]
+    slow = _python_path(read_star, io.StringIO(text))["x"]
+    pd.testing.assert_frame_equal(fast, slow)
+    assert int(fast["a"].iloc[0]) == big  # exact, not 2^53
+
+
+def test_empty_loop_dtypes_match_python_path():
+    text = "data_a\nloop_\n_x #1\n_y #2\n"
+    fast = read_star(io.StringIO(text))["a"]
+    slow = _python_path(read_star, io.StringIO(text))["a"]
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_unwritable_cache_dir_falls_back_to_python(tmp_path):
+    """A read-only cache location must degrade to the pure-Python parser,
+    not crash read_star (module docstring contract)."""
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    ro.chmod(0o500)
+    code = (
+        "import io; from helicon_tpu.io.star import read_star;"
+        "b = read_star(io.StringIO('data_x\\nloop_\\n_a #1\\n1.5\\n'));"
+        "assert float(b['x']['a'].iloc[0]) == 1.5; print('ok')"
+    )
+    import os
+
+    env = dict(os.environ, HELICON_NATIVE_CACHE=str(ro / "nested"))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, cwd="/root/repo")
+    ro.chmod(0o700)
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-2000:]
+
+
+def test_locale_independent_codec():
+    """strtod/printf honor LC_NUMERIC; the codec must not (it uses
+    from_chars/to_chars). Skipped when no comma-decimal locale exists."""
+    import locale
+
+    code = """
+import locale, io, sys
+found = None
+for loc in ("de_DE.UTF-8", "fr_FR.UTF-8", "de_DE.utf8"):
+    try:
+        locale.setlocale(locale.LC_NUMERIC, loc); found = loc; break
+    except locale.Error:
+        pass
+if not found:
+    print("NOLOCALE"); sys.exit(0)
+from helicon_tpu.io.star import read_star, write_star
+import pandas as pd
+df = pd.DataFrame(dict(v=[1.5, -2.25]))
+buf = io.StringIO(); write_star(buf, {"": df})
+assert "1.500000" in buf.getvalue(), buf.getvalue()
+back = read_star(io.StringIO(buf.getvalue()))[""]
+assert float(back["v"].iloc[0]) == 1.5
+print("ok")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    if "NOLOCALE" in r.stdout:
+        pytest.skip("no comma-decimal locale installed")
+    assert "ok" in r.stdout
+
+
+def test_marker_style_combinations_do_not_repeat_early():
+    """10 palette colors x 14 glyphs cycle independently: the (color,
+    symbol) pair of overlay i must be unique for the first lcm(10,14)=70
+    overlays (a truncated glyph table once made i and i+10 identical)."""
+    from helicon_tpu.webApps.whereIsMyClass.compute import _MARKER_GLYPHS
+
+    assert len(_MARKER_GLYPHS) == 14
+    pairs = {(i % 10, i % len(_MARKER_GLYPHS)) for i in range(70)}
+    assert len(pairs) == 70
