@@ -18,6 +18,7 @@ __all__ = [
     "candidate_mesh",
     "candidate_sharding",
     "distributed_reconstruct_grid",
+    "image_candidate_mesh",
     "pad_to_multiple",
     "shard_batch",
 ]
@@ -27,6 +28,30 @@ def candidate_mesh(devices=None, axis_name: str = "candidates") -> Mesh:
     """1D mesh over all (or the given) local devices."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def image_candidate_mesh(devices=None, n_image_shards: int | None = None) -> Mesh:
+    """2D ("images", "candidates") mesh for the multi-image batch
+    workload (denovo3DBatch: many class averages x one candidate grid).
+
+    Image batches shard on one axis (the DP analog) and each image's
+    candidate grid on the other; n_image_shards defaults to the largest
+    power-of-2 divisor <= sqrt(n_devices).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n_image_shards is None:
+        n_image_shards = 1
+        while (
+            n_image_shards * 2 <= int(np.sqrt(n))
+            and n % (n_image_shards * 2) == 0
+        ):
+            n_image_shards *= 2
+        if n % 2 == 0 and n_image_shards == 1 and n > 1:
+            n_image_shards = 2
+    assert n % n_image_shards == 0, (n, n_image_shards)
+    grid = np.asarray(devices).reshape(n_image_shards, n // n_image_shards)
+    return Mesh(grid, ("images", "candidates"))
 
 
 def candidate_sharding(mesh: Mesh, axis_name: str = "candidates") -> NamedSharding:

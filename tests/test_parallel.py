@@ -76,3 +76,21 @@ def test_dryrun_multichip_cold_shell():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip ok: 8 devices" in proc.stdout
+
+
+def test_image_candidate_mesh_factorization():
+    """2D (images x candidates) mesh covers all devices; image shards
+    default to the largest power-of-2 divisor <= sqrt(n)."""
+    import jax
+
+    from helicon_tpu.parallel import image_candidate_mesh
+
+    devices = jax.devices()
+    mesh = image_candidate_mesh(devices)
+    assert mesh.axis_names == ("images", "candidates")
+    ni, nc = mesh.devices.shape
+    assert ni * nc == len(devices)
+    assert ni >= 1 and nc >= 1
+    # explicit factorization
+    mesh2 = image_candidate_mesh(devices, n_image_shards=len(devices))
+    assert mesh2.devices.shape == (len(devices), 1)
