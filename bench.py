@@ -79,7 +79,7 @@ def bench_etl():
 
         out = str(Path(td) / "out.star")
         dataframe2file(data, out)
-        back = star2dataframe(out)
+        back = star2dataframe(out, ignore_bad_particle_path=2)
     dt = time.perf_counter() - t0
     rate = n / dt
     print(json.dumps({

@@ -104,13 +104,19 @@ def _shell_labels_3d(n: int) -> np.ndarray:
 
 
 def _binned_fsc(F1, F2, labels, nshells):
-    labels = jnp.asarray(labels.ravel())
-    num = jnp.zeros(nshells, jnp.float64 if F1.dtype == jnp.complex128 else jnp.float32)
-    num = num.at[labels].add(jnp.real(F1 * jnp.conj(F2)).ravel())
-    d1 = jnp.zeros_like(num).at[labels].add((jnp.abs(F1) ** 2).ravel())
-    d2 = jnp.zeros_like(num).at[labels].add((jnp.abs(F2) ** 2).ravel())
-    denom = jnp.sqrt(d1 * d2)
-    return jnp.where(denom > 0, num / jnp.where(denom > 0, denom, 1.0), 1.0)
+    """Shell sums in float64 numpy bincount, matching the reference's
+    float64 binning (analysis.py calc_fsc): float32 scatter-adds over
+    ~1e7 coefficients spanning many orders (the DC term dominates) lose
+    enough precision to move FSC values near the 0.143 threshold. All
+    callers consume the result on the host."""
+    labels = np.asarray(labels).ravel()
+    p = np.asarray(F1).ravel().astype(np.complex128)
+    q = np.asarray(F2).ravel().astype(np.complex128)
+    num = np.bincount(labels, weights=np.real(p * np.conj(q)), minlength=nshells)[:nshells]
+    d1 = np.bincount(labels, weights=np.abs(p) ** 2, minlength=nshells)[:nshells]
+    d2 = np.bincount(labels, weights=np.abs(q) ** 2, minlength=nshells)[:nshells]
+    denom = np.sqrt(d1 * d2)
+    return np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 1.0)
 
 
 def calc_fsc(map1, map2, apix, F1=None, F2=None, shell_flat=None, n=None):

@@ -28,6 +28,7 @@ implemented (the reference calls it at io.py:2056 but never defines it).
 from __future__ import annotations
 
 import logging
+import math
 import os
 from pathlib import Path
 
@@ -439,6 +440,16 @@ def cs2dataframe(
     if "ctf/type" in data:
         data = data.drop("ctf/type", axis=1)
     data = dataframe_guess_data_type(data)
+    # drop corrupted rows (io.py:1515-1529): uids missing from the
+    # passthrough leave NaN cells after the how="left" merge; keeping
+    # them crashes downstream int casts or writes literal nans
+    nans = data.isnull().any(axis=1)
+    if nans.sum() > 0:
+        logger.warning(
+            "%s: %d/%d particle rows are corrupted and thus ignored",
+            csFile, int(nans.sum()), len(data),
+        )
+        data = data[~nans]
     data.attrs["source_path"] = str(csFile)
     data.attrs["convention"] = "cryosparc"
     dataframe_normalize_filename(
@@ -471,8 +482,15 @@ def cistem2dataframe(
                 "SELECT name FROM sqlite_master WHERE type='table'"
             ).fetchall()
         ]
+        def _refinement_round(name: str) -> int:
+            digits = [int(p) for p in name.split("_") if p.isdigit()]
+            return digits[0] if digits else -1
+
+        # NUMERIC sort on the refinement id (io.py:1598: max REFINEMENT_ID
+        # wins) — lexicographic order would pick round 9 over round 10
         result_tables = sorted(
-            t for t in tables if t.upper().startswith("REFINEMENT_RESULT_")
+            (t for t in tables if t.upper().startswith("REFINEMENT_RESULT_")),
+            key=_refinement_round,
         )
         if not result_tables:
             raise HeliconIOError(f"{realFile}: no REFINEMENT_RESULT tables")
@@ -500,7 +518,16 @@ def cistem2dataframe(
     ret = pd.DataFrame()
     for src, dst in colmap.items():
         if dst and src in df.columns:
-            ret[dst] = df[src]
+            col = df[src]
+            if src in ("XSHIFT", "YSHIFT"):
+                # cisTEM shifts are the NEGATIVE of RELION origins
+                # (io.py:1692-1694); keep Angstroms (rlnOriginXAngst)
+                col = -col.astype(float)
+            elif src == "PHASE_SHIFT":
+                # cisTEM stores radians; RELION expects degrees
+                # (io.py:1695-1697)
+                col = np.rad2deg(col.astype(float)).round(1)
+            ret[dst] = col
     if "POSITION_IN_STACK" in df.columns:
         ret["rlnImageName"] = (
             df["POSITION_IN_STACK"].astype(int).map("{:06d}".format)
@@ -730,41 +757,104 @@ def dataframe_normalize_filename(
     alternative_folders=(),
     ignore_bad_particle_path: int = 0,
     ignore_bad_micrograph_path: int = 1,
-) -> None:
-    """Resolve particle/micrograph paths against the source folder and
-    alternative folders (io.py:1712-1917; the reference also builds a
-    recursive filename cache — here limited to direct candidates)."""
+) -> pd.DataFrame:
+    """Resolve particle/micrograph paths to absolute paths, in place
+    (io.py:1712-1917): candidates are the filename itself, its basename,
+    the .mrcs twin of a .mrc name, each tried against the alternative
+    folders, the source file's folder(s) (including ../ and ../../), and
+    the RELION project folder. ignore_bad_particle_path >= 2 skips
+    normalization entirely; an unresolvable path raises HeliconIOError
+    unless the column's ignore flag is set (then the original is kept).
+    """
+    from ..utils.exceptions import HeliconIOError
+
+    if ignore_bad_particle_path >= 2 or not len(data):
+        return data
     src = data.attrs.get("source_path")
-    base = Path(src[0] if isinstance(src, list) else src or ".").resolve().parent
-    folders = [Path(f) for f in alternative_folders] + [base, Path(".")]
+    src_list = src if isinstance(src, (list, tuple, set)) else [src or "."]
+    resolved_cache: dict = {}
 
-    def resolve(path: str):
-        p = Path(path)
-        if p.exists():
-            return str(p)
-        for folder in folders:
-            for cand in (folder / p.name, folder / p):
-                if cand.exists():
-                    return str(cand)
-        return None
+    def resolve(filename: str, ignore_bad_path: int) -> str:
+        if filename in resolved_cache:
+            return resolved_cache[filename]
+        basenames = []
+        if not Path(filename).is_absolute():
+            basenames.append(filename)
+        basenames.append(Path(filename).name)
+        basenames += [f[:-4] + ".mrcs" for f in basenames if f.endswith(".mrc")]
 
-    for attr, is_particle in (
-        ("rlnImageName", True),
-        ("blob/path", True),
-        ("rlnMicrographName", False),
-        ("micrograph_blob/path", False),
-    ):
-        if attr not in data or not len(data):
-            continue
-        ignore = ignore_bad_particle_path if is_particle else ignore_bad_micrograph_path
-        if not ignore:
-            continue
-        col = data[attr].astype(str)
-        paths = col.str.split("@").str[-1] if is_particle and attr == "rlnImageName" else col
-        unique = paths.unique()
-        mapping = {u: resolve(u) for u in unique}
-        if all(v is None for v in mapping.values()):
-            continue  # nothing resolvable; leave untouched
+        folders = [str(f) for f in alternative_folders]
+        folders += [str(Path(sp).resolve().parent) for sp in src_list]
+        relion_folder = get_relion_project_folder(filename)
+        if relion_folder is not None:
+            folders.append(str(relion_folder))
+
+        choices = [filename]
+        for basename in basenames:
+            for folder in folders:
+                choices += [
+                    str(Path(folder) / basename),
+                    str(Path(folder) / ".." / basename),
+                    str(Path(folder) / "../.." / basename),
+                ]
+        match = None
+        for fc in choices:
+            if Path(fc).is_file():
+                match = fc
+                break
+        if match:
+            ret = str(Path(match).resolve())
+            # pre-map same-type files of the matched folder (io.py:1812-1823)
+            import glob
+
+            suffix = Path(filename).suffix
+            filename_dir = Path(filename).parent
+            for f in glob.glob(str(Path(match).parent / ("*" + Path(match).suffix))):
+                resolved_cache.setdefault(
+                    str(filename_dir / (Path(f).stem + suffix)),
+                    str(Path(f).resolve()),
+                )
+        elif ignore_bad_path:
+            ret = filename
+        else:
+            raise HeliconIOError(
+                f"cannot find image {filename} in file {src} after trying "
+                f"{len(choices)} locations (first: {choices[:4]})"
+            )
+        resolved_cache[filename] = ret
+        return ret
+
+    plain, with_at = [], []
+    for attr in (
+        "rlnImageName rlnMicrographName rlnMicrographMovieName "
+        "rlnMicrographCoordinates"
+    ).split():
+        if attr in data:
+            ignore = (
+                ignore_bad_particle_path
+                if attr == "rlnImageName"
+                else ignore_bad_micrograph_path
+            )
+            if "@" in str(data[attr].iloc[0]):
+                with_at.append((attr, ignore))
+            else:
+                plain.append((attr, ignore))
+    for attr in "data_input_relpath blob/path filename".split():
+        if attr in data:
+            plain.append((attr, ignore_bad_particle_path))
+    for attr in "micrograph_blob/path location/micrograph_path micrograph".split():
+        if attr in data:
+            plain.append((attr, ignore_bad_micrograph_path))
+
+    for attr, ignore in plain:
+        cache = {f: resolve(str(f), ignore) for f in data[attr].unique()}
+        data[attr] = data[attr].map(cache)
+    for attr, ignore in with_at:
+        tmp = data[attr].str.split("@", expand=True)
+        indices, filenames = tmp.iloc[:, 0], tmp.iloc[:, -1]
+        cache = {f: resolve(str(f), ignore) for f in filenames.unique()}
+        data[attr] = indices + "@" + filenames.map(cache)
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -773,18 +863,28 @@ def dataframe_normalize_filename(
 
 
 def relion_astigmatism_to_eman(defocusU, defocusV, defocusAngleDeg):
-    """(defocus_mean_um, dfdiff_um, dfang_deg) from RELION (A, A, deg)."""
-    defocus = (defocusU + defocusV) / 2 / 1e4
-    dfdiff = abs(defocusU - defocusV) / 1e4
-    dfang = (defocusAngleDeg + 90) % 180 if defocusU > defocusV else defocusAngleDeg % 180
+    """(defocus_mean_um, dfdiff_um, dfang_deg) from RELION (A, A, deg)
+    (io.py:1918-1952: dfdiff = |U - V| / 2, angle rotated by 90 when
+    U > V so dfang always points along the SMALLEST defocus)."""
+    defocus = (float(defocusU) + float(defocusV)) / 2 / 1e4
+    dfdiff = abs(float(defocusU) - float(defocusV)) / 2 / 1e4
+    if defocusU > defocusV:
+        dfang = math.fmod(float(defocusAngleDeg) + 360.0 + 90.0, 360.0)
+    else:
+        dfang = float(defocusAngleDeg)
     return defocus, dfdiff, dfang
 
 
 def eman_astigmatism_to_relion(defocus_um, dfdiff_um, dfang_deg):
-    """Inverse of relion_astigmatism_to_eman."""
-    defocusU = defocus_um * 1e4 + dfdiff_um * 1e4 / 2
-    defocusV = defocus_um * 1e4 - dfdiff_um * 1e4 / 2
-    return defocusU, defocusV, dfang_deg % 180
+    """Inverse of relion_astigmatism_to_eman (io.py:1955-1983: U/V swap
+    by the angle quadrant, angle reduced mod 90)."""
+    if math.fmod(float(dfang_deg) + 360.0, 180.0) < 90.0:
+        defocusU = float(defocus_um) - float(dfdiff_um)
+        defocusV = float(defocus_um) + float(dfdiff_um)
+    else:
+        defocusU = float(defocus_um) + float(dfdiff_um)
+        defocusV = float(defocus_um) - float(dfdiff_um)
+    return defocusU * 1e4, defocusV * 1e4, math.fmod(float(dfang_deg) + 360.0, 90.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1019,6 +1119,11 @@ def dataframe_relion_to_cryosparc(data: pd.DataFrame) -> pd.DataFrame:
     optics = work.attrs.get("optics")
     if optics is not None:
         star_dissolve_opticsgroup(work)
+    # ret["uid"] below pins a fresh RangeIndex on ret; a non-default
+    # input index (e.g. after star2dataframe drops corrupted rows) would
+    # otherwise misalign every subsequent Series assignment to NaN
+    work = work.reset_index(drop=True)
+    work.attrs = dict(data.attrs)
 
     ret = pd.DataFrame()
     ret["uid"] = np.arange(1, len(work) + 1, dtype=np.uint64)

@@ -143,6 +143,8 @@ def _h_recoverFullFilaments(data, args, index_d, param):
         data2 = images2dataframe(
             fullStarFile,
             alternative_folders=getattr(args, "folder", []),
+            ignore_bad_particle_path=getattr(args, "ignoreBadParticlePath", 0),
+            ignore_bad_micrograph_path=getattr(args, "ignoreBadMicrographPath", 1),
             warn_missing_ctf=0,
             target_convention="relion",
         )

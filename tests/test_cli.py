@@ -25,6 +25,14 @@ ENV = dict(
 )
 
 
+def touch_stacks(tmp_path, df, col="rlnImageName"):
+    """Create the (empty) stack files a synthetic table references, so the
+    CLI's strict path normalization (reference semantics) resolves them."""
+    names = df[col].astype(str).str.split("@").str[-1].unique()
+    for f in names:
+        (tmp_path / f).touch()
+
+
 def run_cli(*argv, cwd=None):
     return subprocess.run(
         [sys.executable, "-m", "helicon_tpu.commands.helicon", *argv],
@@ -59,6 +67,7 @@ def test_cli_proc3d_helical_sym(tmp_path):
 def test_cli_images2star_pipeline(tmp_path, relion_df):
     df = relion_df.copy()
     df.attrs["convention"] = "relion"
+    touch_stacks(tmp_path, df)
     dataframe2file(df, str(tmp_path / "in.star"))
     r = run_cli(
         "images2star", "in.star", "out.star",
@@ -78,6 +87,7 @@ def test_cli_hom_containerc(tmp_path, relion_df):
     df = relion_df.copy()
     df.attrs["convention"] = "relion"
     df["rlnAngleRot"] = (np.arange(len(df)) * 10.0) % 360
+    touch_stacks(tmp_path, df)
     dataframe2file(df, str(tmp_path / "in.star"))
     r = run_cli(
         "HOM_containerC", "in.star", "out.star", "--verbose", "0",
@@ -238,6 +248,7 @@ def test_cli_images2star_split(tmp_path, relion_df):
     images2star.py:246-297 splitting)."""
     df = relion_df.copy()
     df.attrs["convention"] = "relion"
+    touch_stacks(tmp_path, df)
     dataframe2file(df, str(tmp_path / "in.star"))
     r = run_cli(
         "images2star", "in.star", "out.star",
@@ -312,6 +323,8 @@ def test_cli_images2star_cs_to_star(tmp_path):
     arr["uid"] = np.arange(n) + 1
     arr["blob/idx"] = np.arange(n)
     arr["blob/path"] = b"extract/stack.mrcs"
+    (tmp_path / "extract").mkdir(exist_ok=True)
+    (tmp_path / "extract" / "stack.mrcs").touch()
     arr["blob/psize_A"] = 1.2
     arr["ctf/df1_A"] = 12000.0
     arr["ctf/df2_A"] = 11000.0

@@ -193,6 +193,10 @@ class TestHOMEndToEnd:
 
         monkeypatch.chdir(tmp_path)
         df = _segments(n_tubes=2, n_seg=12, noise=0.2, outliers=3, seed=2)
+        # strict path normalization (reference semantics): the referenced
+        # stack must exist next to the star
+        for f in df["rlnImageName"].str.split("@").str[-1].unique():
+            (tmp_path / f).touch()
         dataframe2star(df, tmp_path / "in.star")
         parser = argparse.ArgumentParser()
         hom.add_args(parser)

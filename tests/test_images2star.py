@@ -12,7 +12,7 @@ from helicon_tpu.ops import images2star as plug
 
 def make_args(**kw):
     ns = argparse.Namespace(
-        verbose=0, folder=[], ignoreBadParticlePath=0, ignoreBadMicrographPath=1,
+        verbose=0, folder=[], ignoreBadParticlePath=2, ignoreBadMicrographPath=1,
         output_starFile="out.star", subset=0, input_imageFiles=["in.star"],
     )
     for k, v in kw.items():

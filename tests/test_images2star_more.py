@@ -18,7 +18,7 @@ from helicon_tpu.utils import HeliconError, HeliconExit
 
 def make_args(**kw):
     ns = argparse.Namespace(
-        verbose=0, folder=[], ignoreBadParticlePath=0, ignoreBadMicrographPath=1,
+        verbose=0, folder=[], ignoreBadParticlePath=2, ignoreBadMicrographPath=1,
         output_starFile="out.star", subset=0, input_imageFiles=["in.star"],
     )
     for k, v in kw.items():
@@ -157,8 +157,12 @@ class TestCtf:
         )
         out = dispatch("setCTF", df, str(parm))
         assert out["rlnVoltage"].iloc[0] == pytest.approx(300.0)
-        assert out["rlnDefocusU"].iloc[0] == pytest.approx(2.0e4 + 0.1e4)
-        assert out["rlnDefocusV"].iloc[0] == pytest.approx(2.0e4 - 0.1e4)
+        # reference eman_astigmatism_to_relion (io.py:1955-1983): dfdiff
+        # is the HALF-difference and dfang=30 (<90) puts U on the small
+        # side: U = (2.0 - 0.2) um, V = (2.0 + 0.2) um
+        assert out["rlnDefocusU"].iloc[0] == pytest.approx(1.8e4)
+        assert out["rlnDefocusV"].iloc[0] == pytest.approx(2.2e4)
+        assert out["rlnDefocusAngle"].iloc[0] == pytest.approx(30.0)
         assert out["rlnAmplitudeContrast"].iloc[0] == pytest.approx(0.1)
 
     def test_copy_ctf_micrograph_means(self, tmp_path, relion_df, monkeypatch):
@@ -240,6 +244,10 @@ class TestFileFilters:
         monkeypatch.chdir(tmp_path)
         ref = relion_df.head(4).copy()
         dataframe2star(ref, tmp_path / "loc.star")
+        # strict path normalization (reference semantics) needs the
+        # referenced stacks to exist next to the star
+        for mic in ("mic1.mrc", "mic2.mrc"):
+            (tmp_path / f"stack_{mic}s").touch()
         out = dispatch(
             "selectByParticleLocation",
             relion_df.copy(),

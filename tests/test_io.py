@@ -137,7 +137,7 @@ _rlnOpticsGroup #2
 000002@s.mrcs 1
 """
     )
-    df = star2dataframe(path)
+    df = star2dataframe(path, ignore_bad_particle_path=2)
     assert len(df) == 2
     assert df.attrs["convention"] == "relion"
     assert df.attrs["optics"] is not None
@@ -153,7 +153,7 @@ def test_dataframe2star_v3_builds_optics(tmp_path, relion_df):
     dataframe2star(relion_df, str(path), format="v3")
     text = path.read_text()
     assert "data_optics" in text and "data_particles" in text
-    back = star2dataframe(path)
+    back = star2dataframe(path, ignore_bad_particle_path=2)
     assert len(back) == len(relion_df)
     assert getPixelSize(back) == pytest.approx(1.1)
 
@@ -203,7 +203,7 @@ def test_cs2dataframe_and_convert(tmp_path):
     arr = make_cs_array()
     path = tmp_path / "particles_sel.cs"
     write_cs(path, arr)
-    df = images2dataframe(str(path))
+    df = images2dataframe(str(path), ignore_bad_particle_path=2)
     assert df.attrs["convention"] == "cryosparc"
     rel = dataframe_convert(df, target="relion")
     assert rel.attrs["convention"] == "relion"

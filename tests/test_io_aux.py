@@ -413,6 +413,10 @@ def test_star_to_dataframe_pid_filename(tmp_path, relion_df):
     import helicon_tpu as ht
     from helicon_tpu.io.metadata import dataframe2star
 
+    # star_to_dataframe path-normalizes strictly (reference semantics):
+    # the referenced stacks must exist next to the star file
+    for mic in ("mic1.mrc", "mic2.mrc"):
+        (tmp_path / f"stack_{mic}s").touch()
     dataframe2star(relion_df, tmp_path / "in.star")
     df = ht.star_to_dataframe(tmp_path / "in.star")
     assert "pid" in df and "filename" in df
@@ -423,3 +427,149 @@ def test_star_to_dataframe_pid_filename(tmp_path, relion_df):
     dataframe2star(bad, tmp_path / "bad.star")
     with pytest.raises(KeyError):
         ht.star_to_dataframe(tmp_path / "bad.star")
+
+
+class TestMetadataConventionFixes:
+    """Regression tests for the round-2 metadata review findings."""
+
+    def test_astigmatism_roundtrip_reference_semantics(self):
+        """io.py:1918-1983: dfdiff = |U-V|/2; dfang points along the
+        smallest defocus; the inverse swaps U/V by angle quadrant and
+        reduces the angle mod 90."""
+        from helicon_tpu.io.metadata import (
+            eman_astigmatism_to_relion,
+            relion_astigmatism_to_eman,
+        )
+
+        d, dd, da = relion_astigmatism_to_eman(18000.0, 22000.0, 30.0)
+        assert (d, dd, da) == pytest.approx((2.0, 0.2, 30.0))
+        u, v, a = eman_astigmatism_to_relion(d, dd, da)
+        assert (u, v, a) == pytest.approx((18000.0, 22000.0, 30.0))
+        # U > V rotates the angle to the smallest-defocus direction
+        d2, dd2, da2 = relion_astigmatism_to_eman(22000.0, 18000.0, 30.0)
+        assert (d2, dd2, da2) == pytest.approx((2.0, 0.2, 120.0))
+        u2, v2, a2 = eman_astigmatism_to_relion(d2, dd2, da2)
+        # exact round trip: the quadrant-based U/V swap undoes the
+        # 90-degree rotation applied on the way out
+        assert (u2, v2, a2) == pytest.approx((22000.0, 18000.0, 30.0))
+
+    def test_cistem_shift_sign_and_phase_shift_degrees(self, tmp_path):
+        import sqlite3
+
+        from helicon_tpu.io.metadata import cistem2dataframe
+
+        db = tmp_path / "proj.db"
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE REFINEMENT_RESULT_1 (POSITION_IN_STACK INTEGER,"
+            " XSHIFT REAL, YSHIFT REAL, PHASE_SHIFT REAL)"
+        )
+        con.execute(
+            "INSERT INTO REFINEMENT_RESULT_1 VALUES (1, 10.0, -4.0, ?)",
+            (np.pi / 2,),
+        )
+        con.commit()
+        con.close()
+        df = cistem2dataframe(str(db))
+        # cisTEM shifts are the negative of RELION origins (io.py:1692)
+        assert df["rlnOriginXAngst"].iloc[0] == pytest.approx(-10.0)
+        assert df["rlnOriginYAngst"].iloc[0] == pytest.approx(4.0)
+        # radians -> degrees (io.py:1695)
+        assert df["rlnPhaseShift"].iloc[0] == pytest.approx(90.0, abs=0.1)
+
+    def test_cistem_numeric_refinement_order(self, tmp_path):
+        import sqlite3
+
+        from helicon_tpu.io.metadata import cistem2dataframe
+
+        db = tmp_path / "proj.db"
+        con = sqlite3.connect(db)
+        for rid, score in ((9, 0.9), (10, 0.95)):
+            con.execute(
+                f"CREATE TABLE REFINEMENT_RESULT_{rid} "
+                "(POSITION_IN_STACK INTEGER, SCORE REAL)"
+            )
+            con.execute(
+                f"INSERT INTO REFINEMENT_RESULT_{rid} VALUES (1, ?)", (score,)
+            )
+        con.commit()
+        con.close()
+        df = cistem2dataframe(str(db))
+        # round 10 is the latest, even though '9' sorts after '10'
+        assert df["rlnParticleScore"].iloc[0] == pytest.approx(0.95)
+
+    def test_relion_to_cryosparc_nondefault_index(self):
+        """A dropped-rows index (star2dataframe corrupted-row filter)
+        must not misalign or NaN any converted column."""
+        import pandas as pd
+
+        from helicon_tpu.io.metadata import dataframe_relion_to_cryosparc
+
+        df = pd.DataFrame(
+            dict(
+                rlnImageName=[f"{i:06d}@a.mrcs" for i in (1, 2, 3)],
+                rlnDefocusU=[1.0, 2.0, 3.0],
+                rlnDefocusV=[1.0, 2.0, 3.0],
+                rlnDefocusAngle=[0.0, 10.0, 20.0],
+            ),
+            index=[0, 2, 3],  # row 1 dropped upstream
+        )
+        df.attrs["convention"] = "relion"
+        out = dataframe_relion_to_cryosparc(df)
+        assert not out.isnull().any().any()
+        assert list(out["blob/idx"]) == [0, 1, 2]
+        assert out["ctf/df1_A"].iloc[2] == pytest.approx(3.0)
+
+    def test_cs2dataframe_drops_rows_missing_from_passthrough(self, tmp_path):
+        """uids absent from the passthrough leave NaNs after the left
+        merge; those rows are dropped with a warning (io.py:1515-1529)."""
+        import numpy as np
+
+        from helicon_tpu.io.cs import write_cs
+        from helicon_tpu.io.metadata import cs2dataframe
+
+        main = np.zeros(
+            3, dtype=[("uid", "<u8"), ("blob/idx", "<u4"),
+                      ("blob/path", "S20")]
+        )
+        main["uid"] = [1, 2, 3]
+        main["blob/path"] = b"J1/stack.mrcs"
+        write_cs(tmp_path / "p.cs", main)
+        extra = np.zeros(2, dtype=[("uid", "<u8"), ("ctf/accel_kv", "<f4")])
+        extra["uid"] = [1, 3]  # uid 2 missing
+        extra["ctf/accel_kv"] = 300.0
+        write_cs(tmp_path / "pass.cs", extra)
+        df = cs2dataframe(
+            tmp_path / "p.cs", passthrough_files=[tmp_path / "pass.cs"],
+            ignore_bad_particle_path=2,
+        )
+        assert len(df) == 2
+        assert sorted(df["uid"].tolist()) == [1, 3]
+
+    def test_normalize_filename_resolves_and_raises(self, tmp_path):
+        """Relative particle paths resolve to absolute against the source
+        folder (written back!); unresolvable paths raise under the strict
+        default and survive with ignore=1 / skip entirely with 2."""
+        import pandas as pd
+
+        from helicon_tpu.io.metadata import dataframe_normalize_filename
+        from helicon_tpu.utils.exceptions import HeliconIOError
+
+        (tmp_path / "stack.mrcs").touch()
+        df = pd.DataFrame(dict(rlnImageName=["000001@stack.mrcs"]))
+        df.attrs["source_path"] = str(tmp_path / "run_data.star")
+        dataframe_normalize_filename(df)
+        assert df["rlnImageName"].iloc[0] == f"000001@{tmp_path}/stack.mrcs"
+
+        bad = pd.DataFrame(dict(rlnImageName=["000001@nope.mrcs"]))
+        bad.attrs["source_path"] = str(tmp_path / "run_data.star")
+        with pytest.raises(HeliconIOError, match="cannot find image"):
+            dataframe_normalize_filename(bad.copy(deep=True))
+        kept = bad.copy(deep=True)
+        kept.attrs["source_path"] = str(tmp_path / "run_data.star")
+        dataframe_normalize_filename(kept, ignore_bad_particle_path=1)
+        assert kept["rlnImageName"].iloc[0] == "000001@nope.mrcs"
+        skipped = bad.copy(deep=True)
+        skipped.attrs["source_path"] = str(tmp_path / "run_data.star")
+        dataframe_normalize_filename(skipped, ignore_bad_particle_path=2)
+        assert skipped["rlnImageName"].iloc[0] == "000001@nope.mrcs"
