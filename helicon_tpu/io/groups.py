@@ -83,7 +83,7 @@ def propagate_ctf_median(data, group_id_name: str) -> None:
         mask = np.where(np.asarray(data[group_id_name]) == gi)
         for col in ctf_cols:
             if col in data:
-                vals = np.asarray(data[col])
+                vals = np.array(data[col], copy=True)
                 vals[mask] = np.median(vals[mask], axis=0)
                 data[col] = vals
 

@@ -120,8 +120,17 @@ def _h_assignByBeamShiftLabel(
             raise HeliconError(f"cannot detect filename format: {sample}")
         names = data[micrograph_name].astype(str)
         mapping = assign_beamshift_groups(list(names.unique()), software)
-        data[exp_group_id_name] = names.map(mapping)
+        # COMBINE with the pre-existing groups instead of overwriting:
+        # equal labels from different source groups (e.g. two merged
+        # collection sessions) must stay distinct
+        # (assignexposuregroupbybeamshiftlabel.py:104-109)
+        from ...io.groups import combine_groups, propagate_ctf_median
+
+        data[exp_group_id_name] = combine_groups(
+            np.asarray(data[exp_group_id_name]), names.map(mapping).to_numpy()
+        )
         sync_group_columns(data, exp_group_id_name)
+        propagate_ctf_median(data, exp_group_id_name)
         n = data[exp_group_id_name].nunique()
         output_slots.add(exp_group_id_name.split("/")[0])
         output_title += f"->{n} beam-shift groups"
@@ -166,8 +175,15 @@ def _h_assignByBeamShiftXY(
         )
         labels = assign_beamshifts_to_cluster(shifts, n_clusters=n_clusters)
         mapping = dict(zip(unique_names, labels))
-        data[exp_group_id_name] = names.map(mapping)
+        from ...io.groups import combine_groups, propagate_ctf_median
+
+        # combine with pre-existing groups + per-group CTF medians
+        # (assignexposuregroupbybeamshiftxy.py:167-172)
+        data[exp_group_id_name] = combine_groups(
+            np.asarray(data[exp_group_id_name]), names.map(mapping).to_numpy()
+        )
         sync_group_columns(data, exp_group_id_name)
+        propagate_ctf_median(data, exp_group_id_name)
         output_slots.add(exp_group_id_name.split("/")[0])
         output_title += f"->{int(labels.max())} beam-shift clusters"
         index_d["assignExposureGroupByBeamShiftXY"] += 1
@@ -199,6 +215,9 @@ def _h_assignByTime(
         )
         data[exp_group_id_name] = new_ids
         sync_group_columns(data, exp_group_id_name)
+        from ...io.groups import propagate_ctf_median
+
+        propagate_ctf_median(data, exp_group_id_name)
         output_slots.add(exp_group_id_name.split("/")[0])
         output_title += f"->{len(np.unique(new_ids))} time groups"
         index_d["assignExposureGroupByTime"] += 1

@@ -153,46 +153,95 @@ def _h_extractParticles(
                 "micrographs_job_id requires a CryoSPARC server (cryosparc-"
                 "tools); use micrographs_cs_file with a local .cs file instead"
             )
+        if int(pd_["replace_ctf"]) and not pd_["micrographs_cs_file"]:
+            raise HeliconError(
+                "micrographs_cs_file must be provided when replace_ctf "
+                "is specified"
+            )
         if pd_["micrographs_cs_file"]:
             mics = read_cs(pd_["micrographs_cs_file"])
             mdf = pd.DataFrame.from_records(mics.tolist(), columns=mics.dtype.names)
+            for c in mdf.columns:  # .cs S-dtype strings arrive as bytes
+                if mdf[c].dtype == object and len(mdf) and isinstance(
+                    mdf[c].iloc[0], bytes
+                ):
+                    mdf[c] = mdf[c].str.decode("utf-8")
             if "uid" not in mdf or "micrograph_blob/path" not in mdf:
                 raise HeliconError(
                     f"{pd_['micrographs_cs_file']} lacks uid/micrograph_blob "
                     "columns"
                 )
             col_mid = "location/micrograph_uid"
-            mapping = dict(zip(mdf["uid"], mdf["micrograph_blob/path"]))
-            data["location/micrograph_path"] = data[col_mid].map(mapping)
+            # every particle's micrograph uid must exist
+            # (extractparticles.py:180-187)
+            missing = set(data[col_mid]) - set(mdf["uid"])
+            if missing:
+                raise HeliconError(
+                    f"{len(missing)} micrograph IDs in the input data are "
+                    "not found in the micrographs dataset"
+                )
+            mdf = mdf.set_index("uid")
+            data["location/micrograph_path"] = (
+                data[col_mid].map(mdf["micrograph_blob/path"])
+            )
             if "micrograph_blob/psize_A" in mdf:
-                psize = dict(zip(mdf["uid"], mdf["micrograph_blob/psize_A"]))
-                data["location/micrograph_psize_A"] = data[col_mid].map(psize)
+                data["location/micrograph_psize_A"] = data[col_mid].map(
+                    mdf["micrograph_blob/psize_A"]
+                )
             if "micrograph_blob/shape" in mdf:
-                shp = dict(zip(mdf["uid"], mdf["micrograph_blob/shape"]))
-                data["location/micrograph_shape"] = data[col_mid].map(shp)
+                data["location/micrograph_shape"] = data[col_mid].map(
+                    mdf["micrograph_blob/shape"]
+                )
+            # per-micrograph CTF columns: fill the missing ones, or ALL
+            # of them with replace_ctf=1 (extractparticles.py:192-222)
+            cols_ctf = [c for c in mdf.columns if c.split("/")[0] == "ctf"]
+            if int(pd_["replace_ctf"]):
+                cols_ctf_to_copy = cols_ctf
+            else:
+                cols_ctf_to_copy = [c for c in cols_ctf if c not in data]
+            for c in cols_ctf_to_copy:
+                data[c] = data[col_mid].map(mdf[c])
         if "location/micrograph_path" not in data:
             raise HeliconError(
                 "location/micrograph_path required (or provide "
                 "micrographs_cs_file)"
             )
-        if int(pd_["recenter"]) and "alignments2D/shift" in data:
-            # fold 2D-alignment shifts into the picked locations
-            shifts = np.stack(data["alignments2D/shift"].values)
-            shapes = np.stack(data["location/micrograph_shape"].values)
-            ratio = (
-                data["blob/psize_A"].values
-                / data["location/micrograph_psize_A"].values
-                if "blob/psize_A" in data
+        if int(pd_["flip_y"]):
+            data["location/center_y_frac"] = 1 - data["location/center_y_frac"]
+        if int(pd_["recenter"]) and (
+            "alignments3D/shift" in data or "alignments2D/shift" in data
+        ):
+            # fold alignment shifts into the picked locations, 3D first
+            # (extractparticles.py:227-249); shifts are in ALIGNMENT
+            # pixels, converted via the alignment psize, then zeroed so
+            # downstream jobs do not apply them twice
+            prefix = (
+                "alignments3D" if "alignments3D/shift" in data else "alignments2D"
+            )
+            shifts = np.stack(data[f"{prefix}/shift"].values)
+            if f"{prefix}/psize_A" in data:
+                align_psize = np.asarray(data[f"{prefix}/psize_A"].values, float)
+            elif "blob/psize_A" in data:
+                align_psize = np.asarray(data["blob/psize_A"].values, float)
+            else:
+                align_psize = 1.0
+            mic_psize = (
+                np.asarray(data["location/micrograph_psize_A"].values, float)
+                if "location/micrograph_psize_A" in data
                 else 1.0
             )
+            shapes = np.stack(data["location/micrograph_shape"].values)
             data["location/center_x_frac"] = (
                 data["location/center_x_frac"]
-                - shifts[:, 0] * ratio / shapes[:, 1]
+                - align_psize * shifts[:, 0] / mic_psize / shapes[:, 1]
             )
             data["location/center_y_frac"] = (
                 data["location/center_y_frac"]
-                - shifts[:, 1] * ratio / shapes[:, 0]
+                - align_psize * shifts[:, 1] / mic_psize / shapes[:, 0]
             )
+            data[f"{prefix}/shift"] = [
+                np.zeros(2, np.float32) for _ in range(len(data))
+            ]
         outdir = str(pd_["outdir"])
         groups = list(data.groupby("location/micrograph_path", sort=False))
         n_mics = int(pd_["n_micrographs"])

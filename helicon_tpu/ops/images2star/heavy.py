@@ -170,15 +170,27 @@ def _h_recoverFullFilaments(data, args, index_d, param):
         groups = dict(list(data.groupby([key, "rlnHelicalTubeID"], sort=False)))
         groups2 = dict(list(data2.groupby([key, "rlnHelicalTubeID"], sort=False)))
         missing_helices = [k for k in groups if k not in groups2]
-        if missing_helices:
+        geom_cols = "rlnMicrographName rlnCoordinateX rlnCoordinateY".split()
+        can_match_geometrically = all(
+            c in data and c in data2 for c in geom_cols
+        )
+        if (forcePickJob or missing_helices) and can_match_geometrically:
+            # different Extract/Pick jobs: exact stack keys cannot match;
+            # match filaments by micrograph + endpoint colinearity
+            # (reference recoverfullfilaments.py:246-307)
+            helices = _match_filaments_by_geometry(data, data2, fullStarFile)
+        elif missing_helices:
             raise HeliconError(
                 f"{len(missing_helices)} helices of the input are absent in "
-                f"{fullStarFile}; both files must come from the same Extract job"
+                f"{fullStarFile}; both files must come from the same Extract "
+                "job (or provide rlnMicrographName/rlnCoordinateX/Y on both "
+                "sides for geometric matching)"
             )
-        helices = [
-            (len(groups[k]), len(groups2[k]), list(groups2[k].index))
-            for k in groups
-        ]
+        else:
+            helices = [
+                (len(groups[k]), len(groups2[k]), list(groups2[k].index))
+                for k in groups
+            ]
         minFraction = float(pd_.get("minFraction", -1))
         if not (0 <= minFraction <= 1):
             n1 = sum(h[0] for h in helices)
@@ -266,78 +278,115 @@ def _h_estimateHelicalAngleVariance(data, args, index_d, param):
 
 
 def _add_calibratePixelSize(parser):
+    choices = "graphene graphene_oxide go gold ice".split()
     parser.add_argument(
-        "--calibratePixelSize", type=str, default="",
-        metavar="<refFile:apixRef=<A>[:scaleRange=<0.05>][:scaleStep=<0.002>]>",
-        help="calibrate the pixel size against reference images by "
-        "cross-correlation over a scale range",
+        "--calibratePixelSize", type=str, default="no",
+        metavar="<%s>" % "|".join(choices),
+        help="calibrate pixel size against the diffraction ring of a "
+        "standard sample (graphene 2.13 A, gold 2.355 A, ice 3.661 A). "
+        "default: no",
     )
 
 
 def _h_calibratePixelSize(data, args, index_d, param):
-    """Scan scale factors, maximize mean rotation-averaged power-spectrum
-    correlation between the data class averages and reference images
-    (reference calibratepixelsize.py: joblib-parallel xcorr; here vmapped)."""
-    import jax.numpy as jnp
-
-    from ...core.filters import calculate_structural_factor
+    """Find the standard sample's diffraction ring in the power spectra
+    and rescale the pixel size so the ring lands at its known resolution
+    (reference calibratepixelsize.py: polar NUFFT sampling of the
+    +/-5% annulus; here the fft power spectrum is sampled on the same
+    polar grid with bilinear interpolation — no finufft dependency)."""
     from ...io.metadata import getPixelSize, setPixelSize
     from ...io.mrc import read_mrc
 
-    if param:
-        refFile, pd_ = parse_param_str(param)
-        apix_ref = float(pd_.get("apixRef", 0))
-        scale_range = float(pd_.get("scaleRange", 0.05))
-        scale_step = float(pd_.get("scaleStep", 0.002))
-        if not Path(refFile).exists():
-            raise HeliconError(f"--calibratePixelSize: {refFile} does not exist")
-        ref, apix_file = read_mrc(refFile)
-        if apix_ref <= 0:
-            apix_ref = apix_file
-        apix_data = getPixelSize(data)
-        if not apix_data:
-            raise HeliconError("cannot determine the current pixel size")
-        imgs = np.asarray(ref, np.float32)
-        if imgs.ndim == 2:
-            imgs = imgs[None]
-        # 1D structural factors of the reference
-        sf_ref = np.mean(
-            [
-                np.asarray(
-                    calculate_structural_factor(im, apix=apix_ref)[1]
-                )
-                for im in imgs[: min(10, len(imgs))]
-            ],
-            axis=0,
-        )
-        from ...io.mrc import read_image_2d
-
-        names = data["rlnImageName"].str.split("@", expand=True)
-        sf_data = []
-        for i in range(min(10, len(data))):
-            img = read_image_2d(names.iloc[i, -1], int(names.iloc[i, 0]) - 1)
-            sf_data.append(
-                np.asarray(calculate_structural_factor(img, apix=apix_data)[1])
+    if param and param != "no":
+        standards = dict(
+            graphene=2.13, graphene_oxide=2.13, go=2.13, gold=2.355, ice=3.661
+        )  # Angstrom (calibratepixelsize.py:47-50)
+        if str(param).lower() not in standards:
+            raise HeliconError(
+                f"--calibratePixelSize: unknown standard {param!r}; "
+                f"supported: {' '.join(standards)}"
             )
-        sf_data = np.mean(sf_data, axis=0)
-        scales = np.arange(1 - scale_range, 1 + scale_range + 1e-9, scale_step)
-        n = min(len(sf_ref), len(sf_data))
-        x = np.arange(n, dtype=np.float64)
-        best_scale, best_cc = 1.0, -np.inf
-        for sc in scales:
-            resampled = np.interp(x * sc, x, sf_data[:n], right=0.0)
-            a = resampled - resampled.mean()
-            b = sf_ref[:n] - sf_ref[:n].mean()
-            den = np.linalg.norm(a) * np.linalg.norm(b)
-            cc = float(a @ b / den) if den > 0 else -np.inf
-            if cc > best_cc:
-                best_scale, best_cc = float(sc), cc
-        apix_new = apix_data * best_scale
-        logger.info(
-            "calibrated pixel size: %.4f -> %.4f A (scale %.4f, cc %.4f)",
-            apix_data, apix_new, best_scale, best_cc,
+        target_res = standards[str(param).lower()]
+        apix, pixelSize_source = getPixelSize(data, return_pixelSize_source=True)
+        if apix is None:
+            raise HeliconError(
+                "cannot find rlnImagePixelSize or rlnMicrographPixelSize"
+            )
+        apix = float(apix)
+        half_corner_res = 1.0 / (1 / (2 * apix) * (1 + np.sqrt(2)) / 2)
+        if target_res <= half_corner_res:
+            raise HeliconError(
+                f"target resolution {target_res} A for {param} is beyond "
+                f"the limit ({half_corner_res:.2f} A)"
+            )
+        search_range = 0.05  # +/- 5% (calibratepixelsize.py:61)
+        corner_res = 2 * apix / np.sqrt(2)
+        res_low = target_res * (1 + search_range)
+        res_high = max(corner_res, target_res * (1 - search_range))
+        r_samples = 100  # 0.1% radial steps
+        theta_samples = (
+            int(
+                np.pi
+                / ((1 / res_high - 1 / res_low) / (r_samples - 1) / (1 / target_res))
+            )
+            + 1
         )
-        setPixelSize(data, apix_new)
+        freqs = np.linspace(1 / res_low, 1 / res_high, r_samples)  # 1/A
+        thetas = np.linspace(0, np.pi, theta_samples, endpoint=False)
+
+        mapping = dict(
+            rlnImagePixelSize="rlnImageName",
+            rlnMicrographPixelSize="rlnMicrographName",
+        )
+        name_col = mapping.get(pixelSize_source, "rlnImageName")
+        if name_col not in data:
+            name_col = next(c for c in mapping.values() if c in data)
+        imageFiles = (
+            data[name_col].astype(str).str.split("@", expand=True)
+            .iloc[:, -1].unique()
+        )
+
+        from scipy.ndimage import map_coordinates
+
+        curves, weights = [], []
+        for f in imageFiles:
+            imgs, _ = read_mrc(f)
+            imgs = np.asarray(imgs, np.float32)
+            if imgs.ndim == 2:
+                imgs = imgs[None]
+            n_img, ny, nx = imgs.shape
+            F = np.fft.fftshift(
+                np.abs(np.fft.fft2(imgs, axes=(-2, -1))), axes=(-2, -1)
+            )
+            # polar sample positions in (row, col) pixel units of the
+            # shifted spectrum: freq f (1/A) -> f * N * apix pixels
+            fy = freqs[None, :] * np.sin(thetas)[:, None] * ny * apix + ny // 2
+            fx = freqs[None, :] * np.cos(thetas)[:, None] * nx * apix + nx // 2
+            pwr = np.stack(
+                [
+                    map_coordinates(F[i], [fy, fx], order=1, mode="nearest")
+                    for i in range(n_img)
+                ]
+            )  # (n_img, theta, r)
+            pwr_1d = pwr.max(axis=(0, 1))
+            pwr_1d = pwr_1d - np.median(pwr_1d)
+            from scipy.stats import median_abs_deviation
+
+            mad = median_abs_deviation(pwr_1d)
+            curves.append(pwr_1d / (mad if mad > 0 else 1.0))
+            weights.append(n_img)
+        pwr_mean = np.average(np.stack(curves), axis=0, weights=weights)
+        res_peak = 1.0 / freqs[int(np.argmax(pwr_mean))]
+        apix_new = round(apix * target_res / res_peak, 3)  # 0.1% precision
+        if apix_new != apix:
+            setPixelSize(data, apix_new=apix_new, update_defocus=True)
+            logger.info(
+                "calibrated %s: %.4f -> %.4f A (%s ring %.3f A found at "
+                "%.3f A)", pixelSize_source, apix, apix_new, param,
+                target_res, res_peak,
+            )
+        else:
+            logger.info("pixel size %.4f A is accurate; no adjustment", apix)
         index_d["calibratePixelSize"] += 1
     return data, index_d
 
@@ -373,12 +422,13 @@ def _h_extractHelices(data, args, index_d, param):
         outPath.mkdir(parents=True, exist_ok=True)
 
         rows = []
-        apix = None
+        apix_by_mic = {}
         for _, rec in data.iterrows():
             mic_name = rec["rlnMicrographName"]
             coordfile = rec.get("rlnCoordinateFileName", rec.iloc[-1])
-            if apix is None:
-                apix = mrc_header(mic_name).apix
+            if mic_name not in apix_by_mic:
+                apix_by_mic[mic_name] = mrc_header(mic_name).apix
+            apix = apix_by_mic[mic_name]
             blocks = read_star(coordfile)
             cf = next(
                 (v for v in blocks.values() if isinstance(v, pd.DataFrame)), None
@@ -396,6 +446,11 @@ def _h_extractHelices(data, args, index_d, param):
                         helixLength=np.hypot(ex - sx, ey - sy) * apix,
                     )
                 )
+        if not rows:
+            raise HeliconError(
+                "--extractHelices: no filament coordinates found in the "
+                "coordinate star files"
+            )
         coord_df = pd.DataFrame(rows).sort_values("helixLength", ascending=False)
         if topLengthFraction:
             coord_df = coord_df.iloc[: int(len(coord_df) * float(topLengthFraction))]
@@ -416,7 +471,7 @@ def _h_extractHelices(data, args, index_d, param):
                 )
             )
             out = outPath / f"helix_{hi:05d}.mrc"
-            write_mrc(out, strip, apix=apix)
+            write_mrc(out, strip, apix=apix_by_mic[rec.rlnMicrographName])
             out_rows.append(
                 dict(
                     rlnImageName=f"000001@{out}",
@@ -463,6 +518,7 @@ def _h_maskGold(data, args, index_d, param):
         gradient_sigma = float(pd_.get("gradient_sigma", 0))
         min_area = float(pd_.get("min_area", 100))
         both_sides = int(pd_.get("both_sides", 1))
+        force = int(pd_.get("force", 1))
         outdir = Path(
             pd_.get("outdir", Path(getattr(args, "output_starFile", "maskGold")).stem)
         )
@@ -474,8 +530,37 @@ def _h_maskGold(data, args, index_d, param):
         names = tmp.iloc[:, -1]
         pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
 
+        # auto gradient_sigma for large micrographs (maskgold.py:83-94)
+        if gradient_sigma == 0:
+            h0 = mrc_header(names.iloc[0])
+            if h0.ny > 2048 and h0.nx > 2048:
+                gradient_sigma = float(np.sqrt(min_area) * 10)
+
         rng = np.random.default_rng(0)
         for name, particles in names.groupby(names, sort=False):
+            out = outdir / Path(name).name
+            if out.exists():
+                if out.samefile(name):
+                    # (maskgold.py:100-104) never overwrite the source
+                    raise HeliconError(
+                        f"output {out.as_posix()} will overwrite original image"
+                    )
+                if not force:
+                    h_out = mrc_header(out)
+                    if h_out.nz == len(particles):
+                        new_names = (
+                            pd.Series(
+                                range(1, len(particles) + 1),
+                                index=particles.index,
+                            ).map("{:06d}".format)
+                            + "@"
+                            + str(out)
+                        )
+                        if attrSrc == "rlnImageName":
+                            data.loc[particles.index, attrSrc] = new_names.values
+                        else:
+                            data.loc[particles.index, attrSrc] = str(out)
+                        continue  # reuse the existing masked stack
             h = mrc_header(name)
             apix = h.apix or 1.0
             imgs = []
@@ -499,7 +584,6 @@ def _h_maskGold(data, args, index_d, param):
                     outlier &= ~small
                 noise = rng.normal(med, mad * 1.4826, size=img.shape)
                 imgs.append(np.where(outlier, noise, img).astype(np.float32))
-            out = outdir / Path(name).name
             write_mrc(out, np.stack(imgs), apix=apix)
             new_names = (
                 pd.Series(range(1, len(imgs) + 1), index=particles.index).map(
@@ -634,3 +718,52 @@ PLUGINS = [
     Plugin("denoiseCurvelet", _add_denoiseCurvelet, _h_denoiseCurvelet),
     Plugin("process", _add_process, _h_process),
 ]
+
+
+def _match_filaments_by_geometry(data, data2, fullStarFile):
+    """Match input filaments to full-filament candidates by endpoint
+    colinearity per micrograph (reference recoverfullfilaments.py:246-307:
+    both input endpoints must lie ON the candidate's line segment within
+    epsilon=1 pixel). Returns [(n_input_segments, n_full_segments,
+    full_indices)] like the exact-key path."""
+
+    def on_line_segment(px, py, ax, ay, bx, by, epsilon=1.0):
+        d1 = np.hypot(px - ax, py - ay)
+        d2 = np.hypot(px - bx, py - by)
+        d = np.hypot(bx - ax, by - ay)
+        return abs(d - d1 - d2) < epsilon
+
+    helices = []
+    mgraphs2 = dict(list(data2.groupby("rlnMicrographName", sort=False)))
+    for mgraph_name, mg in data.groupby("rlnMicrographName", sort=False):
+        if mgraph_name not in mgraphs2:
+            logger.error("micrograph %s is not in %s", mgraph_name, fullStarFile)
+            continue
+        filaments2 = list(
+            mgraphs2[mgraph_name].groupby("rlnHelicalTubeID", sort=False)
+        )
+        for tube_id, seg in mg.groupby("rlnHelicalTubeID", sort=False):
+            cx = seg["rlnCoordinateX"].astype(float).values
+            cy = seg["rlnCoordinateY"].astype(float).values
+            matched = False
+            for _, seg2 in filaments2:
+                cx2 = seg2["rlnCoordinateX"].astype(float).values
+                cy2 = seg2["rlnCoordinateY"].astype(float).values
+                if on_line_segment(
+                    cx[0], cy[0], cx2[0], cy2[0], cx2[-1], cy2[-1]
+                ) and on_line_segment(
+                    cx[-1], cy[-1], cx2[0], cy2[0], cx2[-1], cy2[-1]
+                ):
+                    matched = True
+                    helices.append((len(seg), len(seg2), list(seg2.index)))
+            if not matched:
+                logger.warning(
+                    "%s:helicalTubeID=%s: cannot find a matching helix in %s",
+                    mgraph_name, tube_id, fullStarFile,
+                )
+    if not helices:
+        raise HeliconError(
+            f"--recoverFullFilaments: no filament of the input could be "
+            f"matched geometrically to {fullStarFile}"
+        )
+    return helices

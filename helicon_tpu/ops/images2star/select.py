@@ -129,8 +129,24 @@ def _h_selectRatioRange(data, args, index_d, param):
                 raise HeliconError(
                     f"selection excluded all images (data range [{vmin}, {vmax}])"
                 )
+        elif var.lower() == "index":
+            # positional slice by fraction (selectratiorange.py:77-84)
+            val1 = int(round(float(val1) * len(data)))
+            val2 = int(round(float(val2) * len(data)))
+            if val1 < 0:
+                val1 = 0
+            if val2 < 0:
+                val2 = len(data)
+            data = data.iloc[val1:val2]
+            if not len(data):
+                raise HeliconError(
+                    "selection excluded all images (--selectRatioRange index)"
+                )
         elif getattr(args, "verbose", 0):
-            logger.warning("variable %s does not exist for --selectRatioRange", var)
+            raise HeliconError(
+                f'the variable "{var}" specified by --selectRatioRange '
+                "does NOT exist"
+            )
         index_d["selectRatioRange"] += 1
     return data, index_d
 

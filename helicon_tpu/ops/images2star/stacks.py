@@ -152,7 +152,12 @@ def _h_minStack(data, args, index_d, param):
             name2 = subdir / Path(name).name
             n = len(particles)
             if not (name2.exists() and get_image_number(name2) == n):
-                pids = sorted(indices.loc[particles.index].astype(int))
+                # write in DATAFRAME ROW order so slot i of the new stack
+                # is the particle renamed to i+1 below. (The reference
+                # writes slots in sorted-pid order while renaming in row
+                # order, silently cross-matching images and metadata when
+                # rows are not pid-ascending, e.g. after --sortby.)
+                pids = indices.loc[particles.index].astype(int)
                 apix = mrc_header(name).apix
                 imgs = np.stack(
                     [read_image_2d(name, pid - 1) for pid in pids]

@@ -525,37 +525,49 @@ class TestHeavyPlugins:
         # the filament runs along the strip: bright center rows
         assert strip[strip.shape[0] // 2].mean() > strip[0].mean()
 
-    def test_calibrate_pixel_size_identity(self, tmp_path, relion_df, monkeypatch):
+    def test_calibrate_pixel_size_standard_ring(self, tmp_path, relion_df,
+                                                 monkeypatch):
+        """Reference semantics (calibratepixelsize.py): find the standard
+        sample's diffraction ring in the +/-5% annulus and rescale the
+        pixel size so the ring lands at its known resolution; defocus is
+        rescaled along (setPixelSize(update_defocus=True))."""
         from helicon_tpu.io.metadata import getPixelSize
         from helicon_tpu.io.mrc import write_mrc
 
         monkeypatch.chdir(tmp_path)
+        # plant an ice-like ring: true apix 1.03, nominal header 1.0 ->
+        # at nominal apix the ring appears at 3.661/1.03 = 3.554 A
+        n = 256
+        nominal, true_apix = 1.0, 1.03
+        ring_res_apparent = 3.661 * nominal / true_apix
+        f = 1.0 / ring_res_apparent  # cycles per (nominal) Angstrom
+        y, x = np.mgrid[0:n, 0:n].astype(np.float64)
         rng = np.random.default_rng(0)
-        y, x = np.mgrid[0:32, 0:32]
-        imgs = (
-            np.sin(2 * np.pi * x / 8.0)[None]
-            * np.exp(-((y - 16) ** 2) / 50.0)[None]
-            + 0.05 * rng.normal(0, 1, (4, 32, 32))
-        ).astype(np.float32)
-        write_mrc(tmp_path / "ref.mrcs", imgs, apix=1.5)
-        write_mrc(tmp_path / "data.mrcs", imgs, apix=1.5)
-        df = relion_df.head(4).copy()
-        df["rlnImageName"] = [
-            f"{i + 1:06d}@{tmp_path}/data.mrcs" for i in range(4)
-        ]
-        df["rlnDetectorPixelSize"] = 1.5
-        df["rlnMagnification"] = 10000.0
-        df.attrs["optics"] = pd.DataFrame(
-            [dict(rlnOpticsGroup=1, rlnOpticsGroupName="opticsGroup1",
-                  rlnImagePixelSize=1.5)]
+        img = sum(
+            np.cos(2 * np.pi * f * (x * np.cos(t) + y * np.sin(t)))
+            for t in np.linspace(0, np.pi, 6, endpoint=False)
+        ) + 0.1 * rng.normal(0, 1, (n, n))
+        write_mrc(tmp_path / "data.mrcs",
+                  np.stack([img, img]).astype(np.float32), apix=nominal)
+        df = relion_df.head(2).copy()
+        df["rlnImageName"] = [f"{i + 1:06d}@{tmp_path}/data.mrcs"
+                              for i in range(2)]
+        df["rlnImagePixelSize"] = nominal
+        df["rlnDefocusU"] = 10000.0
+        df["rlnDefocusV"] = 10000.0
+        out = dispatch("calibratePixelSize", df, "ice")
+        apix_new = getPixelSize(out)
+        assert apix_new == pytest.approx(true_apix, abs=0.005)
+        # defocus rescaled by (new/old)^2
+        assert out["rlnDefocusU"].iloc[0] == pytest.approx(
+            10000.0 * (apix_new / nominal) ** 2, rel=1e-3
         )
-        df["rlnOpticsGroup"] = 1
-        out = dispatch(
-            "calibratePixelSize", df,
-            f"{tmp_path}/ref.mrcs:apixRef=1.5:scaleRange=0.1:scaleStep=0.01",
-        )
-        # identical data -> best scale 1.0 -> pixel size unchanged
-        assert getPixelSize(out) == pytest.approx(1.5, rel=0.02)
+
+    def test_calibrate_pixel_size_rejects_unknown_standard(self, relion_df):
+        from helicon_tpu.utils.exceptions import HeliconError
+
+        with pytest.raises(HeliconError, match="unknown standard"):
+            dispatch("calibratePixelSize", relion_df.copy(), "diamond")
 
 
 class TestBeamShiftXY:
@@ -654,3 +666,55 @@ class TestDenoiseCurveletFallback:
         )
         den, _ = read_mrc(tmp_path / "dn" / "p.mrcs")
         assert den.shape == (2, 32, 32) and np.isfinite(den).all()
+
+
+class TestReviewFixes2:
+    """Round-2 plugin review regressions: minStack ordering, maskGold
+    overwrite guard, selectRatioRange index."""
+
+    def test_minstack_row_order_preserved_after_sort(self, tmp_path, relion_df,
+                                                     monkeypatch):
+        """Slot i of the re-packed stack must be the particle renamed to
+        i+1 even when rows are not pid-ascending (the reference writes
+        sorted-pid order while renaming row order — silent image/metadata
+        cross-matching)."""
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        n = 4
+        imgs = np.stack(
+            [np.full((8, 8), float(i + 1), np.float32) for i in range(n)]
+        )
+        write_mrc(tmp_path / "stack.mrcs", imgs, apix=1.0)
+        df = relion_df.head(n).copy()
+        df["rlnImageName"] = [f"{i + 1:06d}@stack.mrcs" for i in range(n)]
+        df["rlnSortKey"] = [3.0, 1.0, 4.0, 2.0]
+        df = df.sort_values("rlnSortKey").reset_index(drop=True)
+        out = dispatch("minStack", df, 1, output_starFile="repacked.star")
+        stack, _ = read_mrc(tmp_path / "repacked" / "stack.mrcs")
+        for _, row in out.iterrows():
+            slot = int(row["rlnImageName"].split("@")[0]) - 1
+            orig = int(row["rlnSortKey"] * 0 + stack[slot][0, 0])
+            # the slot's pixel value encodes the ORIGINAL pid it came from
+            expected_pid = {3.0: 1, 1.0: 2, 4.0: 3, 2.0: 4}[row["rlnSortKey"]]
+            assert orig == expected_pid, (slot, orig, row["rlnSortKey"])
+
+    def test_maskgold_refuses_overwriting_input(self, tmp_path, relion_df,
+                                                monkeypatch):
+        from helicon_tpu.io.mrc import write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        img = np.random.default_rng(0).normal(0, 1, (2, 16, 16)).astype(np.float32)
+        write_mrc(tmp_path / "stack_mic1.mrcs", img, apix=1.0)
+        write_mrc(tmp_path / "stack_mic2.mrcs", img, apix=1.0)
+        df = relion_df.copy()
+        with pytest.raises(HeliconError, match="overwrite original"):
+            dispatch("maskGold", df, f"outdir={tmp_path}")
+
+    def test_select_ratio_range_index(self, relion_df):
+        out = dispatch("selectRatioRange", relion_df.copy(),
+                       ["index", "0.25", "0.75"])
+        assert len(out) == len(relion_df) // 2
+        pd.testing.assert_frame_equal(
+            out, relion_df.iloc[len(relion_df) // 4: 3 * len(relion_df) // 4]
+        )

@@ -359,3 +359,117 @@ def test_cs_reset_noop_when_zero(cs_df):
     df["ctf/exp_group_id"] = np.repeat([1, 2, 3], 4)
     out = cs_dispatch("resetExposureGroups", df, 0)
     assert out["ctf/exp_group_id"].nunique() == 3
+
+
+class TestExtractReviewFixes:
+    """Regression tests for the round-2 extractParticles review findings
+    (reference extractparticles.py:165-249 semantics)."""
+
+    def _mic_setup(self, tmp_path, cs_df):
+        from helicon_tpu.io.mrc import write_mrc
+
+        rng = np.random.default_rng(0)
+        mic = rng.normal(0, 1, (64, 64)).astype(np.float32)
+        for m in ("m1.mrc", "m2.mrc", "m3.mrc"):
+            write_mrc(tmp_path / m, mic, apix=1.0)
+        df = cs_df.copy()
+        df["location/micrograph_psize_A"] = 1.0
+        df["location/micrograph_shape"] = [(64, 64)] * len(df)
+        df["location/center_x_frac"] = 0.5
+        df["location/center_y_frac"] = 0.5
+        return df
+
+    def test_recenter_uses_alignments3D_and_zeroes_shifts(
+        self, tmp_path, cs_df, monkeypatch
+    ):
+        monkeypatch.chdir(tmp_path)
+        df = self._mic_setup(tmp_path, cs_df)
+        df["alignments3D/shift"] = [np.array([4.0, -2.0], np.float32)] * len(df)
+        df["alignments3D/psize_A"] = 1.0
+        out = cs_dispatch(
+            "extractParticles", df, "box_size=16:fp16=0:recenter=1"
+        )
+        # shift 4 px at 64 px width -> center_x 0.5 - 4/64
+        assert out["location/center_x_frac"].iloc[0] == pytest.approx(0.5 - 4 / 64)
+        assert out["location/center_y_frac"].iloc[0] == pytest.approx(0.5 + 2 / 64)
+        # shifts zeroed so downstream jobs do not re-apply them
+        assert np.allclose(np.stack(out["alignments3D/shift"].values), 0.0)
+
+    def test_flip_y(self, tmp_path, cs_df, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        df = self._mic_setup(tmp_path, cs_df)
+        df["location/center_y_frac"] = 0.25
+        out = cs_dispatch(
+            "extractParticles", df, "box_size=16:fp16=0:flip_y=1:recenter=0"
+        )
+        assert out["location/center_y_frac"].iloc[0] == pytest.approx(0.75)
+
+    def test_missing_micrograph_uid_raises(self, tmp_path, cs_df, monkeypatch):
+        from helicon_tpu.io.cs import write_cs
+        from helicon_tpu.utils import HeliconError
+
+        monkeypatch.chdir(tmp_path)
+        df = self._mic_setup(tmp_path, cs_df)
+        mics = np.zeros(
+            2, dtype=[("uid", "<u8"), ("micrograph_blob/path", "S10")]
+        )
+        mics["uid"] = [1, 2]  # uid 3 missing
+        mics["micrograph_blob/path"] = [b"m1.mrc", b"m2.mrc"]
+        write_cs(tmp_path / "mics.cs", mics)
+        with pytest.raises(HeliconError, match="not found in the micrographs"):
+            cs_dispatch(
+                "extractParticles", df,
+                f"box_size=16:fp16=0:micrographs_cs_file={tmp_path}/mics.cs",
+            )
+
+    def test_replace_ctf_requires_micrographs(self, tmp_path, cs_df, monkeypatch):
+        from helicon_tpu.utils import HeliconError
+
+        monkeypatch.chdir(tmp_path)
+        df = self._mic_setup(tmp_path, cs_df)
+        with pytest.raises(HeliconError, match="replace_ctf"):
+            cs_dispatch("extractParticles", df, "box_size=16:replace_ctf=1")
+
+    def test_replace_ctf_copies_from_micrographs(self, tmp_path, cs_df, monkeypatch):
+        from helicon_tpu.io.cs import write_cs
+
+        monkeypatch.chdir(tmp_path)
+        df = self._mic_setup(tmp_path, cs_df)
+        mics = np.zeros(
+            3,
+            dtype=[
+                ("uid", "<u8"), ("micrograph_blob/path", "S10"),
+                ("micrograph_blob/psize_A", "<f4"), ("ctf/df1_A", "<f4"),
+            ],
+        )
+        mics["uid"] = [1, 2, 3]
+        mics["micrograph_blob/path"] = [b"m1.mrc", b"m2.mrc", b"m3.mrc"]
+        mics["micrograph_blob/psize_A"] = 1.0
+        mics["ctf/df1_A"] = 31000.0
+        write_cs(tmp_path / "mics.cs", mics)
+        out = cs_dispatch(
+            "extractParticles", df,
+            f"box_size=16:fp16=0:replace_ctf=1:"
+            f"micrographs_cs_file={tmp_path}/mics.cs",
+        )
+        assert np.allclose(out["ctf/df1_A"].to_numpy(float), 31000.0)
+
+
+def test_exposure_groups_combine_not_overwrite(cs_df):
+    """Beam-shift label groups COMBINE with pre-existing groups
+    (assignexposuregroupbybeamshiftlabel.py:104): equal labels from
+    different source groups stay distinct."""
+    df = cs_df.copy()
+    df["location/micrograph_path"] = np.repeat(
+        [
+            "FoilHole_28788144_Data_28764755_46_20240328_192116_fractions.tiff",
+            "FoilHole_28788145_Data_28764755_46_20240328_192117_fractions.tiff",
+            "FoilHole_28788146_Data_28764755_47_20240328_192118_fractions.tiff",
+        ],
+        4,
+    )
+    df["ctf/exp_group_id"] = np.repeat([1, 2, 2], 4)  # two sessions
+    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", df, "EPU")
+    # label 46 appears in source groups 1 AND 2 -> must stay 2 groups;
+    # plus label 47 in group 2 -> 3 total
+    assert out["ctf/exp_group_id"].nunique() == 3
