@@ -290,7 +290,10 @@ def HelicalSegmentConsistency(
     slopes, sses, n_segments = [], [], []
     fits = []  # per-helix fit records (for the refit pass + reports)
     data = data.copy()
-    data["rlnAngleRotError"] = 0.0
+    # NaN = "not evaluated": helices with < 3 segments are skipped by the
+    # fit below and must not count as consistent (error 0 would pass any
+    # --filterBad threshold unexamined)
+    data["rlnAngleRotError"] = np.nan
     for label, g in data.groupby(group_cols, sort=False):
         x = g["rlnHelicalTrackLengthAngst"].astype(float).values
         o = g["rlnAngleRot"].astype(float).values % P
@@ -322,12 +325,15 @@ def HelicalSegmentConsistency(
             data.loc[fit["index"], "rlnAngleRotError"] = np.round(abs_err, 2)
             fit["m"], fit["b"] = m2, b2
 
+    evaluated = data["rlnAngleRotError"].notna()
     data["rlnHelicalConsistencyGood"] = (
-        data["rlnAngleRotError"] <= max_error_deg
+        evaluated & (data["rlnAngleRotError"] <= max_error_deg)
     ).astype(int)
+    data["rlnAngleRotError"] = data["rlnAngleRotError"].fillna(0.0)
     stats = dict(
         n_helices=len(slopes),
         n_segments=int(sum(n_segments)),
+        n_unevaluated=int((~evaluated).sum()),
         n_good=int(data["rlnHelicalConsistencyGood"].sum()),
         consensus_twist_per_A=float(consensus),
         consensus_twist_per_rise=float(consensus * rise),

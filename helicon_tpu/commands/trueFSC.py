@@ -105,6 +105,15 @@ def main(args):
         np.column_stack([saxis[1:], fsc_unmasked[1:]]),
     )
 
+    # FSC of phase-randomized, unmasked maps (reference trueFSC.py:153-166)
+    fsc_rand_unmasked = np.asarray(
+        calc_fsc(None, None, apix, F1=F1r, F2=F2r, shell_flat=shell_flat, n=n)
+    )
+    np.savetxt(
+        fsc_prefix + ".randomized-unmasked.txt",
+        np.column_stack([fsc_rand_unmasked[1:, 0], fsc_rand_unmasked[1:, 1]]),
+    )
+
     # masks
     user_mask = len(args.maskFile) > 0
     if user_mask:
@@ -410,7 +419,7 @@ def add_args(parser: argparse.ArgumentParser):
                         help="use one common mask for both maps")
     parser.add_argument("--maskSoft", type=float, default=0,
                         help="mask soft edge width (A); 0 = auto")
-    parser.add_argument("--refineMask", type=int, default=0,
+    parser.add_argument("--refineMask", type=int, default=1,
                         help="optimize the soft edge width")
     parser.add_argument("--maskFractionThresh", type=float, default=0,
                         help="mask threshold as a fraction of the max")

@@ -139,8 +139,11 @@ def layer_line_positions(twist: float, rise: float, csym: int = 1, n_lines: int 
         P = math.inf
     else:
         P = 360.0 / twist_eff * rise
-    lines = [(0.0, 0, 0)]
-    seen = {0.0}
+    # collect EVERY allowed (n, m) per height, then keep the DOMINANT
+    # (lowest |n|) representative per line: the first-visible peak of a
+    # layer line is |J_n| of its smallest allowed order, not whichever
+    # (n, m) combination a scan order happens to find first
+    by_z: dict = {0.0: [(0, 0)]}
     max_n = n_lines * max(1, csym) + csym
     max_m = n_lines + 1
     for m in range(-max_m, max_m + 1):
@@ -148,20 +151,38 @@ def layer_line_positions(twist: float, rise: float, csym: int = 1, n_lines: int 
             if csym > 1 and n % csym != 0:
                 continue
             Z = (n / P if math.isfinite(P) else 0.0) + m / rise
-            Zr = round(Z, 8)
-            if Z <= 1e-9 or Zr in seen:
+            if Z <= 1e-9:
                 continue
-            seen.add(Zr)
-            lines.append((Z, n, m))
+            by_z.setdefault(round(Z, 8), []).append((n, m))
+    lines = []
+    for Zr, nms in by_z.items():
+        nms.sort(key=lambda t: (abs(t[0]), abs(t[1])))
+        n, m = nms[0]
+        lines.append((float(Zr), n, m))
     lines.sort(key=lambda t: t[0])
     return lines[: n_lines + 1]
 
 
 def layer_line_bessel_orders(twist: float, rise: float, csym: int = 1, n_lines: int = 10):
-    """{Z: [n, ...]} allowed Bessel orders per layer line height."""
-    out = {}
-    for Z, n, m in layer_line_positions(twist, rise, csym, n_lines):
-        out.setdefault(round(Z, 8), []).append(n)
+    """{Z: [n, ...]} ALL allowed Bessel orders per layer-line height,
+    sorted by |n| (the line's dominant order first)."""
+    kept = {
+        round(Z, 8) for Z, _, _ in layer_line_positions(twist, rise, csym, n_lines)
+    }
+    twist_eff = abs(twist)
+    P = math.inf if twist_eff < 1e-6 else 360.0 / twist_eff * rise
+    out: dict = {z: [] for z in kept}
+    max_n = n_lines * max(1, csym) + csym
+    max_m = n_lines + 1
+    for m in range(-max_m, max_m + 1):
+        for n in range(-max_n, max_n + 1):
+            if csym > 1 and n % csym != 0:
+                continue
+            Z = round((n / P if math.isfinite(P) else 0.0) + m / rise, 8)
+            if Z in out and n not in out[Z]:
+                out[Z].append(n)
+    for z in out:
+        out[z].sort(key=abs)
     return out
 
 

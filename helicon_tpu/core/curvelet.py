@@ -54,7 +54,9 @@ def _meyer_ramp(t):
 
 @functools.lru_cache(maxsize=16)
 def _windows_2d(ny: int, nx: int, n_scales: int, n_angles_coarse: int):
-    """Tight-frame window stack (K, ny, nx) in fftshifted layout.
+    """Tight-frame window stack (K, ny, nx) in UNSHIFTED fft layout
+    (np.fft.fftfreq ordering: DC at index [0, 0]) — multiply directly
+    against an unshifted fft2 spectrum.
 
     Band 0 is the lowpass; then per scale j (fine to coarse ordering of
     radius), n_angles_coarse * 2^(j//2) angular wedges.
@@ -330,8 +332,9 @@ def curvelet_denoise_mct(data, threshold_sigma: float = 3.0, **kwargs):
     )
 
 
-def _tiled(fn):
+def _tiled(transform):
     def wrapper(data, tile_size: int = 512, overlap: int = 64, **kwargs):
+        kwargs.setdefault("transform", transform)
         return denoise_curvelet_2d_tiled(
             data, tile_size=tile_size, overlap=overlap, **kwargs
         )
@@ -339,9 +342,9 @@ def _tiled(fn):
     return wrapper
 
 
-curvelet_denoise_udct_tiled = _tiled(curvelet_denoise_udct)
-curvelet_denoise_fdct_tiled = _tiled(curvelet_denoise_fdct)
-curvelet_denoise_mct_tiled = _tiled(curvelet_denoise_mct)
+curvelet_denoise_udct_tiled = _tiled("udct")
+curvelet_denoise_fdct_tiled = _tiled("udct")
+curvelet_denoise_mct_tiled = _tiled("mct")
 
 
 def _batch(fn):
@@ -372,7 +375,9 @@ def curvelet_denoise_3d_udct_tiled(
     vol = np.asarray(data, np.float32)
     nz = vol.shape[0]
     if nz <= tile_size:
-        return np.asarray(denoise_curvelet_3d(vol, threshold_sigma=threshold_sigma))
+        return np.asarray(
+            denoise_curvelet_3d(vol, threshold_sigma=threshold_sigma, **kwargs)
+        )
     step = tile_size - overlap
     out = np.zeros_like(vol)
     wsum = np.zeros(nz, np.float32)
@@ -381,7 +386,9 @@ def curvelet_denoise_3d_udct_tiled(
         z1 = min(z0 + tile_size, nz)
         z0a = max(0, z1 - tile_size)
         den = np.asarray(
-            denoise_curvelet_3d(vol[z0a:z1], threshold_sigma=threshold_sigma)
+            denoise_curvelet_3d(
+                vol[z0a:z1], threshold_sigma=threshold_sigma, **kwargs
+            )
         )
         n = z1 - z0a
         t = np.ones(n, np.float32)

@@ -194,6 +194,19 @@ def estimate_bessel_order(r_peak: float, radius: float) -> int:
     return best
 
 
+def _harmonic_support(pitch, lines, exclude=None):
+    """Summed intensity of detected lines sitting near an integer
+    harmonic k = Z * pitch of the candidate pitch. round(k) >= 1: the
+    0th harmonic is the equator, so a low-frequency line near k ~ 0 is
+    NOT harmonic support."""
+    support = 0.0
+    for q in lines:
+        k = q.Z * pitch
+        if q is not exclude and round(k) >= 1 and abs(k - round(k)) < 0.15:
+            support += q.intensity
+    return support
+
+
 def estimate_helical_parameters(
     image=None,
     apix: float = 1.0,
@@ -251,12 +264,7 @@ def estimate_helical_parameters(
     for p in pitch_lines[:3]:
         n = p.bessel_order if p.bessel_order else 1
         pitch = n / p.Z
-        # harmonic support: how many other detected lines sit near k/P
-        support = p.intensity
-        for q in non_merid:
-            k = q.Z * pitch
-            if abs(k - round(k)) < 0.15 and q is not p:
-                support += q.intensity
+        support = p.intensity + _harmonic_support(pitch, non_merid, exclude=p)
         pitches.append((pitch, p, support))
 
     # rise from the lowest meridional (n = 0, m = 1) line

@@ -36,8 +36,9 @@ def helical_lattice_points(
 ):
     """(n, 2) unrolled-lattice points (x_circumference, z) in Angstrom.
 
-    One point per (h, c) subunit with |z| <= length/2 (default: 10
-    rises) or at most n_units helical units.
+    One point per (h, c) subunit with |z| <= length/2. With n_units=N
+    (and no explicit length) the rungs span h in [-N, N] — i.e.
+    (2N + 1) * csym points centered on the origin; default N = 10.
     """
     if length is None:
         length = (n_units if n_units else 10) * abs(rise) * 2

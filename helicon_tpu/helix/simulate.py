@@ -190,7 +190,10 @@ def helical_unit_positions(
             copies.append(c)
     centers = np.concatenate(copies, axis=0)
     if tilt or psi:
-        centers = centers @ (_rot_y(tilt) @ _rot_x(-psi)).T
+        # reference utils.py:167: R.from_euler("yx", (tilt, -psi)) —
+        # lowercase = EXTRINSIC: rotate about y by tilt FIRST, then
+        # about x by -psi, i.e. Rx(-psi) @ Ry(tilt)
+        centers = centers @ (_rot_x(-psi) @ _rot_y(tilt)).T
     if dy:
         centers[:, 1] += dy
     return centers[:, [1, 2]]  # project along z -> (y, z)

@@ -339,3 +339,35 @@ class TestDenoisers:
         img = np.full((32, 32), 2.0, np.float32)
         out = np.asarray(denoise_tv_chambolle(img))
         np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_mct_tiled_differs_from_udct_tiled():
+    """curvelet_denoise_mct_tiled must actually run the monogenic
+    transform (a dropped transform= kwarg once made it identical to the
+    UDCT tiled path)."""
+    from helicon_tpu.core.curvelet import (
+        curvelet_denoise_mct_tiled,
+        curvelet_denoise_udct_tiled,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 1, (48, 48)).astype(np.float32)
+    img[20:28] += 3.0
+    a = np.asarray(curvelet_denoise_mct_tiled(img, tile_size=32, overlap=8))
+    b = np.asarray(curvelet_denoise_udct_tiled(img, tile_size=32, overlap=8))
+    assert not np.allclose(a, b)
+
+
+def test_3d_tiled_forwards_n_scales():
+    """n_scales reaches every chunk of the 3D tiled denoiser."""
+    from helicon_tpu.core.curvelet import curvelet_denoise_3d_udct_tiled
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0, 1, (40, 16, 16)).astype(np.float32)
+    a = np.asarray(
+        curvelet_denoise_3d_udct_tiled(vol, tile_size=24, overlap=8, n_scales=2)
+    )
+    b = np.asarray(
+        curvelet_denoise_3d_udct_tiled(vol, tile_size=24, overlap=8, n_scales=5)
+    )
+    assert not np.allclose(a, b)

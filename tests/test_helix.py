@@ -99,3 +99,18 @@ def test_tilt_psi_dy_str():
     assert tilt_psi_dy_str(0, 0, 0) == ""
     s = tilt_psi_dy_str(1.234, -2.0, 3.5, unit=False)
     assert "tilt=1.23" in s and "psi=-2.0" in s and "dy=3.5" in s
+
+
+def test_tilt_psi_rotation_matches_scipy_extrinsic():
+    """Reference utils.py:167 composes R.from_euler("yx", (tilt, -psi)) —
+    EXTRINSIC order, i.e. Rx(-psi) @ Ry(tilt). A swapped composition put
+    every ball at wrong (y, z) whenever both angles are nonzero."""
+    from scipy.spatial.transform import Rotation as R
+
+    from helicon_tpu.helix.simulate import _rot_x, _rot_y
+
+    rot = R.from_euler("yx", (30.0, -20.0), degrees=True)
+    pts = np.array([[0.0, 20.0, 0.0], [5.0, -3.0, 7.0], [1.0, 0.0, 0.0]])
+    q = rot.apply(pts)
+    q2 = pts @ (_rot_x(-20.0) @ _rot_y(30.0)).T
+    np.testing.assert_allclose(q, q2, atol=1e-10)

@@ -231,3 +231,34 @@ class TestHelicalLattice:
             parameters_from_lattice_vectors(
                 [10.0, 4.75], [circ / 2.37, 0.0], 50.0
             )
+
+
+def test_layer_line_positions_dominant_lowest_order():
+    """Each layer line is labeled with its DOMINANT (lowest |n|) Bessel
+    order, and layer_line_bessel_orders lists the full allowed set
+    sorted by |n| (a scan-order dedup once labeled the pitch line of a
+    twist=180 helix n=11)."""
+    from helicon_tpu.core.ctf import (
+        layer_line_bessel_orders,
+        layer_line_positions,
+    )
+
+    lines = layer_line_positions(180.0, 4.75, 1, 5)
+    z_pitch = 1.0 / (360.0 / 180.0 * 4.75)
+    pitch_line = min(lines[1:], key=lambda t: abs(t[0] - z_pitch))
+    assert pitch_line[1] == 1 and pitch_line[2] == 0
+    orders = layer_line_bessel_orders(180.0, 4.75, 1, 5)
+    z_key = round(z_pitch, 8)
+    assert orders[z_key][0] in (1, -1)  # dominant order first
+    assert len(orders[z_key]) > 1  # full allowed set, not one survivor
+
+
+def test_harmonic_support_excludes_equator_neighbors():
+    """A detected line whose k = Z*pitch rounds to 0 must not count as
+    harmonic support (the 0th harmonic is the equator)."""
+    from helicon_tpu.helix.indexing import LayerLine, _harmonic_support
+
+    spur = LayerLine(Z=0.01, intensity=100.0, r_peak=0.01)  # k = 0.1 -> 0
+    h2 = LayerLine(Z=0.2, intensity=5.0, r_peak=0.01)       # k = 2 exactly
+    assert _harmonic_support(10.0, [spur]) == 0.0
+    assert _harmonic_support(10.0, [spur, h2]) == 5.0

@@ -287,3 +287,29 @@ class TestSymmetryMismatchSolve:
     def test_angular_distance(self):
         assert sm.angular_distance(350.0, 10.0) == pytest.approx(20.0)
         assert sm.angular_distance(10.0, 350.0) == pytest.approx(20.0)
+
+
+def test_short_helices_not_marked_consistent():
+    """Helices with < 3 segments are never fitted and must not pass the
+    consistency filter (an initialized error of 0 once marked them all
+    good)."""
+    import pandas as pd
+
+    from helicon_tpu.commands.HOM_containerC import HelicalSegmentConsistency
+
+    df = _segments(n_tubes=2, n_seg=12, noise=0.1, outliers=0, seed=3)
+    short = pd.DataFrame(
+        dict(
+            rlnImageName=["900001@s.mrcs", "900002@s.mrcs"],
+            rlnMicrographName=["mShort.mrc"] * 2,
+            rlnHelicalTubeID=[9, 9],
+            rlnHelicalTrackLengthAngst=[0.0, 47.5],
+            rlnAngleRot=[10.0, 250.0],  # wildly inconsistent
+        )
+    )
+    both = pd.concat([df, short], ignore_index=True)
+    out, stats = HelicalSegmentConsistency(both)
+    assert stats["n_unevaluated"] == 2
+    mask_short = out["rlnMicrographName"] == "mShort.mrc"
+    assert (out.loc[mask_short, "rlnHelicalConsistencyGood"] == 0).all()
+    assert (out.loc[~mask_short, "rlnHelicalConsistencyGood"] == 1).mean() > 0.9

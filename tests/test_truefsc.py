@@ -150,3 +150,16 @@ class TestPhaseRandomization:
         )
         # low-frequency content differs (phases randomized below cutoff)
         assert not np.allclose(out, vol, atol=1e-3)
+
+
+def test_randomized_unmasked_output_and_refine_default(tmp_path):
+    """Reference trueFSC writes '<prefix>.randomized-unmasked.txt'
+    (trueFSC.py:158) and defaults --refineMask to 1."""
+    import argparse
+
+    from helicon_tpu.commands import trueFSC as cmd
+
+    parser = argparse.ArgumentParser()
+    cmd.add_args(parser)
+    args = parser.parse_args(["a.mrc", "b.mrc", "fsc.png"])
+    assert args.refineMask == 1
