@@ -52,6 +52,18 @@ def main(args: argparse.Namespace) -> None:
             pts = sorted(Path(f).parent.glob("*_passthrough_particles.cs")) or sorted(
                 Path(f).parent.glob("*_passthrough_exposures.cs")
             )
+            # prefer the passthrough from THIS input's job (J9_particles
+            # -> J9_passthrough_*) — a different job's file merged by uid
+            # yields NaN/stale metadata
+            job = Path(f).stem.split("_")[0]
+            same_job = [p for p in pts if p.name.startswith(job + "_")]
+            if same_job:
+                pts = same_job
+            elif len(pts) > 1:
+                logger.warning(
+                    "multiple passthrough files in %s; using %s for %s",
+                    Path(f).parent, pts[0].name, f,
+                )
             if pts:
                 p = read_cs(pts[0])
                 pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)

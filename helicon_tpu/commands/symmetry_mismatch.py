@@ -155,8 +155,18 @@ def find_particle_correspondence(ds1, ds2, dist_tol=None, axis_tol=None, verbose
         vz_min = np.cos(np.deg2rad(axis_tol))
         all1 = sorted({i1 for v in cand.values() for i1 in v})
         all2 = sorted(cand.keys())
-        R1 = dict(zip(all1, get_rotations(ds1, all1)))
-        R2 = dict(zip(all2, get_rotations(ds2, all2)))
+        rots1 = get_rotations(ds1, all1)
+        rots2 = get_rotations(ds2, all2)
+        if rots1 is None or rots2 is None:
+            from helicon_tpu.utils.exceptions import HeliconError
+
+            raise HeliconError(
+                "no alignments3D/pose (or alignments3D_multi/pose) column "
+                "in the inputs — the axis-tolerance test needs particle "
+                "poses; rerun with --axis-tol 0 to match by position only"
+            )
+        R1 = dict(zip(all1, rots1))
+        R2 = dict(zip(all2, rots2))
         for i2, neighbors in cand.items():
             rot2 = R2[i2]
             best, best_vz = None, vz_min
@@ -174,15 +184,30 @@ def find_particle_correspondence(ds1, ds2, dist_tol=None, axis_tol=None, verbose
 # ---------------------------------------------------------------- CLI
 
 
-def _load(csFile):
+def _load(csFile, pass_through=None):
     import pandas as pd
 
     from helicon_tpu.io.cs import read_cs
 
     cs = read_cs(csFile)
     df = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
-    pts = sorted(Path(csFile).parent.glob("*_passthrough_particles.cs"))
-    if pts:
+    if pass_through:
+        pts = [Path(pass_through)]
+    else:
+        # auto-discover: prefer a passthrough sharing this input's job
+        # prefix (J9_particles.cs -> J9_passthrough_particles.cs); a
+        # different job's file merged by uid yields NaN/stale metadata
+        stem = Path(csFile).stem
+        job = stem.split("_")[0]
+        cand = sorted(Path(csFile).parent.glob("*_passthrough_particles.cs"))
+        same_job = [p for p in cand if p.name.startswith(job + "_")]
+        pts = same_job or cand
+        if len(pts) > 1 or (pts and not same_job):
+            logger.warning(
+                "using passthrough %s for %s — pass -pt1/-pt2 to override",
+                pts[0], csFile,
+            )
+    if pts and pts[0].exists():
         p = read_cs(pts[0])
         pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)
         add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
@@ -206,8 +231,8 @@ def main(args):
         )
     sym1 = int(str(args.sym1 or "C1").lstrip("Cc"))
     sym2 = int(str(args.sym2 or "C1").lstrip("Cc"))
-    ds1 = _load(args.input1)
-    ds2 = _load(args.input2)
+    ds1 = _load(args.input1, pass_through=args.pass_through1)
+    ds2 = _load(args.input2, pass_through=args.pass_through2)
     logger.info("job1: %d particles (C%d); job2: %d particles (C%d)",
                 len(ds1), sym1, len(ds2), sym2)
 

@@ -63,8 +63,7 @@ def _fft2_pair(x):
     return _dft_pair(zr, zi, -1, False)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def batched_cross_correlation(classes, segments):
+def batched_cross_correlation(classes, segments, chunk: int | None = None):
     """Peak normalized xcorr of every (class, segment) pair.
 
     classes (C, ny, nx), segments (S, ny, nx) -> (C, S) peak CCC and
@@ -72,10 +71,25 @@ def batched_cross_correlation(classes, segments):
     align it with the class).
 
     All spectral math is on REAL (re, im) tensor pairs via DFT matmuls
-    (complex HLOs are slow/partial on the axon TPU backend), and the
-    segment axis is chunked with lax.map to bound the (C, chunk, ny, nx)
-    intermediate.
+    (complex HLOs are slow/partial on the axon TPU backend). The segment
+    axis is chunked with lax.map ONLY when the full (C, S, ny, nx)
+    product would exceed ~0.5 GB per tensor: small workloads keep the
+    single fully-parallel product (chunking the 50 x 1000 x 64^2 bench
+    serialized it 60x), huge ones (50 classes x 5000 segments at 128^2
+    would be 16 GB) stay memory-bounded.
     """
+    classes = jnp.asarray(classes, jnp.float32)
+    segments = jnp.asarray(segments, jnp.float32)
+    C, ny, nx = classes.shape
+    S = segments.shape[0]
+    if chunk is None:
+        budget_elems = 2**27  # 0.5 GB of float32 per live tensor
+        chunk = max(1, min(S, budget_elems // max(1, C * ny * nx)))
+    return _batched_xcorr_impl(classes, segments, int(chunk))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _batched_xcorr_impl(classes, segments, chunk: int):
     cl = jnp.asarray(classes, jnp.float32)
     sg = jnp.asarray(segments, jnp.float32)
     C, ny, nx = cl.shape
@@ -87,14 +101,28 @@ def batched_cross_correlation(classes, segments):
     norm_c = jnp.linalg.norm(cl.reshape(C, -1), axis=1)
     norm_s = jnp.linalg.norm(sg.reshape(S, -1), axis=1)
 
-    # conj(segment) spectral product: (C, S, ny, nx) real pairs
-    pr = cr[:, None] * sr[None] + ci[:, None] * si[None]
-    pi = ci[:, None] * sr[None] - cr[:, None] * si[None]
-    qr, qi = _dft_pair(pr, pi, -2, True)
-    ccr, _ = _dft_pair(qr, qi, -1, True)  # real part of IDFT2
-    flat = ccr.reshape(C, S, -1)
-    peak = jnp.max(flat, axis=-1)
-    idx = jnp.argmax(flat, axis=-1)
+    chunk = min(chunk, S) or 1
+    pad = (-S) % chunk
+    if pad:
+        sr = jnp.concatenate([sr, jnp.zeros((pad, ny, nx), sr.dtype)])
+        si = jnp.concatenate([si, jnp.zeros((pad, ny, nx), si.dtype)])
+    n_chunks = (S + pad) // chunk
+    sr = sr.reshape(n_chunks, chunk, ny, nx)
+    si = si.reshape(n_chunks, chunk, ny, nx)
+
+    def one_chunk(args):
+        sr_c, si_c = args  # (chunk, ny, nx)
+        # conj(segment) spectral product: (C, chunk, ny, nx) real pairs
+        pr = cr[:, None] * sr_c[None] + ci[:, None] * si_c[None]
+        pi = ci[:, None] * sr_c[None] - cr[:, None] * si_c[None]
+        qr, qi = _dft_pair(pr, pi, -2, True)
+        ccr, _ = _dft_pair(qr, qi, -1, True)  # real part of IDFT2
+        flat = ccr.reshape(C, chunk, -1)
+        return jnp.max(flat, axis=-1), jnp.argmax(flat, axis=-1)
+
+    peaks, idxs = jax.lax.map(one_chunk, (sr, si))  # (n_chunks, C, chunk)
+    peak = jnp.moveaxis(peaks, 0, 1).reshape(C, -1)[:, :S]
+    idx = jnp.moveaxis(idxs, 0, 1).reshape(C, -1)[:, :S]
     peak = peak / jnp.maximum(norm_c[:, None] * norm_s[None, :], 1e-12)
     sy = idx // nx
     sx = idx % nx

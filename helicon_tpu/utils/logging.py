@@ -83,9 +83,12 @@ def log_command_line(logfile: str = "helicon.log") -> None:
         pass
 
 
-def timedelta2string(td: datetime.timedelta, verbose: int = 2) -> str:
-    """Render a timedelta as e.g. ``1h 2m 3.4s`` keeping *verbose* fields."""
-    total = td.total_seconds()
+def timedelta2string(td, verbose: int = 2) -> str:
+    """Render a duration as e.g. ``1h 2m 3.4s`` keeping *verbose* fields.
+
+    Accepts a datetime.timedelta OR plain seconds (the reference's
+    logging.py:133 signature takes float/int seconds)."""
+    total = td.total_seconds() if hasattr(td, "total_seconds") else float(td)
     sign = "-" if total < 0 else ""
     total = abs(total)
     days, rem = divmod(total, 86400)

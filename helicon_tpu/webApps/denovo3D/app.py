@@ -53,7 +53,7 @@ from helicon_tpu.webApps.denovo3D.workflow import (
 
 ui.page_opts(title="denovo3D (helicon-tpu)", fillable=True)
 ui.head_content(ui.tags.title("Helicon denovo3D"))
-google_analytics(id="G-FDSYXQNKLX")
+google_analytics(tag_id="G-FDSYXQNKLX")
 ui.tags.style("* { font-size: 10pt; }")
 
 # ---------------------------------------------------------------- state
@@ -340,7 +340,9 @@ def update_transformed_images():
     out = apply_transform_chain(
         imgs,
         negate=bool(input.img_negate()),
-        threshold=float(input.threshold()) if input.threshold() else None,
+        # reference app.py:1996-2012 always thresholds at the current
+        # value (0.0 included — a falsy gate silently disabled it)
+        threshold=float(input.threshold() or 0.0),
         transpose=bool(input.img_transpose()),
         flip=bool(input.img_flip()),
         rotation=float(input.pre_rotation()),

@@ -233,7 +233,11 @@ def run_grid_incremental(
     def progress_callback(done, total, scores):
         elapsed = time.time() - t0
         eta = elapsed / max(done, 1) * (total - done)
-        order = np.argsort(-scores[:done])
+        # rank the candidates that HAVE been scored: in the rise-bucketed
+        # grid path completed scores land at scattered bucket indices, so
+        # slicing [:done] would rank unscored zeros and miss scored ones
+        scored = np.flatnonzero(scores != 0.0)
+        order = scored[np.argsort(-scores[scored])]
         ranked = [
             (float(twists[i]), float(rises[i]), float(scores[i])) for i in order
         ]

@@ -69,7 +69,18 @@ _micrograph_fig = {"fig": None}
 
 # ---------------------------------------------------------------- sidebar
 with ui.sidebar(width="30vw"):
-    ui.input_file("param_file", "Class2D metadata (.star/.cs)")
+    # primary input: a SERVER-SIDE path (the reference uses an
+    # ipyfilechooser on the server — app.py:66-76). A browser upload only
+    # copies the metadata file into a temp dir, so the sibling class
+    # stack and project micrographs would never resolve.
+    ui.input_text(
+        "param_path", "Server path to Class2D metadata (.star/.cs)", ""
+    )
+    ui.input_action_button("load_param_path", "Load")
+    ui.input_file(
+        "param_file",
+        "... or upload (distances only; micrographs need the server path)",
+    )
     ui.input_checkbox("sort_abundance", "Sort classes by abundance", True)
     ui.input_checkbox("ignore_blank", "Ignore blank classes", True)
     ui.input_numeric("target_apix", "Micrograph display pixel size (A)", 5.0)
@@ -92,11 +103,30 @@ with ui.sidebar(width="30vw"):
 
 # ---------------------------------------------------------------- ingest
 @reactive.effect
+@reactive.event(input.load_param_path)
+def get_params_from_server_path():
+    filepath = (input.param_path() or "").strip()
+    req(filepath)
+    import pathlib
+
+    if not pathlib.Path(filepath).exists():
+        ui.modal_show(
+            ui.modal(f"{filepath} does not exist on the server",
+                     title="File not found", easy_close=True, footer=None)
+        )
+        return
+    _load_params(filepath)
+
+
+@reactive.effect
 @reactive.event(input.param_file)
 def get_params_from_file():
     f = input.param_file()
     req(f)
-    filepath = f[0]["datapath"]
+    _load_params(f[0]["datapath"])
+
+
+def _load_params(filepath):
     project_root_dir.set(compute.get_project_root_dir(filepath))
     filepath_classes.set(compute.get_class_file(filepath))
     try:

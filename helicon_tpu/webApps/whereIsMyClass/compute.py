@@ -42,13 +42,22 @@ def _resize_local_mean(data: np.ndarray, output_shape):
     ny, nx = data.shape
     oy, ox = output_shape
     if oy <= ny and ox <= nx:
-        # integer-factor block averaging then fine zoom
-        fy, fx = ny // oy, nx // ox
+        # integer-factor block averaging over the WHOLE field, then a
+        # fine zoom to the exact target shape. (Averaging oy*fy rows
+        # directly would crop the tail of the micrograph for non-integer
+        # scale factors — the output shape looked right but represented
+        # only part of the field, silently distorting the pixel size.)
+        fy, fx = max(1, ny // oy), max(1, nx // ox)
         if fy > 1 or fx > 1:
-            data = data[: oy * fy, : ox * fx].reshape(oy, fy, ox, fx).mean(
-                axis=(1, 3)
+            by, bx = ny // fy, nx // fx
+            data = (
+                data[: by * fy, : bx * fx]
+                .reshape(by, fy, bx, fx)
+                .mean(axis=(1, 3))
             )
-            return data.astype(np.float32)
+            ny, nx = data.shape
+            if (ny, nx) == (oy, ox):
+                return data.astype(np.float32)
     return zoom(
         data, (oy / ny, ox / nx), order=1, grid_mode=True, mode="grid-constant"
     ).astype(np.float32)

@@ -225,3 +225,17 @@ class TestHelicalMetadata:
         med, *_ = ht.estimate_inter_segment_distance(out)
         assert med == pytest.approx(23.75, rel=0.01)
         assert len(out) > len(relion_df)
+
+
+def test_batched_xcorr_chunking_invariant():
+    """lax.map segment chunking must not change results (and bounds the
+    (C, chunk, ny, nx) intermediate instead of materializing (C, S, ...))."""
+    from helicon_tpu.core.xcorr import batched_cross_correlation
+
+    rng = np.random.default_rng(0)
+    cls = rng.normal(0, 1, (3, 16, 16)).astype(np.float32)
+    seg = rng.normal(0, 1, (7, 16, 16)).astype(np.float32)
+    c1, s1 = batched_cross_correlation(cls, seg, chunk=2)
+    c2, s2 = batched_cross_correlation(cls, seg, chunk=7)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

@@ -205,3 +205,15 @@ class TestExceptions:
         assert issubclass(ht.HeliconExit, SystemExit)
         with pytest.raises(ht.HeliconError):
             raise ht.HeliconIOError("x")
+
+
+def test_timedelta2string_accepts_plain_seconds():
+    """Reference logging.py:133 takes float seconds; ours must accept
+    both (the denovo3D app passes eta_seconds directly)."""
+    import datetime
+
+    from helicon_tpu.utils.logging import timedelta2string
+
+    assert timedelta2string(3723.0) == timedelta2string(
+        datetime.timedelta(seconds=3723)
+    )

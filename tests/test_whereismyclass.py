@@ -302,3 +302,17 @@ class TestPlotBuilders:
             pass
         with pytest.raises(ImportError, match="plotly"):
             compute.plot_micrograph(np.zeros((4, 4)), "t", 1.0)
+
+
+def test_resize_local_mean_non_integer_factor_covers_full_field():
+    """Non-integer downscale must resize the WHOLE micrograph: the block
+    path once cropped 20% of the field and mislabeled the pixel size."""
+    from helicon_tpu.webApps.whereIsMyClass.compute import _resize_local_mean
+
+    # a gradient: mean of the full field differs from mean of the first 80%
+    data = np.tile(np.arange(1000, dtype=np.float32)[:, None], (1, 10))
+    out = _resize_local_mean(data, (400, 10))
+    assert out.shape == (400, 10)
+    # full-field mean preserved (cropping the tail would bias it low)
+    assert abs(out.mean() - data.mean()) < data.mean() * 0.01
+    assert out[-1, 0] > 0.95 * data[-1, 0]  # the tail rows are represented
