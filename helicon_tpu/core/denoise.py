@@ -9,6 +9,7 @@ algorithms so the prepare step stays on-device.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -75,10 +76,18 @@ def _haar_inv(a, d):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("levels",))
 def denoise_wavelet(image, sigma: float | None = None, levels: int = 3):
     """Haar-wavelet VisuShrink soft threshold (skimage denoise_wavelet
-    analog; BayesShrink replaced by the simpler universal threshold)."""
+    analog; BayesShrink replaced by the simpler universal threshold).
+    The decomposition depth is capped so both dimensions keep at least
+    one block (skimage caps the level for small images too)."""
+    ny, nx = jnp.asarray(image).shape
+    max_levels = max(1, int(math.floor(math.log2(max(2, min(ny, nx))))) - 1)
+    return _denoise_wavelet_impl(image, sigma, min(levels, max_levels))
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _denoise_wavelet_impl(image, sigma: float | None = None, levels: int = 3):
     img = jnp.asarray(image, jnp.float32)
     ny, nx = img.shape
     py = ny - ny % (2**levels) if ny % (2**levels) else ny
@@ -120,18 +129,19 @@ def denoise_wavelet(image, sigma: float | None = None, levels: int = 3):
 
 @functools.partial(jax.jit, static_argnames=("patch_size", "search_radius"))
 def denoise_nl_means(
-    image, h: float | None = None, patch_size: int = 5, search_radius: int = 6
+    image, h: float = 0.1, patch_size: int = 7, search_radius: int = 11
 ):
     """Non-local means with a square search window (skimage analog).
+
+    Defaults match skimage.restoration.denoise_nl_means as the reference
+    pipeline calls it (pipeline.py:190-193: patch_size 7, patch_distance
+    11, h 0.1 absolute — near-identity on raw-intensity micrographs,
+    which IS the reference behavior).
 
     Patch distances are computed with box-filtered squared differences of
     shifted images — O(window^2) shifted passes, fully vectorized.
     """
     img = jnp.asarray(image, jnp.float32)
-    if h is None:
-        d = (img[0::2, 0::2] - img[1::2, 0::2] - img[0::2, 1::2] + img[1::2, 1::2]) / 2
-        sigma = jnp.median(jnp.abs(d - jnp.median(d))) / 0.6745
-        h = 0.8 * sigma
     p = patch_size // 2
 
     def boxsum(x):
@@ -177,4 +187,11 @@ def denoise_image(image, method: str = "tv", **kwargs):
         return denoise_tv_chambolle(image, **kwargs)
     if method == "wavelet":
         return denoise_wavelet(image, **kwargs)
-    raise ValueError(f"unknown denoise method: {method}")
+    # reference pipeline.py:189-201 silently ignores unknown names; warn
+    # but do not kill the task
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "unknown denoise method %r; returning the image unchanged", method
+    )
+    return jnp.asarray(image, jnp.float32)

@@ -9,6 +9,12 @@ than FFT on MXU for n <= 512); elsewhere they lower to jnp.fft.
 API mirrors the jnp.fft subset used by the framework: fft/ifft (axis),
 fftn/ifftn, fft2, rfft2/irfft2, rfftn/irfftn, fftshift/ifftshift,
 fftfreq/rfftfreq.
+
+CAVEAT (axon TPU backend): complex64 device->host transfer is ALSO
+unimplemented there — np.asarray() of a complex result raises
+JaxRuntimeError. Keep complex intermediates on device and materialize
+only real-valued reductions (jnp.abs / jnp.real / power spectra), as
+every in-tree caller does.
 """
 
 from __future__ import annotations

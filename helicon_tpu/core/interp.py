@@ -57,6 +57,9 @@ def _index_fixer(mode: str, n: int):
         return lambda idx: (_reflect_index(idx, n), jnp.ones(idx.shape, bool))
     if mode in ("nearest", "edge"):
         return lambda idx: (jnp.clip(idx, 0, n - 1), jnp.ones(idx.shape, bool))
+    # note: "wrap" here is scipy's *grid-wrap* (exact periodic
+    # indexing); scipy's own "wrap" overlaps the first/last samples.
+    # skimage "wrap" (true periodic) maps onto this correctly.
     if mode in ("wrap", "grid-wrap"):
         return lambda idx: (idx % n, jnp.ones(idx.shape, bool))
     # constant
@@ -151,7 +154,9 @@ def map_coordinates(
         idxs = []
         valid = jnp.ones(out_shape, bool)
         for d, c in enumerate(coords):
-            i = jnp.round(c).astype(jnp.int32)
+            # scipy's order=0 uses floor(x + 0.5), NOT round-half-even:
+            # exact .5 coordinates must pick the upper pixel
+            i = jnp.floor(c + 0.5).astype(jnp.int32)
             fix = _index_fixer(mode, x.shape[d])
             i, ok = fix(i)
             idxs.append(i)

@@ -202,7 +202,7 @@ def _pair_combinatorics(hmax: int, csym: int):
     return h1, c1, h2, c2, np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2)
 
 
-@functools.lru_cache(maxsize=8192)
+@functools.lru_cache(maxsize=256)
 def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
     """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
     as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
@@ -307,23 +307,50 @@ def estimate_copy_pair_counts(
     rise_pixel_min: float,
     sym_oversample: int,
     max_equations: int = 2**26,
+    rise_pixel_max: float | None = None,
 ):
     """Static (n_copies, n_pairs) sized for the worst candidate in a grid.
 
-    Mirrors the reference's equation budget: both matrix builders stop at
-    min(max_equations, max(n_2d_pixels, n_3d_voxels) * sym_oversample)
-    rows (solver:131-172); copies contribute <= l2*d2 rows each, pairs
-    <= n_mask_voxels rows each.
-    """
+    Mirrors the reference's equation budget: both matrix builders keep
+    consuming Halton-ordered ops until the ACTUAL accumulated row count
+    reaches min(max_equations, max(n_2d_pixels, n_3d_voxels) *
+    sym_oversample) (solver:131-172, 1286). Static shapes cannot adapt
+    per candidate, so the counts here are sized from the EXPECTED valid
+    rows per copy/pair — the z-overlap of a +-h-shifted sample shrinks
+    by |h| * rise / l3 — at the grid's largest rise (worst case), not
+    from the best-case one-row-per-voxel assumption (which under-built
+    the system by 2x for large-rise candidates)."""
+    rise_max = float(rise_pixel_max) if rise_pixel_max else float(rise_pixel_min)
     n2d = geom.d2 * geom.l2
     n3d = int(geom.cylindrical_mask().sum())
+    l3 = max(1, geom.l3)
     target = min(max_equations, int(max(n2d, n3d) * max(1, sym_oversample)))
-    n_copies = int(np.ceil(target / max(1, n2d))) + 1
+
+    # copies arrive in |h|-ascending order: accumulate expected rows
     hmax = geom.hsym_max_data(rise_pixel_min)
-    n_copies = min(n_copies, (2 * hmax + 1) * geom.csym)
-    n_pairs = int(np.ceil(target / max(1, n3d))) + 1
+    total_copies = (2 * hmax + 1) * geom.csym
+    acc = 0.0
+    n_copies = 0
+    for k in range(2 * hmax + 1):
+        h = (k + 1) // 2 * (1 if k % 2 else -1) if k else 0
+        fill = max(0.05, 1.0 - abs(h) * rise_max / l3)
+        n_copies += geom.csym
+        acc += geom.csym * n2d * fill
+        if acc >= target:
+            break
+    n_copies = min(max(2, n_copies + 1), total_copies)
+
+    # pairs: mean z-overlap over the op-pair span distribution
     hmax_p = geom.hsym_max_pairs(rise_pixel_min)
     n_ops = (2 * hmax_p + 1) * geom.csym
+    h1, _, h2, _, *_ = _pair_combinatorics(hmax_p, geom.csym)
+    span = np.maximum.reduce([h1, h2, np.zeros_like(h1)]) - np.minimum.reduce(
+        [h1, h2, np.zeros_like(h1)]
+    )
+    mean_fill = float(
+        np.mean(np.maximum(0.05, 1.0 - span * rise_max / l3))
+    )
+    n_pairs = int(np.ceil(target / max(1, n3d) / mean_fill)) + 1
     n_pairs = min(n_pairs, n_ops * (n_ops - 1) // 2)
     return max(1, n_copies), max(1, n_pairs)
 

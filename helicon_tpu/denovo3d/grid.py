@@ -296,7 +296,8 @@ def reconstruct_grid(
 
     rise_pixels = rises / target_apix3d
     n_copies, n_pairs = estimate_copy_pair_counts(
-        geom, float(np.min(rise_pixels)), sym_oversample
+        geom, float(np.min(rise_pixels)), sym_oversample,
+        rise_pixel_max=float(np.max(rise_pixels)),
     )
     n_ops = estimate_n_pair_ops(geom, float(np.min(rise_pixels)))
     # Tables are built on a PRODUCER THREAD, one batch ahead of the

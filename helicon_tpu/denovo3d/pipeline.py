@@ -248,12 +248,15 @@ def process_one_task(
     ny, nx = data.shape
 
     if thresh_fraction >= 0:
-        data_orig = data
         nr = min(
             ny // 2 - 1,
             int(np.ceil(g["reconstruct_diameter"] / 2 / target_apix2d) + 1),
         )
+        # reference pipeline.py:277-283 subtracts the median IN PLACE on
+        # the aliased data_orig: the metadata image is the background-
+        # subtracted one, thresholding then branches off a new array
         data = data - np.median(data[(ny // 2 - nr, ny // 2 + nr), :])
+        data_orig = data
         data = np.asarray(threshold_data(data, thresh_fraction=thresh_fraction))
         data = data / np.max(data)
     else:

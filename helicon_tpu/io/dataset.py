@@ -146,7 +146,16 @@ class EMDB:
                 with gzip.open(f, "rb") as src, open(raw, "wb") as dst:
                     shutil.copyfileobj(src, dst)
             f = raw
-        return read_mrc(f)
+        data, apix = read_mrc(f)
+        # normalize EMDB maps whose mapc/mapr/maps is not (1, 2, 3) to
+        # canonical axis order (reference read_emdb_map ->
+        # change_map_axes_order; some EMDB entries are stored permuted)
+        from .mrc import change_map_axes_order, mrc_header
+
+        header = mrc_header(f)
+        if (header.mapc, header.mapr, header.maps) != (1, 2, 3):
+            data, _ = change_map_axes_order(data, header)
+        return data, apix
 
     def get_emdb_xml_url(self, emd_id) -> str:
         emd_id = self._validate_emd_id(emd_id)

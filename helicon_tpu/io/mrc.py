@@ -235,13 +235,37 @@ def read_image_2d(path, index: int = 0) -> np.ndarray:
     return img.reshape(h.ny, h.nx).astype(np.float32)
 
 
-def change_map_axes_order(data, map_axes_order: str = "zyx"):
-    """Reorder volume axes to the target order (io_mrc.py:101-135);
-    input order is (z, y, x)."""
-    order = map_axes_order.lower()
-    assert sorted(order) == ["x", "y", "z"], order
-    perm = ["zyx".index(a) for a in order]
-    return np.transpose(np.asarray(data), perm)
+def change_map_axes_order(data, header_or_order="zyx", new_axes=None):
+    """Reorder volume axes (io_mrc.py:101-135).
+
+    Two call forms:
+    - change_map_axes_order(data, header, new_axes=["x","y","z"]) — the
+      reference form: permute by the MRC header's mapc/mapr/maps so the
+      data lands in canonical axis order; returns (data, updated_header).
+    - change_map_axes_order(data, "xyz") — permute a (z, y, x) array to
+      the given string order; returns the array.
+    """
+    if isinstance(header_or_order, str):
+        order = header_or_order.lower()
+        assert sorted(order) == ["x", "y", "z"], order
+        perm = ["zyx".index(a) for a in order]
+        return np.transpose(np.asarray(data), perm)
+    header = header_or_order
+    if new_axes is None:
+        new_axes = ["x", "y", "z"]
+    map_axes = {"x": 0, "y": 1, "z": 2}
+    try:
+        current = [header.mapc - 1, header.mapr - 1, header.maps - 1]
+    except AttributeError:
+        current = [0, 1, 2]
+    target = [map_axes[a] for a in new_axes]
+    data2 = np.moveaxis(np.asarray(data), current, target)
+    import dataclasses
+
+    header2 = dataclasses.replace(
+        header, mapc=target[0] + 1, mapr=target[1] + 1, maps=target[2] + 1
+    )
+    return data2, header2
 
 
 def display_map_orthoslices(data, title: str = "", apix: float = 1.0, show=True):

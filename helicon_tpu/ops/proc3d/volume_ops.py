@@ -109,7 +109,12 @@ def _h_fft_resample(data, args, index_d, param, apix, nx, ny, nz):
             ),
             output_size=(new_nz, new_ny, new_nx),
         )
-        data = np.abs(np.asarray(hfft.ifftn(fft))).astype(np.float32)
+        # jnp.abs BEFORE materializing: complex64 device->host transfer
+        # is UNIMPLEMENTED on the axon TPU backend (fully on-device
+        # chains work; see core/fft.py docstring)
+        import jax.numpy as jnp
+
+        data = np.asarray(jnp.abs(hfft.ifftn(fft))).astype(np.float32)
         data *= new_nx * new_ny * new_nz / (nx * ny * nz)
         apix = round(apix * nx / new_nx, 4)
         nx, ny, nz = new_nx, new_ny, new_nz

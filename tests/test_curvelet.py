@@ -330,8 +330,9 @@ class TestDenoisers:
         for method in ("tv", "wavelet", "nl_mean"):
             out = np.asarray(denoise_image(noisy, method=method))
             assert out.shape == noisy.shape and np.isfinite(out).all()
-        with pytest.raises(Exception):
-            denoise_image(noisy, method="nope")
+        # reference pipeline.py:189-201 silently ignores unknown names
+        out = np.asarray(denoise_image(noisy, method="nope"))
+        np.testing.assert_allclose(out, noisy)
 
     def test_constant_image_stable(self):
         from helicon_tpu.core.denoise import denoise_tv_chambolle

@@ -615,3 +615,42 @@ def test_sym_keep_with_gather_fallback():
     dropped = (~mask) & (s_all != 0)
     assert (s_kept[~mask] == 0).all()
     assert dropped.any()  # the mask actually removed duplicate rows
+
+
+def test_equation_counts_reach_reference_target():
+    """The static (n_copies, n_pairs) estimate must deliver the
+    reference's equation budget in ACTUAL valid rows (solver:1286
+    accumulates until the real count reaches the target), whenever the
+    op universe allows it. A best-case estimate once under-built the
+    symmetry system by 2x for large-rise candidates."""
+    import jax.numpy as jnp
+
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        select_copies,
+        select_pairs,
+    )
+    from helicon_tpu.denovo3d.geometry import estimate_copy_pair_counts
+    from helicon_tpu.denovo3d.projector import build_problem
+
+    for (l3, rise_px, twist) in [(24, 3.0, 29.4), (16, 2.0, 170.0)]:
+        geom = ReconstructionGeometry(
+            d2=24, l2=32, d3=24, l3=l3, rmin=0.0, rmax=11,
+            scale2d_to_3d=1.0, csym=1,
+        )
+        so = 2
+        n_copies, n_pairs = estimate_copy_pair_counts(geom, rise_px, so)
+        ch, cc, cv = select_copies(geom, rise_px, n_copies)
+        phc, pv = select_pairs(geom, twist, rise_px, n_pairs)
+        ops = build_problem(
+            geom, np.zeros((24, 32), np.float32), jnp.float32(twist),
+            jnp.float32(rise_px), jnp.asarray(ch), jnp.asarray(cc),
+            jnp.asarray(cv), jnp.asarray(phc), jnp.asarray(pv),
+            mask=geom.cylindrical_mask(), cellok=geom.cell_valid_mask(),
+        )
+        probe = jnp.asarray(
+            np.random.default_rng(0).random(geom.volume_shape), jnp.float32
+        )
+        n_sym = int(np.sum(np.asarray(ops["S"](probe)) != 0))
+        target = int(geom.cylindrical_mask().sum()) * so
+        assert n_sym >= target, (l3, rise_px, n_sym, target)

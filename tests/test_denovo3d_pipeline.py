@@ -302,3 +302,26 @@ def test_reconstruct_grid_wide_rise_bucketing_tracks_reference_ranking(helix_ima
     assert res.best_index in np.argsort(-per)[:3].tolist(), (
         res.best_index, res.scores, per,
     )
+
+
+def test_thresh_fraction_data_orig_is_background_subtracted(helix_image):
+    """Reference pipeline.py:277-283 aliases data_orig before the
+    IN-PLACE median subtraction: the metadata image must be the
+    background-subtracted one, not the raw down-scaled image."""
+    score, return_data, metadata = process_one_task(
+        **make_task(helix_image, 30.0, 6.0, thresh_fraction=0.2)
+    )
+    data_orig = np.asarray(metadata[0])
+    # after the in-place subtraction the median over the two background
+    # sampling rows (ny//2 -+ nr) is exactly 0 for the nr the pipeline
+    # used; scan nr since it depends on the derived geometry
+    ny = data_orig.shape[0]
+    meds = [
+        abs(float(np.median(data_orig[(ny // 2 - nr, ny // 2 + nr - 1), :])))
+        for nr in range(1, ny // 2)
+    ] + [
+        abs(float(np.median(data_orig[(ny // 2 - nr, ny // 2 + nr), :])))
+        for nr in range(1, ny // 2 - 1)
+    ]
+    assert min(meds) < 1e-6, min(meds)
+    assert score > 0

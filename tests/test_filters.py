@@ -182,3 +182,34 @@ class TestDownScale:
     def test_noop_when_upscaling(self, rng):
         x = rng.normal(size=(16, 16)).astype(np.float32)
         assert np.allclose(np.asarray(ht.down_scale(x, 0.5, 1.0)), x)
+
+
+def test_denoise_wavelet_small_image_caps_levels():
+    """Images smaller than 2**levels must denoise (skimage caps the
+    level), not crash on an empty Haar slice."""
+    from helicon_tpu.core.denoise import denoise_wavelet
+
+    img = np.random.default_rng(0).normal(0, 1, (4, 4)).astype(np.float32)
+    out = np.asarray(denoise_wavelet(img))
+    assert out.shape == (4, 4) and np.isfinite(out).all()
+
+
+def test_denoise_image_unknown_method_is_noop():
+    """Reference pipeline.py:189-201 silently ignores unknown denoise
+    names; a crash turned an option typo into a dead task."""
+    from helicon_tpu.core.denoise import denoise_image
+
+    img = np.ones((8, 8), np.float32)
+    out = np.asarray(denoise_image(img, method="not-a-method"))
+    np.testing.assert_allclose(out, img)
+
+
+def test_denoise_nl_means_reference_defaults():
+    import inspect
+
+    from helicon_tpu.core.denoise import denoise_nl_means
+
+    sig = inspect.signature(denoise_nl_means)
+    assert sig.parameters["patch_size"].default == 7
+    assert sig.parameters["search_radius"].default == 11
+    assert sig.parameters["h"].default == 0.1

@@ -573,3 +573,28 @@ class TestMetadataConventionFixes:
         skipped.attrs["source_path"] = str(tmp_path / "run_data.star")
         dataframe_normalize_filename(skipped, ignore_bad_particle_path=2)
         assert skipped["rlnImageName"].iloc[0] == "000001@nope.mrcs"
+
+
+def test_emdb_map_axis_order_normalized(tmp_path, monkeypatch):
+    """EMDB maps stored with non-canonical mapc/mapr/maps are permuted to
+    canonical axis order (reference read_emdb_map -> change_map_axes_order)."""
+    import struct
+
+    import helicon_tpu.io.dataset as ds
+    from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    f = tmp_path / "emd_999.map"
+    write_mrc(f, vol, apix=1.0)
+    # rewrite mapc/mapr/maps = (2, 1, 3): x and y swapped
+    raw = bytearray(f.read_bytes())
+    raw[64:76] = struct.pack("<3i", 2, 1, 3)
+    f.write_bytes(bytes(raw))
+
+    emdb = ds.EMDB.__new__(ds.EMDB)  # bypass singleton init
+    monkeypatch.setattr(emdb, "get_emdb_map_file", lambda emd_id: str(f))
+    monkeypatch.setattr(emdb, "_validate_emd_id", lambda emd_id: emd_id)
+    data, apix = ds.EMDB.read_emdb_map(emdb, "999")
+    raw_data, _ = read_mrc(f)
+    assert data.shape != raw_data.shape  # axes were permuted
+    np.testing.assert_allclose(data, np.moveaxis(raw_data, [1, 0, 2], [0, 1, 2]))

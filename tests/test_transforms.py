@@ -302,3 +302,18 @@ class TestFourier:
         pwr, phase = ht.compute_power_spectra(np.asarray(img), apix=1.0)
         diff = np.asarray(ht.compute_phase_difference_across_meridian(np.asarray(phase)))
         assert diff.shape == (n, n)
+
+
+def test_map_coordinates_order0_scipy_half_pixel_convention():
+    """scipy's nearest uses floor(x + 0.5); round-half-even picked the
+    wrong pixel at exact .5 coordinates (common on even-sized grids)."""
+    from scipy import ndimage
+
+    from helicon_tpu.core.interp import map_coordinates
+
+    x = np.arange(8.0, dtype=np.float32)
+    c = np.array([[0.5, 1.5, 2.5, 3.5, 6.5]])
+    np.testing.assert_allclose(
+        np.asarray(map_coordinates(x, c, order=0)),
+        ndimage.map_coordinates(x, c, order=0),
+    )
