@@ -90,6 +90,43 @@ def main(args: argparse.Namespace) -> None:
                 )
             data.drop(columns=[tmpCol], inplace=True)
 
+    if getattr(args, "micrographStar", None) and "rlnMicrographName" in data:
+        # remap CS micrograph paths to the reference STAR's paths
+        # (reference images2star.py:168-201)
+        from helicon_tpu.io.metadata import clean_cs_micrograph_path
+        from helicon_tpu.io.star import read_star
+
+        blocks = read_star(args.micrographStar)
+        ref = next(
+            (
+                blocks[k]
+                for k in ("particles", "micrographs", "")
+                if k in blocks and hasattr(blocks[k], "columns")
+            ),
+            next((v for v in blocks.values() if hasattr(v, "columns")), None),
+        )
+        if ref is None or "rlnMicrographName" not in ref:
+            raise HeliconError(
+                f"--micrographStar file {args.micrographStar} has no "
+                "rlnMicrographName column"
+            )
+        path_map = {
+            Path(str(p).split("@")[-1]).name: p
+            for p in ref["rlnMicrographName"].unique()
+        }
+
+        def _map_path(cs_path):
+            key = clean_cs_micrograph_path(str(cs_path))
+            if key in path_map:
+                return path_map[key]
+            logger.warning(
+                "No matching micrograph in reference STAR for %s (cleaned: %s)",
+                cs_path, key,
+            )
+            return cs_path
+
+        data["rlnMicrographName"] = data["rlnMicrographName"].apply(_map_path)
+
     if len(data) == 0:
         raise HeliconError("nothing to do with 0 particles")
 
@@ -110,7 +147,7 @@ def main(args: argparse.Namespace) -> None:
             logger.info("%s: %s", option_name, param)
         data, index_d = dispatch(option_name, data, args, index_d, param)
 
-    if args.path != "absolute":
+    if args.path not in ("absolute", "abs", "real"):
         proj = get_relion_project_folder(str(Path(args.output_starFile).resolve()))
         if proj:
             for attr in ("rlnImageName", "rlnMicrographName"):
@@ -120,7 +157,7 @@ def main(args: argparse.Namespace) -> None:
                     )
 
     if args.splitNumSets > 1:
-        _split_and_save(data, optics, args)
+        _split_and_save(data, data.attrs.get("optics"), args)
     else:
         dataframe2file(data, args.output_starFile)
         if args.verbose:
@@ -129,9 +166,20 @@ def main(args: argparse.Namespace) -> None:
 
 def _split_and_save(data, optics, args):
     """Split into N subsets by evenodd/random/micrograph/helicaltube with
-    greedy balancing (reference images2star.py:246-297)."""
+    greedy balancing (reference images2star.py:246-297).
+
+    Deviation (documented): `optics` is the LIVE post-pipeline optics
+    table — the reference captures it before the option pipeline, so
+    ops that rebuild the optics (assignOpticGroup*) produced subset
+    files referencing groups absent from their optics block.
+    """
     from helicon_tpu.io.metadata import dataframe2file
 
+    # normalize to a RangeIndex: group labels below are consumed with
+    # iloc, and filtering ops may leave a sparse index behind
+    attrs0 = dict(data.attrs)
+    data = data.reset_index(drop=True)
+    data.attrs.update(attrs0)
     subsets = [[] for _ in range(args.splitNumSets)]
     if args.splitMode in ("micrograph", "helicaltube"):
         var = {

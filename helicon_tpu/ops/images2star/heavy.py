@@ -398,7 +398,7 @@ def _h_calibratePixelSize(data, args, index_d, param):
 
 def _add_extractHelices(parser):
     parser.add_argument(
-        "--extractHelices", type=str, default="",
+        "--extractHelices", type=str, action="append", default=[],
         metavar="width=<px>:outPath=<dir>[:topLength=<n>]"
         "[:topLengthFraction=<f>][:lengthCutoffAngst=<A>]",
         help="extract whole filaments from micrographs as straightened strips",
@@ -493,7 +493,7 @@ def _h_extractHelices(data, args, index_d, param):
 
 def _add_maskGold(parser):
     parser.add_argument(
-        "--maskGold", type=str, default="",
+        "--maskGold", type=str, action="append", default=[],
         metavar="value_sigma=<n>:gradient_sigma=<A>:min_area=<A^2>"
         ":both_sides=<0|1>:outdir=<dir>:force=<0|1>",
         help="mask electron-dense gold/ice pixels in particles or micrographs",
@@ -607,7 +607,7 @@ def _h_maskGold(data, args, index_d, param):
 
 def _add_denoiseCurvelet(parser):
     parser.add_argument(
-        "--denoiseCurvelet", type=str, default="",
+        "--denoiseCurvelet", type=str, action="append", default=[],
         metavar="[transform=<udct|mct>][:threshold_sigma=<n>][:outdir=<dir>]",
         help="curvelet-denoise particle images or micrographs",
     )

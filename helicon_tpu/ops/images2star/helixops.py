@@ -27,7 +27,8 @@ logger = logging.getLogger(__name__)
 
 def _add_breakFilaments(parser):
     parser.add_argument(
-        "--breakFilaments", type=str, metavar="maxSegments=<n>", default="",
+        "--breakFilaments", type=str, metavar="maxSegments=<n>",
+        action="append", default=[],
         help="break long filaments into pieces of at most maxSegments segments",
     )
 
@@ -70,7 +71,10 @@ def _h_breakFilaments(data, args, index_d, param):
         chunk_key = gids.to_numpy() * (
             int(pos.max()) // max_segments + 2
         ) + (pos.to_numpy() // max_segments)
-        new_ids = pd.factorize(chunk_key)[0]
+        # +1: RELION helical tube IDs are 1-based; factorize's 0 would
+        # read as unset downstream (the reference's enumerate shares the
+        # 0-base flaw — deviation documented)
+        new_ids = pd.factorize(chunk_key)[0] + 1
         data.loc[ordered.index, "rlnHelicalTubeID"] = new_ids
         if group_var != var:
             data.drop(columns=[group_var], inplace=True)

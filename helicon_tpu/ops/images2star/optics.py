@@ -352,7 +352,7 @@ def _h_copyCtf(data, args, index_d, param):
             ]
             for k in tilt_parms:
                 if k not in optics:
-                    optics[k] = 0
+                    optics[k] = 0.0  # int columns reject float .loc writes
             for og in common:
                 optics.loc[optics["rlnOpticsGroup"] == og, tilt_parms] = (
                     optics2.loc[optics2["rlnOpticsGroup"] == og, tilt_parms].values
@@ -362,11 +362,12 @@ def _h_copyCtf(data, args, index_d, param):
             "rlnDefocusU", "rlnDefocusV", "rlnDefocusAngle",
             "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift",
         ]
+        # backfill only the TARGET (copyctf.py:108-110); inventing 0.0
+        # columns in the source would overwrite real values with zeros
+        # (rlnCtfScalefactor=0 multiplies the CTF away in RELION)
         for v in ctf_parms:
             if v not in data:
                 data[v] = np.nan
-            if v not in data2:
-                data2[v] = 0.0
         data2 = data2.copy()
         data2["mean_defocus"] = (data2["rlnDefocusU"] + data2["rlnDefocusV"]) / 2
         delta = (data2["rlnDefocusU"] - data2["rlnDefocusV"]) / 2
@@ -388,12 +389,12 @@ def _h_copyCtf(data, args, index_d, param):
             data.loc[rows, "rlnDefocusV"] = (
                 agg.loc[micrograph, "mean_defocus"] - agg.loc[micrograph, "mean_astig"]
             )
-            data.loc[
-                rows,
-                ["rlnDefocusAngle", "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift"],
-            ] = agg.loc[
-                micrograph,
-                ["mean_astig_angle", "rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift"],
+            extra = [
+                c for c in ("rlnCtfBfactor", "rlnCtfScalefactor", "rlnPhaseShift")
+                if c in agg.columns
+            ]
+            data.loc[rows, ["rlnDefocusAngle"] + extra] = agg.loc[
+                micrograph, ["mean_astig_angle"] + extra
             ].values
         index_d["copyCtf"] += 1
     return data, index_d

@@ -16,18 +16,37 @@ logger = logging.getLogger(__name__)
 
 
 def _sort_dataframe(data, cols, ascending=True):
-    cols = [c for c in cols if c in data]
+    from ...utils.exceptions import HeliconError
+
+    bad = [c for c in cols if c not in data]
+    if bad:
+        # reference sortby.py:48 fails loudly: a typo must not produce
+        # an unsorted file the user believes was sorted
+        raise HeliconError(f"parameter {bad[0]} does not exist")
     if not cols:
         return data
+    # rlnImageName sorts as "filename@index" (sortby.py:50-58) so each
+    # stack's particles stay contiguous — raw "index@filename" ordering
+    # interleaves stacks by the per-stack particle index
+    tmp_col = None
+    if "rlnImageName" in cols and "@" in str(data["rlnImageName"].iloc[0]):
+        tmp_col = unique_attr_name(data, attr_prefix="tmp_sort_rlnImageName")
+        parts = data["rlnImageName"].str.split("@", expand=True)
+        data = data.copy()
+        data[tmp_col] = parts.iloc[:, -1] + "@" + parts.iloc[:, 0]
+        cols = [tmp_col if c == "rlnImageName" else c for c in cols]
     attrs = dict(data.attrs)
     out = data.sort_values(by=cols, ascending=ascending).reset_index(drop=True)
+    if tmp_col is not None:
+        out = out.drop(columns=[tmp_col])
     out.attrs.update(attrs)
     return out
 
 
 def _add_sortby(parser):
     parser.add_argument(
-        "--sortby", type=str, nargs="+", metavar="<var>", default=[],
+        "--sortby", type=str, nargs="+", metavar="<var>", action="append",
+        default=[],
         help="sort images by the specified variables (ascending)",
     )
 
@@ -41,7 +60,8 @@ def _h_sortby(data, args, index_d, param):
 
 def _add_rsortby(parser):
     parser.add_argument(
-        "--rsortby", type=str, nargs="+", metavar="<var>", default=[],
+        "--rsortby", type=str, nargs="+", metavar="<var>", action="append",
+        default=[],
         help="sort images by the specified variables (descending)",
     )
 
@@ -82,7 +102,11 @@ def _h_showTime(data, args, index_d, param):
 
 def _add_path(parser):
     parser.add_argument(
-        "--path", type=str, metavar="<abs|rel|current>", default="current",
+        "--path", type=str,
+        metavar="<absolute|relative|real|shortest|current>",
+        choices=["absolute", "abs", "relative", "rel", "real", "shortest",
+                 "current"],
+        default="current",
         help="convert image/micrograph paths to absolute or relative form",
     )
 

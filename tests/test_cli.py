@@ -471,3 +471,49 @@ def test_cli_denovo3d_rejects_mixed_zero_index(tmp_path):
     )
     assert r.returncode != 0
     assert "1-based" in (r.stderr + r.stdout)
+
+
+def test_cli_repeated_append_options_each_apply(tmp_path, relion_df):
+    """CLI-order-is-execution-order: every occurrence of an append
+    option consumes ITS OWN value (a non-append --breakFilaments once
+    replayed only the last value at every position)."""
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    touch_stacks(tmp_path, df)
+    dataframe2file(df, str(tmp_path / "in.star"))
+    r = run_cli(
+        "images2star", "in.star", "out.star",
+        "--breakFilaments", "maxSegments=4",
+        "--breakFilaments", "maxSegments=2",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    out = star2dataframe(tmp_path / "out.star")
+    # the SECOND occurrence (maxSegments=2) must have applied last
+    assert out.groupby("rlnHelicalTubeID").size().max() <= 2
+    assert int(out["rlnHelicalTubeID"].min()) >= 1
+
+
+def test_cli_split_after_filtering_op(tmp_path, relion_df):
+    """--select then --splitNumSets by micrograph: the split must handle
+    the filtered (non-RangeIndex) frame and carry the LIVE optics."""
+    df = relion_df.copy()
+    df.attrs["convention"] = "relion"
+    touch_stacks(tmp_path, df)
+    dataframe2file(df, str(tmp_path / "in.star"))
+    r = run_cli(
+        "images2star", "in.star", "out.star",
+        "--select", "rlnHelicalTubeID", "1,2",
+        "--splitNumSets", "2", "--splitMode", "micrograph",
+        "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    s0 = star2dataframe(tmp_path / "out.subset-0.star")
+    s1 = star2dataframe(tmp_path / "out.subset-1.star")
+    assert len(s0) + len(s1) == len(df)
+    # per-micrograph granularity preserved
+    assert set(s0["rlnMicrographName"]).isdisjoint(set(s1["rlnMicrographName"]))

@@ -718,3 +718,54 @@ class TestReviewFixes2:
         pd.testing.assert_frame_equal(
             out, relion_df.iloc[len(relion_df) // 4: 3 * len(relion_df) // 4]
         )
+
+
+class TestReviewFixes3:
+    """Round-2 batch-six regressions: sortby semantics, copyCtf zeros,
+    breakFilaments IDs."""
+
+    def test_sortby_unknown_column_raises(self, relion_df):
+        with pytest.raises(HeliconError, match="does not exist"):
+            dispatch("sortby", relion_df.copy(), ["rlnDefocusV_typo"])
+
+    def test_sortby_imagename_groups_stacks(self):
+        """rlnImageName sorts as filename@index (reference sortby.py
+        tmpCol): stacks stay contiguous instead of interleaving by the
+        per-stack particle index."""
+        df = pd.DataFrame(
+            dict(
+                rlnImageName=[
+                    "000010@a.mrcs", "000002@b.mrcs", "000001@a.mrcs",
+                    "000001@b.mrcs",
+                ]
+            )
+        )
+        out = dispatch("sortby", df, ["rlnImageName"])
+        assert list(out["rlnImageName"]) == [
+            "000001@a.mrcs", "000010@a.mrcs", "000001@b.mrcs",
+            "000002@b.mrcs",
+        ]
+
+    def test_copyctf_missing_source_columns_keep_target_values(
+        self, tmp_path, relion_df, monkeypatch
+    ):
+        """A defocus-only source star must not zero the target's
+        rlnCtfScalefactor (0 multiplies the CTF away in RELION)."""
+        from helicon_tpu.io.metadata import dataframe2star
+
+        monkeypatch.chdir(tmp_path)
+        ref = relion_df.copy()
+        ref["rlnDefocusU"] = 21000.0
+        ref["rlnDefocusV"] = 19000.0
+        ref["rlnDefocusAngle"] = 0.0
+        # deliberately NO rlnCtfScalefactor / rlnCtfBfactor in the source
+        dataframe2star(ref, tmp_path / "ref.star")
+        df = relion_df.copy()
+        df["rlnCtfScalefactor"] = 1.0
+        out = dispatch("copyCtf", df, str(tmp_path / "ref.star"))
+        assert (out["rlnCtfScalefactor"] == 1.0).all()
+        assert out["rlnDefocusU"].iloc[0] == pytest.approx(21000.0, rel=1e-3)
+
+    def test_breakfilaments_ids_one_based(self, relion_df):
+        out = dispatch("breakFilaments", relion_df.copy(), "maxSegments=2")
+        assert int(out["rlnHelicalTubeID"].min()) >= 1
