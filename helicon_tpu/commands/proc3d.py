@@ -96,10 +96,15 @@ def check_args(args, parser):
         a.dest for a in parser._actions if type(a) is argparse._AppendAction
     ]
     all_options = get_option_list(sys.argv[1:])
+    # get_option_list yields FLAG names ("outputMapFile"), not argparse
+    # dests ("outputMapFile_opt") — excluding only the dest let the
+    # supported --outputMapFile flag reach dispatch() as an unknown
+    # plugin option and crash
     args.all_options = [
         o
         for o in all_options
-        if o not in "cpu force inputMapFile outputMapFile_opt verbose".split()
+        if o
+        not in "cpu force inputMapFile outputMapFile outputMapFile_opt verbose".split()
     ]
     if args.outputMapFile is not None:
         args.outputMapFile = Path(args.outputMapFile)

@@ -23,6 +23,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = [
+    "create_mrc_memmap",
     "MrcHeader",
     "change_map_axes_order",
     "display_map_orthoslices",
@@ -210,6 +211,35 @@ def write_mrc(path, data, apix: float = 1.0, is_stack: bool | None = None):
     with open(path, "wb") as f:
         f.write(bytes(hdr))
         data.astype(dt, copy=False).tofile(f)
+
+
+def create_mrc_memmap(path, shape, dtype=np.float32, apix: float = 1.0,
+                      is_stack: bool | None = None):
+    """Create an MRC2014 file of the given (nz, ny, nx) shape and return
+    a writable np.memmap over its data region — the streaming writer for
+    stacks too large to hold in RAM (the reference uses mrcfile.new_mmap).
+    The dmin/dmax/dmean/rms header fields are left 0 (unset)."""
+    nz, ny, nx = shape
+    dt = np.dtype(dtype).newbyteorder("=")
+    assert np.dtype(dt) in _DTYPE_MODES, dt
+    mode = _DTYPE_MODES[np.dtype(dt)]
+    if is_stack is None:
+        is_stack = str(path).endswith(".mrcs")
+    mz = 1 if is_stack else nz
+    hdr = bytearray(1024)
+    struct.pack_into("<10i", hdr, 0, nx, ny, nz, mode, 0, 0, 0, nx, ny, mz)
+    struct.pack_into("<3f", hdr, 40, nx * apix, ny * apix, mz * apix)
+    struct.pack_into("<3f", hdr, 52, 90.0, 90.0, 90.0)
+    struct.pack_into("<3i", hdr, 64, 1, 2, 3)
+    struct.pack_into("<2i", hdr, 88, 0 if is_stack else 1, 0)
+    hdr[208:212] = b"MAP "
+    hdr[212:216] = bytes([0x44, 0x44, 0x00, 0x00])
+    struct.pack_into("<i", hdr, 220, 1)
+    label = b"helicon-tpu"
+    hdr[224 : 224 + len(label)] = label
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+    return np.memmap(path, dtype=dt, mode="r+", offset=1024, shape=tuple(shape))
 
 
 def get_image_number(path) -> int:

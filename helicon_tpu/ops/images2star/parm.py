@@ -140,14 +140,9 @@ def _h_copyParm(data, args, index_d, param):
         starFile = param[0]
         vars = list(param[1:])
         data = data.drop_duplicates(subset=["rlnImageName"], keep="last")
-        data2 = images2dataframe(
-            starFile,
-            alternative_folders=getattr(args, "folder", []),
-            ignore_bad_particle_path=getattr(args, "ignoreBadParticlePath", 0),
-            ignore_bad_micrograph_path=getattr(args, "ignoreBadMicrographPath", 1),
-            warn_missing_ctf=0,
-            target_convention="relion",
-        )
+        from .select import _load_ref
+
+        data2 = _load_ref(starFile, args)
         data2 = data2.drop_duplicates(subset=["rlnImageName"], keep="last")
         if len(data) > len(data2):
             raise HeliconError(

@@ -116,10 +116,11 @@ def _h_selectRatioRange(data, args, index_d, param):
             data = data.copy()
             data[var] = data[var].astype(float)
             val1, val2 = float(val1), float(val2)
-            if val1 == 0:
+            n1 = int(len(data) * val1)
+            if n1 <= 0:
                 valmin = data[var].min()
             else:
-                valmin = data[var].nsmallest(int(len(data) * val1)).iloc[-1]
+                valmin = data[var].nsmallest(n1).iloc[-1]
             if val2 == 1:
                 valmax = data[var].max() + 0.1
             else:
@@ -142,7 +143,10 @@ def _h_selectRatioRange(data, args, index_d, param):
                 raise HeliconError(
                     "selection excluded all images (--selectRatioRange index)"
                 )
-        elif getattr(args, "verbose", 0):
+        else:
+            # raise regardless of verbosity (the reference gates this on
+            # args.verbose, making correctness depend on the log level —
+            # deviation documented)
             raise HeliconError(
                 f'the variable "{var}" specified by --selectRatioRange '
                 "does NOT exist"
@@ -176,8 +180,12 @@ def _file_filter(data, args, index_d, param, option, invert):
                 f"column {col1} not found; available: {list(data.columns)}"
             )
         pattern = pd_.get("pattern", None)
-        if not os.path.exists(sf):
-            raise HeliconError(f"--{option}: file {sf} does not exist")
+        if sf is None or not os.path.exists(sf):
+            raise HeliconError(
+                f"--{option}: a star/cs filename must lead the parameter "
+                f"string (got {param!r})" if sf is None
+                else f"--{option}: file {sf} does not exist"
+            )
         data_sf = _load_ref(sf, args)
         if col2 not in data_sf:
             raise HeliconError(

@@ -58,10 +58,15 @@ def _h_createStack(data, args, index_d, param):
             else:
                 force = 1
         if force:
+            from ...io.mrc import create_mrc_memmap
+
             apix0 = mrc_header(images["filename"].iloc[0]).apix
-            stack = np.zeros(
-                (nImage, newsize, newsize),
+            # stream into a memory-mapped MRC: a 500k x 400^2 stack is
+            # hundreds of GB — the reference writes via mrcfile.new_mmap
+            stack = create_mrc_memmap(
+                outputFile, (nImage, newsize, newsize),
                 np.float16 if float16 else np.float32,
+                apix=apix0 * nx / newsize,
             )
             for i in range(nImage):
                 d = read_image_2d(
@@ -72,7 +77,8 @@ def _h_createStack(data, args, index_d, param):
                 elif newsize > nx:
                     d = np.asarray(pad_to_size(d, (newsize, newsize)))
                 stack[i] = d
-            write_mrc(outputFile, stack, apix=apix0 * nx / newsize)
+            stack.flush()
+            del stack
         data["rlnImageName"] = (
             pd.Series(np.arange(nImage) + 1, index=data.index).astype(str)
             + "@"
@@ -148,8 +154,20 @@ def _h_minStack(data, args, index_d, param):
             getattr(args, "output_starFile", "output.star")
         ).with_suffix("")
         subdir.mkdir(exist_ok=True)
+        used: dict = {}  # output basename -> source stack path
         for name, particles in names.groupby(names, sort=False):
-            name2 = subdir / Path(name).name
+            base = Path(name).name
+            if used.get(base, name) != name:
+                # two different source stacks share a basename: writing
+                # both to subdir/<basename> would silently cross-match
+                # the second stack's metadata to the first stack's images
+                stem, suf = Path(base).stem, Path(base).suffix
+                k = 2
+                while used.get(f"{stem}-{k}{suf}", name) != name:
+                    k += 1
+                base = f"{stem}-{k}{suf}"
+            used[base] = name
+            name2 = subdir / base
             n = len(particles)
             if not (name2.exists() and get_image_number(name2) == n):
                 # write in DATAFRAME ROW order so slot i of the new stack

@@ -122,7 +122,13 @@ def download_file_from_url(
             fileobj = open(target_file_name, "wb")
         else:
             suffix = "." + url.rsplit("/", 1)[-1]
-            fileobj = tempfile.NamedTemporaryFile(suffix=suffix)
+            # delete=False when only the NAME is returned: the reference
+            # returns fileobj.name from a delete-on-close tempfile, whose
+            # last reference dies at return — the caller's path points at
+            # an already-deleted file (latent reference bug, fixed here)
+            fileobj = tempfile.NamedTemporaryFile(
+                suffix=suffix, delete=not return_filename
+            )
         with urllib.request.urlopen(url, timeout=300) as resp:
             fileobj.write(resp.read())
         fileobj.flush()

@@ -517,3 +517,17 @@ def test_cli_split_after_filtering_op(tmp_path, relion_df):
     assert len(s0) + len(s1) == len(df)
     # per-micrograph granularity preserved
     assert set(s0["rlnMicrographName"]).isdisjoint(set(s1["rlnMicrographName"]))
+
+
+def test_cli_proc3d_output_flag_form(tmp_path):
+    """--outputMapFile (the flag form) must work: the dispatcher once
+    treated the flag as an unknown plugin option and crashed."""
+    vol = np.zeros((8, 8, 8), np.float32)
+    vol[2:6, 2:6, 2:6] = 1.0
+    write_mrc(tmp_path / "in.mrc", vol, apix=2.0)
+    r = run_cli(
+        "proc3d", "in.mrc", "--outputMapFile", "out.mrc",
+        "--apix", "1.5", "--verbose", "0", cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "out.mrc").exists()

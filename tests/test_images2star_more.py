@@ -769,3 +769,72 @@ class TestReviewFixes3:
     def test_breakfilaments_ids_one_based(self, relion_df):
         out = dispatch("breakFilaments", relion_df.copy(), "maxSegments=2")
         assert int(out["rlnHelicalTubeID"].min()) >= 1
+
+
+class TestReviewFixes4:
+    """Batch-seven regressions: proc3d flag crash, streaming createStack,
+    minStack collisions, selectRatioRange guards."""
+
+    def test_create_stack_streams_to_memmap(self, tmp_path, relion_df,
+                                            monkeypatch):
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        imgs = np.stack(
+            [np.full((8, 8), float(i + 1), np.float32) for i in range(4)]
+        )
+        write_mrc(tmp_path / "stack_mic1.mrcs", imgs, apix=1.0)
+        write_mrc(tmp_path / "stack_mic2.mrcs", imgs, apix=1.0)
+        df = relion_df.head(4).copy()
+        df["rlnImageName"] = [f"{i + 1:06d}@stack_mic1.mrcs" for i in range(4)]
+        out = dispatch("createStack", df, "combined.mrcs:float16=0")
+        stack, apix = read_mrc(tmp_path / "combined.mrcs")
+        assert stack.shape == (4, 8, 8)
+        np.testing.assert_allclose(stack, imgs)
+        assert out["rlnImageName"].iloc[2].startswith("3@")
+
+    def test_minstack_same_basename_different_dirs(self, tmp_path, relion_df,
+                                                   monkeypatch):
+        """Two source stacks sharing a basename must not collide in the
+        output dir (the second's metadata silently pointed at the
+        first's images)."""
+        from helicon_tpu.io.mrc import read_mrc, write_mrc
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "jobA").mkdir()
+        (tmp_path / "jobB").mkdir()
+        a = np.stack([np.full((8, 8), 1.0, np.float32)] * 2)
+        b = np.stack([np.full((8, 8), 2.0, np.float32)] * 2)
+        write_mrc(tmp_path / "jobA" / "mic.mrcs", a, apix=1.0)
+        write_mrc(tmp_path / "jobB" / "mic.mrcs", b, apix=1.0)
+        df = relion_df.head(4).copy()
+        df["rlnImageName"] = [
+            "000001@jobA/mic.mrcs", "000002@jobA/mic.mrcs",
+            "000001@jobB/mic.mrcs", "000002@jobB/mic.mrcs",
+        ]
+        out = dispatch("minStack", df, 1, output_starFile="packed.star")
+        names = out["rlnImageName"].str.split("@").str[-1].unique()
+        assert len(names) == 2  # two distinct output stacks
+        v0 = read_mrc(names[0])[0][0, 0, 0]
+        v1 = read_mrc(names[1])[0][0, 0, 0]
+        assert {float(v0), float(v1)} == {1.0, 2.0}
+
+    def test_select_ratio_range_tiny_fraction(self, relion_df):
+        out = dispatch(
+            "selectRatioRange", relion_df.copy(),
+            ["rlnCoordinateX", "0.001", "0.5"],
+        )
+        assert 0 < len(out) <= len(relion_df)
+
+    def test_select_ratio_range_unknown_var_raises_quietly_too(self, relion_df):
+        with pytest.raises(HeliconError, match="does NOT exist"):
+            dispatch(
+                "selectRatioRange", relion_df.copy(),
+                ["rlnNope", "0.1", "0.5"],
+            )
+
+    def test_select_file_without_filename_clean_error(self, relion_df):
+        with pytest.raises(HeliconError, match="filename must lead"):
+            dispatch(
+                "selectFile", relion_df.copy(), "col1=rlnImageName",
+            )
