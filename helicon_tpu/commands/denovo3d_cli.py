@@ -24,9 +24,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(args: argparse.Namespace) -> None:
-    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
-    from helicon_tpu.io.mrc import mrc_header, read_image_2d, write_mrc
-    from helicon_tpu.utils.logging import Timer, log_command_line
+    from helicon_tpu.denovo3d import build_candidate_grid
+    from helicon_tpu.io.mrc import mrc_header, read_image_2d
+    from helicon_tpu.utils.logging import log_command_line
 
     log_command_line()
     logging.basicConfig(
@@ -75,7 +75,9 @@ def main(args: argparse.Namespace) -> None:
         )
         all_summaries.append(summary)
     if len(indices) > 1:
-        batch = Path(args.output_prefix).with_suffix(".batch.json")
+        # string concat, not with_suffix: a prefix like "run.v2" must
+        # not lose its ".v2" component
+        batch = Path(str(args.output_prefix) + ".batch.json")
         batch.write_text(json.dumps(all_summaries, indent=1))
         logger.info("batch summary -> %s", batch)
 
@@ -119,7 +121,7 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
     out_prefix = Path(args.output_prefix)
     if multi:  # per-image outputs in batch mode
         out_prefix = out_prefix.parent / f"{out_prefix.name}_{image_index:03d}"
-    table = out_prefix.with_suffix(".csv")
+    table = Path(str(out_prefix) + ".csv")
     with open(table, "w") as f:
         f.write("twist_degree,rise_angstrom,score\n")
         order = np.argsort(-res.scores)
@@ -130,7 +132,7 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
     for t, r, s in top:
         print(f"  {t:10.3f} {r:8.3f} {s:10.6f}")
     if res.best_volume is not None:
-        vol_file = out_prefix.with_suffix(".best.mrc")
+        vol_file = Path(str(out_prefix) + ".best.mrc")
         write_mrc(vol_file, res.best_volume, apix=res.target_apix3d)
         logger.info("best reconstruction -> %s", vol_file)
     summary = dict(
@@ -147,7 +149,7 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             refined_psi=float(p_r),
             refined_dy_pixel=float(d_r),
         )
-    (out_prefix.with_suffix(".json")).write_text(json.dumps(summary, indent=1))
+    Path(str(out_prefix) + ".json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
     return res, summary
 

@@ -277,12 +277,16 @@ def _read_star_python(text: str):
     cols: list = []
     rows: list = []
     pairs: dict = {}
+    loop_idx = 0  # loop_ tables seen in the current data_ block
 
     def flush():
         nonlocal cols, rows, pairs
         if name is None:
             cols, rows, pairs = [], [], {}
             return
+        # a block's 2nd+ loop table keys as "<name>#loop<k>" instead of
+        # silently overwriting (and thus losing) the earlier table
+        key_name = name if loop_idx <= 1 else f"{name}#loop{loop_idx}"
         if cols:
             # rows holds RAW lines; per-token work happens here, in the
             # native codec when available, else the Python tokenizer
@@ -305,9 +309,9 @@ def _read_star_python(text: str):
                 df = pd.DataFrame(toks, columns=cols)
                 for c in df.columns:
                     df[c] = _coerce(df[c])
-            blocks[name] = df
+            blocks[key_name] = df
         elif pairs:
-            blocks[name] = dict(pairs)
+            blocks[key_name] = dict(pairs)
         cols, rows, pairs = [], [], {}
 
     for raw in text.splitlines():
@@ -318,9 +322,13 @@ def _read_star_python(text: str):
             flush()
             name = line[5:]
             mode = "pairs"
+            loop_idx = 0
             continue
         if line.startswith("loop_"):
+            if cols and rows:
+                flush()  # preserve the block's previous loop table
             mode = "loop_header"
+            loop_idx += 1
             cols = []
             rows = []
             continue

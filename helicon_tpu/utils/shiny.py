@@ -40,20 +40,31 @@ def image_select(
     initial_selected_indices=(),
     enable_selection: bool = True,
 ):
-    """Clickable image-selection grid (lib/shiny.py:24-200)."""
+    """Clickable image-selection grid (lib/shiny.py:24-200).
+
+    initial_selected_indices: indices rendered with a highlight border —
+    the caller re-renders the grid when its selection changes, so this
+    IS the live selection state."""
     _require_shiny()
     from shiny import ui
 
+    selected = set(initial_selected_indices or ())
     tags = []
     for i, img in enumerate(images):
         src = img if isinstance(img, str) else encode_numpy(img)
         lbl = image_labels[i] if i < len(image_labels) else str(i + 1)
+        border = (
+            "outline: 3px solid #e4572e; outline-offset: -3px;"
+            if i in selected
+            else ""
+        )
         tags.append(
             ui.tags.figure(
                 ui.tags.img(
                     src=src,
                     width=f"{image_size}px",
-                    style="cursor: pointer;" if enable_selection else "",
+                    style=("cursor: pointer;" if enable_selection else "")
+                    + border,
                     onclick=(
                         f"Shiny.setInputValue('{id}', {i}, "
                         "{priority: 'event'});"

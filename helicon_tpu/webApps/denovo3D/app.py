@@ -28,8 +28,11 @@ import numpy as np
 
 try:
     import shiny
-    from shiny import reactive, render, req, ui
-    from shiny.express import input, output  # noqa: F401
+    from shiny import reactive, req
+    # Express-style page: ui/render/input MUST come from shiny.express
+    # (core shiny.ui has no page_opts and its containers are not
+    # context managers — the app would crash at launch)
+    from shiny.express import input, output, render, ui  # noqa: F401
 except ImportError as e:  # pragma: no cover - gated on the shiny extra
     raise ImportError(
         "the denovo3D web app requires the optional 'shiny' extra; "
@@ -66,6 +69,15 @@ grid_progress = reactive.value(None)  # workflow.GridProgress
 grid_result = reactive.value(None)
 _abort_flag = threading.Event()
 _progress_holder: dict = {"snap": None, "done": False}
+
+
+def _num(v, default=0.0):
+    """Numeric input -> float; shiny returns None for a cleared field."""
+    return default if v is None else float(v)
+
+
+def _int(v, default=0):
+    return default if v is None else int(v)
 
 
 def _selected_images():
@@ -261,16 +273,21 @@ def update_all_images():
     req(d is not None)
     data, apix = np.asarray(d.data), float(d.apix)
     if d.is_3d or input.is_3d():
-        # 3D map -> symmetrize -> XYZ projections as synthetic inputs
-        # (reference app.py:1768-1790)
+        # 3D map -> XYZ projections as synthetic inputs (reference
+        # app.py:1766-1790 passes is_amyloid + apix so amyloid maps
+        # project a single 4.75 A rung along Z instead of summing every
+        # twisted rung into a rotational blur)
         from helicon_tpu.helix import generate_xyz_projections
 
-        projs = generate_xyz_projections(data)
+        is_amyloid = d.emdb_id is not None  # the EMDB mode is amyloid-focused
+        projs = generate_xyz_projections(
+            data, is_amyloid=is_amyloid, apix=apix
+        )
         stack = np.asarray(projs, np.float32)
     else:
         stack = data if data.ndim == 3 else data[None]
-    if float(input.image_index_apix()) > 0:
-        apix = float(input.image_index_apix())
+    if _num(input.image_index_apix()) > 0:
+        apix = _num(input.image_index_apix())
     all_images.set(dict(data=stack, apix=apix))
     selected_indices.set([0] if len(stack) else [])
 
@@ -417,7 +434,12 @@ async def reconstruction_task(image, apix, twists, rises, kwargs):
             await asyncio.sleep(0.3)
             snap = _progress_holder["snap"]
             if snap is not None:
-                grid_progress.set(snap)
+                # propagate to dependents from a concurrent task:
+                # a bare set() without lock+flush leaves the ranked
+                # table frozen until the task completes
+                async with reactive.lock():
+                    grid_progress.set(snap)
+                    await reactive.flush()
                 p.set(
                     snap.done,
                     message=f"Completed {snap.done}/{snap.total}",
@@ -425,7 +447,9 @@ async def reconstruction_task(image, apix, twists, rises, kwargs):
                 )
     res = await task
     if _progress_holder["snap"] is not None:
-        grid_progress.set(_progress_holder["snap"])
+        async with reactive.lock():
+            grid_progress.set(_progress_holder["snap"])
+            await reactive.flush()
     return res
 
 
@@ -437,27 +461,28 @@ def start_reconstruction():
     t0, t1 = input.twist_range()
     r0, r1 = input.rise_range()
     twists, rises = build_candidate_grid(
-        t0, t1, float(input.twist_step()), r0, r1, float(input.rise_step()),
+        t0, t1, _num(input.twist_step(), 1.0), r0, r1,
+        _num(input.rise_step(), 0.25),
         handedness=input.handedness(),
     )
     algorithm = dict(model=input.lr_algorithm())
-    if float(input.lr_alpha()) >= 0:
-        algorithm["alpha"] = float(input.lr_alpha())
+    if _num(input.lr_alpha(), -1.0) >= 0:
+        algorithm["alpha"] = _num(input.lr_alpha())
     refine = {}
-    if float(input.refine_tilt()) > 0:
-        refine["tilt"] = float(input.refine_tilt())
-    if float(input.refine_psi()) > 0:
-        refine["psi"] = float(input.refine_psi())
-    if float(input.refine_dy()) > 0:
-        refine["dy"] = float(input.refine_dy())
+    if _num(input.refine_tilt()) > 0:
+        refine["tilt"] = _num(input.refine_tilt())
+    if _num(input.refine_psi()) > 0:
+        refine["psi"] = _num(input.refine_psi())
+    if _num(input.refine_dy()) > 0:
+        refine["dy"] = _num(input.refine_dy())
     kwargs = dict(
-        csym=int(input.csym()),
+        csym=max(1, _int(input.csym(), 1)),
         interpolation=input.interpolation(),
         score_metric=input.score_metric(),
-        fsc_test=int(input.fsc_test()),
+        fsc_test=_int(input.fsc_test()),
         refine_tilt_psi_dy_range=refine or None,
         algorithm=algorithm,
-        sym_oversample=int(input.sym_oversample()),
+        sym_oversample=_int(input.sym_oversample(), -1),
         horizontalize=0,  # the transform chain already leveled the image
         transpose=0,
         return_best_volume=True,
@@ -491,6 +516,7 @@ def image_gallery_ui():
         [np.asarray(im) for im in imgs["data"][:50]],
         image_labels=[str(i + 1) for i in range(min(len(imgs["data"]), 50))],
         image_size=96,
+        initial_selected_indices=selected_indices.get(),
     )
 
 

@@ -16,7 +16,6 @@ lives here so it is unit-testable without the optional `shiny` extra:
 
 from __future__ import annotations
 
-import math
 import time
 
 import numpy as np
@@ -260,12 +259,16 @@ def run_grid_incremental(
         **grid_kwargs,
     )
     if on_progress is not None:
-        order = np.argsort(-res.scores)
+        # like the in-flight snapshots, rank only SCORED candidates: an
+        # abort leaves unscored entries at their 0.0 initialization
+        scored = np.flatnonzero(res.scores != 0.0)
+        order = scored[np.argsort(-res.scores[scored])]
         ranked = [
             (float(twists[i]), float(rises[i]), float(res.scores[i]))
             for i in order
         ]
+        done = len(scored) if state["aborted"] else len(twists)
         on_progress(
-            GridProgress(len(twists), len(twists), 0.0, ranked, state["aborted"])
+            GridProgress(done, len(twists), 0.0, ranked, state["aborted"])
         )
     return res

@@ -29,8 +29,11 @@ import numpy as np
 import pandas as pd
 
 try:
-    from shiny import reactive, render, req, ui
-    from shiny.express import input, output  # noqa: F401
+    from shiny import reactive, req
+    # Express-style page: ui/render/input MUST come from shiny.express
+    # (core shiny.ui has no page_opts and its containers are not
+    # context managers — the app would crash at launch)
+    from shiny.express import input, output, render, ui  # noqa: F401
 except ImportError as e:  # pragma: no cover - gated on the shiny extra
     raise ImportError(
         "the whereIsMyClass web app requires the optional 'shiny' extra"

@@ -237,3 +237,13 @@ def test_marker_style_combinations_do_not_repeat_early():
     assert len(_MARKER_GLYPHS) == 14
     pairs = {(i % 10, i % len(_MARKER_GLYPHS)) for i in range(70)}
     assert len(pairs) == 70
+
+
+def test_multi_loop_block_preserves_both_tables():
+    """A data_ block with two loop_ tables keeps BOTH (the second keys
+    as '<name>#loop2'); the line machine previously discarded the first."""
+    text = "data_x\nloop_\n_c1 #1\n_c2 #2\n1 2\n3 4\nloop_\n_d1 #1\n5\n6\n"
+    blocks = read_star(io.StringIO(text))
+    assert list(blocks["x"].columns) == ["c1", "c2"] and len(blocks["x"]) == 2
+    assert list(blocks["x#loop2"].columns) == ["d1"]
+    assert blocks["x#loop2"]["d1"].tolist() == [5, 6]

@@ -128,3 +128,21 @@ class TestPlotlyBuilders:
         assert any(d.name == "distance_line" for d in fig.data)
         compute.draw_distance_measurement(fig, None, None)
         assert all(d.name != "distance_line" for d in fig.data)
+
+
+def test_apps_use_shiny_express_ui():
+    """Express-style pages MUST import ui from shiny.express — core
+    shiny.ui has no page_opts and its containers are not context
+    managers, so the apps crashed at launch with shiny installed."""
+    import pathlib
+
+    for app in (
+        "helicon_tpu/webApps/denovo3D/app.py",
+        "helicon_tpu/webApps/whereIsMyClass/app.py",
+    ):
+        src = pathlib.Path(app).read_text()
+        assert "from shiny.express import" in src and " ui" in src.split(
+            "from shiny.express import", 1
+        )[1].split("\n")[0], app
+        # no Express container may rely on core shiny.ui
+        assert "from shiny import reactive, render, req, ui" not in src, app

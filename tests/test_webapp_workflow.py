@@ -165,3 +165,38 @@ class TestIncrementalGrid:
         s = np.asarray(res.scores)
         assert s[0] > 0  # first batch completed
         assert (s[2:] == 0).all()  # aborted before the tail
+
+
+def test_final_snapshot_after_abort_ranks_only_scored():
+    """An aborted grid leaves unscored candidates at 0.0: the final
+    GridProgress must not rank them (nor report done=total)."""
+    import jax
+    import numpy as np
+
+    from helicon_tpu.helix import simulate_helical_projection
+    from helicon_tpu.webApps.denovo3D.workflow import run_grid_incremental
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=48, apix=2.0,
+        rng=0,
+    ))).astype(np.float32)
+    twists = np.full(4, 30.0, np.float32)
+    rises = np.full(4, 6.0, np.float32)
+    snaps = []
+    calls = {"n": 0}
+
+    def abort():
+        calls["n"] += 1
+        return calls["n"] > 1  # abort after the first batch
+
+    run_grid_incremental(
+        img, 2.0, twists, rises, on_progress=snaps.append,
+        should_abort=abort, cg_iters=5, fista_iters=4, batch_size=2,
+        devices=jax.devices()[:1],  # keep batch_size=2 (it rounds up to n_dev)
+        return_best_volume=False, horizontalize=0,
+    )
+    final = snaps[-1]
+    assert final.aborted
+    assert final.done < final.total
+    assert all(s != 0.0 for _, _, s in final.ranked)
