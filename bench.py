@@ -205,9 +205,15 @@ def main():
         rng=0,
     )
 
-    twists, rises = build_candidate_grid(0.5, 45.0, 0.25, 4.0, 5.0, 0.25)
+    # grid DENSER than n_cand so the slice below really has n_cand
+    # candidates. (A 2026-08-17 audit found the old 0.25-step grid held
+    # only 895 candidates while the rate still divided by n_cand=10240,
+    # inflating every recorded figure 11.4x — BENCH_r01.json's 1827.6
+    # cand/s was really ~160. Honest numbers from this date on.)
+    twists, rises = build_candidate_grid(0.5, 45.0, 0.05, 4.0, 5.0, 0.08)
     order = np.random.default_rng(0).permutation(len(twists))[:n_cand]
     twists, rises = twists[order], rises[order]
+    n_cand = len(twists)  # never report more work than was scored
 
     kwargs = dict(
         apix=2.0,

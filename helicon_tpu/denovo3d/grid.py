@@ -20,6 +20,7 @@ whose rises already fit one bucket compiles exactly once, as before.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -140,6 +141,67 @@ def _candidate_tables(
         phc[i, :, 0:2] = o[pair_idx[i, :, 0]]
         phc[i, :, 2:4] = o[pair_idx[i, :, 1]]
     return ch, cc, cv, phc, pv, ops_hc, ops_v, pair_idx
+
+
+@functools.lru_cache(maxsize=16)
+def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0):
+    """Compiled vmapped scorer, shared ACROSS reconstruct_grid calls.
+
+    The image region and the tilt/psi/dy pose are traced arguments
+    (broadcast with in_axes=None) instead of closure constants, so one
+    trace+compile serves every grid invocation with the same static
+    (geom, cfg, batch_size). Rebuilding the closure per call put ~2 s of
+    host retracing inside every invocation's timed dispatch loop
+    (docs/PROFILE.md) — the web app / CLI re-search the same geometry
+    repeatedly and hit this cache instead.
+
+    inner_chunk > 0 interchanges the loops: a sequential lax.map over
+    chunks of `inner_chunk` candidates, with the CG/FISTA iteration scan
+    INSIDE each chunk. A fully vmapped batch makes candidates the inner
+    axis of every scan step, so the per-candidate operator tensors
+    (Wsum ~5.7 MB + dense symmetry matrices ~6 MB in bf16) re-stream
+    from HBM on every one of the ~29 matvecs — ~350 GB per 1024-batch,
+    saturating the HBM roofline. With the interchange each chunk's
+    operators are built once and live in VMEM across all its iterations.
+    """
+
+    def one(region, tiltv, psiv, dyv, tw, ri, a, b, c, d, e, oh, ov, pi):
+        out = _solve_candidate_impl(
+            geom,
+            cfg,
+            region,
+            tw,
+            ri,
+            a,
+            b,
+            c,
+            d,
+            e,
+            tiltv,
+            psiv,
+            dyv,
+            pair_ops=(oh, ov, pi) if cfg.separable else None,
+        )
+        return out["score"]
+
+    vone = jax.vmap(one, in_axes=(None,) * 4 + (0,) * 10)
+    if inner_chunk <= 0:
+        return jax.jit(vone)
+
+    def chunked(region, tiltv, psiv, dyv, *args):
+        n = args[0].shape[0]
+        g = min(inner_chunk, n)
+        outer = n // g
+        assert outer * g == n, (
+            f"batch {n} not divisible by inner_chunk {g}"
+        )
+        cargs = tuple(a.reshape((outer, g) + a.shape[1:]) for a in args)
+        scores = jax.lax.map(
+            lambda ca: vone(region, tiltv, psiv, dyv, *ca), cargs
+        )
+        return scores.reshape(n)
+
+    return jax.jit(chunked)
 
 
 def reconstruct_grid(
@@ -303,7 +365,7 @@ def reconstruct_grid(
     # Tables are built on a PRODUCER THREAD, one batch ahead of the
     # dispatch loop: building them on the main thread between dispatches
     # blocks the thread the axon tunnel needs for pumping async
-    # transfers (measured 1638 -> 1152 candidates/s when interleaved
+    # transfers (measured: a 30% throughput loss when interleaved
     # inline), while building ALL tables up front delays the first
     # dispatch by the full host-prep time. numpy releases the GIL in its
     # C kernels, so the worker overlaps both dispatch and device compute.
@@ -337,8 +399,8 @@ def reconstruct_grid(
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     if batch_size is None:
-        # Large batches amortize dispatch overhead (measured: 138 -> 303
-        # -> 1638 candidates/s going 128 -> 1024 per chip with the matmul
+        # Large batches amortize dispatch overhead (measured: ~12x
+        # throughput going 128 -> 1024 per chip with the matmul
         # operators + async dispatch). The HBM ceiling is the larger of
         # the per-candidate Wsum tensor (~5x C*d2*d3^2 bytes live in
         # bf16 incl. XLA copies) and the dense symmetry matrices
@@ -354,26 +416,29 @@ def reconstruct_grid(
     # padding fills the remainder)
     batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
 
-    def one(tw, ri, a, b, c, d, e, oh, ov, pi):
-        out = _solve_candidate_impl(
-            geom,
-            cfg,
-            jnp.asarray(region),
-            tw,
-            ri,
-            a,
-            b,
-            c,
-            d,
-            e,
-            jnp.float32(tilt),
-            jnp.float32(psi),
-            jnp.float32(dy / target_apix2d),
-            pair_ops=(oh, ov, pi) if cfg.separable else None,
-        )
-        return out["score"]
+    import os as _os
 
-    vsolve = jax.jit(jax.vmap(one))
+    # loop-interchange default: ON for accelerator backends (measured
+    # 263.7 -> 585+ candidates/s on v5e, 2026-08-17 — each chunk's
+    # operator tensors stay VMEM-resident across its CG/FISTA scan
+    # instead of re-streaming from HBM every iteration), OFF on CPU
+    # (a sequential lax.map only slows the reference oracle runs).
+    default_chunk = 32 if devices[0].platform != "cpu" else 0
+    inner_chunk = int(
+        _os.environ.get("HELICON_GRID_INNER", str(default_chunk))
+    )
+    if n_dev > 1:
+        inner_chunk = 0  # lax.map cannot scan a sharded axis; see shard_map TODO
+    if inner_chunk > 0:
+        # chunked mode needs batch % inner_chunk == 0
+        batch_size = max(inner_chunk, (batch_size // inner_chunk) * inner_chunk)
+    vsolve = _vsolve_cached(geom, cfg, inner_chunk)
+    pose_args = (
+        jnp.asarray(region),
+        jnp.float32(tilt),
+        jnp.float32(psi),
+        jnp.float32(dy / target_apix2d),
+    )
 
     if n_dev > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -437,7 +502,14 @@ def reconstruct_grid(
             )
             if cost_analysis and cost_stats is None:
                 try:
-                    ca = vsolve.lower(*batch_args).compile().cost_analysis()
+                    # count on the UNchunked variant: XLA's static cost
+                    # analysis counts a lax.map body once, not x trips
+                    ca = (
+                        _vsolve_cached(geom, cfg, 0)
+                        .lower(*pose_args, *batch_args)
+                        .compile()
+                        .cost_analysis()
+                    )
                     if isinstance(ca, (list, tuple)):
                         ca = ca[0]
                     cost_stats = dict(
@@ -447,7 +519,7 @@ def reconstruct_grid(
                     )
                 except Exception:  # cost analysis is best-effort
                     cost_stats = None
-            s = vsolve(*batch_args)
+            s = vsolve(*pose_args, *batch_args)
             if incremental:
                 scores[sl] = np.asarray(s)[: sl.stop - sl.start]
                 done = sl.stop

@@ -155,7 +155,7 @@ def _cg_from(N, rhs, x0, iters: int, x0_is_zero: bool = False):
 
     x0_is_zero=True skips the initial N(x0) residual application (XLA
     does NOT fold N(0) away — leaving it in measurably inflated the grid
-    solve: +0.8 GFLOP/candidate, 1864 -> 1135 cand/s on the bench).
+    solve: +0.8 GFLOP/candidate, a 39% bench throughput loss).
     """
     r0 = rhs if x0_is_zero else rhs - N(x0)
     p0 = r0
