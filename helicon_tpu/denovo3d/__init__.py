@@ -15,7 +15,6 @@ so rankings match the reference on its own workload.
 from .geometry import (  # noqa: F401
     ReconstructionGeometry,
     back_project_2d_coords_to_3d_coords,
-    derive_geometry,
     select_copies,
     select_pair_ops,
     compute_sym_dedup_mask,

@@ -20,7 +20,6 @@ import numpy as np
 __all__ = [
     "ReconstructionGeometry",
     "back_project_2d_coords_to_3d_coords",
-    "derive_geometry",
     "estimate_copy_pair_counts",
     "estimate_n_pair_ops",
     "halton_permutation",
@@ -119,45 +118,6 @@ class ReconstructionGeometry:
         """Reference sorted_hsym_csym_pairs: max(1, ceil(l3/(2*rise)))
         (solver:955)."""
         return max(1, int(np.ceil(self.l3 / (2 * rise_pixel))))
-
-
-def derive_geometry(
-    image_shape,
-    target_apix2d: float,
-    target_apix3d: float,
-    reconstruct_diameter: float,
-    reconstruct_length: float,
-    tube_diameter_inner: float = 0.0,
-    tube_length: float = -1,
-    csym: int = 1,
-) -> ReconstructionGeometry:
-    """Pixel-size bookkeeping from physical sizes (pipeline.py:297-331).
-
-    All inputs in Angstroms except image_shape (pixels at target_apix2d).
-    """
-    ny, nx = image_shape
-    d3 = int(round(reconstruct_diameter / target_apix3d))
-    d3 += d3 % 2
-    d3_inner = int(round(tube_diameter_inner / target_apix3d))
-    d2 = int(round(reconstruct_diameter / target_apix2d))
-    d2 += d2 % 2
-    l2_angstrom = (
-        tube_length if 0 < tube_length < nx * target_apix2d else nx * target_apix2d
-    )
-    l2 = int(l2_angstrom / target_apix2d)
-    l2 += l2 % 2
-    l3 = int(np.ceil(reconstruct_length / target_apix3d))
-    l3 += l3 % 2
-    return ReconstructionGeometry(
-        d2=d2,
-        l2=l2,
-        d3=d3,
-        l3=l3,
-        rmin=d3_inner / 2,
-        rmax=d3 // 2 - 1,
-        scale2d_to_3d=target_apix2d / target_apix3d,
-        csym=csym,
-    )
 
 
 def select_copies(

@@ -362,13 +362,14 @@ def reconstruct_grid(
         rise_pixel_max=float(np.max(rise_pixels)),
     )
     n_ops = estimate_n_pair_ops(geom, float(np.min(rise_pixels)))
-    # Tables are built on a PRODUCER THREAD, one batch ahead of the
-    # dispatch loop: building them on the main thread between dispatches
-    # blocks the thread the axon tunnel needs for pumping async
-    # transfers (measured: a 30% throughput loss when interleaved
-    # inline), while building ALL tables up front delays the first
-    # dispatch by the full host-prep time. numpy releases the GIL in its
-    # C kernels, so the worker overlaps both dispatch and device compute.
+    # Tables are built on a single-worker PRODUCER THREAD (all batch
+    # futures queued up front, executed serially, so the producer runs
+    # ahead of the dispatch loop as far as it can): building them on the
+    # main thread between dispatches blocks the thread the axon tunnel
+    # needs for pumping async transfers (measured: a 30% throughput loss
+    # when interleaved inline). numpy releases the GIL in its C kernels,
+    # so the worker overlaps both dispatch and device compute. On abort,
+    # queued futures are cancelled (see executor.shutdown below).
 
     region = data[
         ny // 2 - geom.d2 // 2 : ny // 2 + geom.d2 // 2,
@@ -376,9 +377,10 @@ def reconstruct_grid(
     ]
 
     model = algorithm.get("model", "lsq")
-    l1, l2r = regularization_from_algorithm(
-        algorithm, geom.d2 * geom.l2 * n_copies
-    )
+    # per-ROW coefficients (n_rows=1): the jitted solve multiplies by
+    # each candidate's own valid-copy row count (SolveConfig.reg_per_row)
+    # instead of the padded worst-case n_copies, matching lsq_reconstruct
+    l1, l2r = regularization_from_algorithm(algorithm, 1)
     cfg = SolveConfig(
         interpolation=interpolation,
         model=model,
@@ -391,6 +393,7 @@ def reconstruct_grid(
         positive_constraint=int(positive_constraint),
         l1_reg=float(l1),
         l2_reg=float(l2r),
+        reg_per_row=model in ("lasso", "elasticnet"),
         separable=(tilt == 0.0 and psi == 0.0),
         compute_dtype=compute_dtype,
         ard_prior=float(algorithm.get("alpha", 1e-6)),
@@ -414,7 +417,7 @@ def reconstruct_grid(
     # round UP to a multiple of the device count (a user batch smaller
     # than n_dev would otherwise produce an unshardable batch of 1;
     # padding fills the remainder)
-    batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+    batch_size = max(n_dev, ((batch_size + n_dev - 1) // n_dev) * n_dev)
 
     import os as _os
 
@@ -475,8 +478,10 @@ def reconstruct_grid(
         pending = []
         done = 0
         cost_stats = None
+        aborted = False
         for sl, fut in zip(slices, futures):
             if should_abort is not None and should_abort():
+                aborted = True
                 break
             b_ch, b_cc, b_cv, b_phc, b_pv, b_oh, b_ov, b_pi = fut.result()
             pad = batch_size - (sl.stop - sl.start)
@@ -530,9 +535,19 @@ def reconstruct_grid(
         for sl, n_valid, s in pending:
             scores[sl] = np.asarray(s)[:n_valid]
     finally:
-        executor.shutdown(wait=False)
+        # cancel queued table builds (an abort would otherwise leave the
+        # producer thread grinding through every remaining batch AND
+        # mutating copy_cache concurrently with the refine/best-volume
+        # table calls below); wait= joins the one in-flight build
+        executor.shutdown(wait=True, cancel_futures=True)
 
     refined_params: dict | None = None
+    if aborted:
+        # partial scores only: refining / re-solving the argmax of a
+        # mostly-zero score array would burn seconds on an arbitrary
+        # candidate (workflow.py documents best_volume as finish-only)
+        refine_tilt_psi_dy_range = None
+        return_best_volume = False
     if refine_tilt_psi_dy_range:
         from .refine import refine_tilt_psi_dy
 
@@ -686,8 +701,10 @@ def _reconstruct_grid_bucketed(
     best_global_idx = -1
     cost = None
     done_off = 0
+    aborted = False
     for idx in _rise_buckets(rises, ratio):
         if should_abort is not None and should_abort():
+            aborted = True
             break
 
         def cb(done_b, _n_b, scores_b, idx=idx, off=done_off):
@@ -729,6 +746,8 @@ def _reconstruct_grid_bucketed(
         cost=cost,
     )
     result.best_index = best_global_idx if best_global_idx >= 0 else int(np.argmax(scores))
+    if aborted:
+        return_best_volume = False  # partial scores: no winner re-solve
     if return_best_volume and best_sub is not None:
         # one single-candidate pass on the winner (its own bucket's
         # geometry) for the volume; refinement (if configured) re-runs

@@ -75,7 +75,10 @@ def derive_task_geometry(
     the derived sizes in Angstroms/pixels."""
     ny, nx = data_shape
     if tube_diameter < 0:
-        diameter = estimated_diameter if estimated_diameter else ny * apix2d_orig / 2.5
+        # estimator output is in PIXELS (like min(ny, .)); the fallback
+        # for a degenerate image must be a pixel count too — ny / 2.5
+        # makes the derived diameter come out as the full image height
+        diameter = estimated_diameter if estimated_diameter else ny / 2.5
         tube_diameter = int(min(ny, diameter) * apix2d_orig * 2.5)
     if tube_length < 0:
         if tube_diameter > ny * apix2d_orig / 2:
@@ -330,12 +333,15 @@ def process_one_task(
     )
 
     tilt_viz, psi_viz, dy_viz = tilt, psi, dy
-    refined = getattr(lsq_reconstruct, "_refined_params", None)
+    # thread-local channel: safe when tasks fan out over a ThreadPool
+    # (the reference reads the racy function attribute instead)
+    from .solver import consume_refined_params
+
+    refined = consume_refined_params()
     if refined:
         tilt_viz = refined.get("tilt", tilt)
         psi_viz = refined.get("psi", psi)
         dy_viz = refined.get("dy", dy)
-        lsq_reconstruct._refined_params = {}
 
     rec3d_xform_2 = np.asarray(
         transform_map(

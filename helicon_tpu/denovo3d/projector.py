@@ -244,23 +244,29 @@ def sym_operator(
         Z = (Z0 + h.astype(jnp.float32) * rise_pixel) + l3 // 2
         return sample(xf, aux_flat, Z, Y, X, d3, l3)
 
-    _keep = (
-        jnp.ones((len(pairs_hc), l3, d3, d3), bool)
-        if sym_keep is None
-        else jnp.asarray(sym_keep, bool)
-    )
+    # sym_keep=None (the vmapped grid pass) must NOT bake an all-True
+    # (n_pairs, l3, d3, d3) tensor into the executable: drop the term
+    # at trace time instead of relying on XLA to fold `x & True`.
+    _keep = None if sym_keep is None else jnp.asarray(sym_keep, bool)
 
     def S(x_vol):
         xf = x_vol.reshape(-1)
 
         def one(carry, hp):
-            hc, pv, kp = hp
+            hc, pv = hp[0], hp[1]
             v1, ok1 = op_sample(xf, hc[0], hc[1])
             v2, ok2 = op_sample(xf, hc[2], hc[3])
-            valid = ok1 & ok2 & voxel_in_mask & pv & kp
+            valid = ok1 & ok2 & voxel_in_mask & pv
+            if _keep is not None:
+                valid = valid & hp[2]
             return carry, (v1 - v2) * valid.astype(jnp.float32)
 
-        _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid, _keep))
+        xs = (
+            (pairs_hc, pairs_valid)
+            if _keep is None
+            else (pairs_hc, pairs_valid, _keep)
+        )
+        _, res = jax.lax.scan(one, 0.0, xs)
         return res  # (P, l3, d3, d3)
 
     return S

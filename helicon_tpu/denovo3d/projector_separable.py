@@ -426,23 +426,28 @@ def build_problem_separable(
         # gather formulation: used when pair_ops is absent OR the dense
         # matrices would be too large (see use_matmul_sym above)
 
-        _keep = (
-            jnp.ones((len(pairs_hc),) + geom.volume_shape, bool)
-            if sym_keep is None
-            else jnp.asarray(sym_keep, bool)
-        )
+        # sym_keep=None must not bake an all-True (P, l3, d3, d3) tensor
+        # into the executable (see projector.sym_operator)
+        _keep = None if sym_keep is None else jnp.asarray(sym_keep, bool)
 
         def S(x_vol):
             xf = x_vol.reshape(-1)
 
             def one(carry, hp):
-                hc, pv, kp = hp
+                hc, pv = hp[0], hp[1]
                 v1, ok1 = _op_sample(xf, hc[0], hc[1])
                 v2, ok2 = _op_sample(xf, hc[2], hc[3])
-                valid = ok1 & ok2 & (mask_f > 0.5) & pv & kp
+                valid = ok1 & ok2 & (mask_f > 0.5) & pv
+                if _keep is not None:
+                    valid = valid & hp[2]
                 return carry, (v1 - v2) * valid.astype(jnp.float32)
 
-            _, res = jax.lax.scan(one, 0.0, (pairs_hc, pairs_valid, _keep))
+            xs = (
+                (pairs_hc, pairs_valid)
+                if _keep is None
+                else (pairs_hc, pairs_valid, _keep)
+            )
+            _, res = jax.lax.scan(one, 0.0, xs)
             return res  # (n_pairs, l3, d3, d3)
 
     vol_shape = geom.volume_shape

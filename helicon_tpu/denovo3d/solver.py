@@ -33,6 +33,7 @@ combined score s0/2 + (s1+s2)/4 (solver:527-530).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import NamedTuple
 
 import jax
@@ -87,6 +88,12 @@ class SolveConfig(NamedTuple):
     l1_reg: float = 0.0  # lambda1 (absolute, already scaled)
     separable: bool = False  # MXU path; requires tilt = psi = 0
     compute_dtype: str = "float32"  # "bfloat16" for 2-4x MXU throughput
+    # True: l1_reg/l2_reg are PER-ROW coefficients, multiplied inside the
+    # jitted solve by the candidate's own data-row count (d2*l2*valid
+    # copies). The vmapped grid needs this: a static n_copies-based
+    # product would over-regularize candidates whose valid copies are
+    # fewer than the padded table size, diverging from lsq_reconstruct.
+    reg_per_row: bool = False
     # ARD (model="ard") evidence-maximization loop extents + prior
     # (reference: sklearn ARDRegression alpha_1 = alpha_2 = algorithm.alpha)
     ard_iters: int = 12
@@ -308,7 +315,7 @@ def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
 
 def _solve_one_weighting(
     ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False,
-    key=None,
+    key=None, reg_scale=1.0,
 ):
     """Solve with the given data-row weighting; return (x, score).
 
@@ -330,10 +337,13 @@ def _solve_one_weighting(
         def N0(v):
             return (PT(P(v) * rowv) + ST(S(v))) * mask_f
 
+    l1_eff = cfg.l1_reg * reg_scale
+    l2_eff = cfg.l2_reg * reg_scale
+
     def N(v):
         out = N0(v)
-        if cfg.l2_reg:
-            out = out + cfg.l2_reg * v * mask_f
+        if cfg.l2_reg:  # static skip: coefficient 0 means no ridge term
+            out = out + l2_eff * v * mask_f
         return out
 
     rhs = PT(b_eff) * mask_f
@@ -383,7 +393,7 @@ def _solve_one_weighting(
         lb = jnp.where(positive, 0.0, -jnp.inf)
         ub = jnp.where(positive, ub_val, jnp.inf)
         L = _power_iteration(N, rhs.shape, cfg.power_iters)
-        x = _fista(N, rhs, x, lb, ub, cfg.l1_reg, cfg.fista_iters, L)
+        x = _fista(N, rhs, x, lb, ub, l1_eff, cfg.fista_iters, L)
     x = x * mask_f
 
     pred = P(x) * rowv
@@ -509,8 +519,19 @@ def _solve_candidate_impl(
     b_eff_full = ops["b"][None] * rowv
     ub_val = jnp.max(b_eff_full)
 
+    # per-candidate regularization scale (see SolveConfig.reg_per_row):
+    # data-row count with the candidate's OWN valid copies, as
+    # lsq_reconstruct computes it (max(1, cv.sum()))
+    reg_scale = (
+        jnp.float32(geom.d2 * geom.l2)
+        * jnp.maximum(1, jnp.sum(copies_valid)).astype(jnp.float32)
+        if cfg.reg_per_row
+        else 1.0
+    )
+
     x, score = _solve_one_weighting(
-        ops, rowv, mask_f, cfg, positive, ub_val, full_rows=True, key=key
+        ops, rowv, mask_f, cfg, positive, ub_val, full_rows=True, key=key,
+        reg_scale=reg_scale,
     )
     scores = [score]
     halves = []
@@ -519,7 +540,7 @@ def _solve_candidate_impl(
         for hi, m in enumerate((m1, m2)):
             xh, sh = _solve_one_weighting(
                 ops, rowv * m, mask_f, cfg, positive, ub_val,
-                key=jax.random.fold_in(key, hi + 1),
+                key=jax.random.fold_in(key, hi + 1), reg_scale=reg_scale,
             )
             halves.append(xh)
             scores.append(sh)
@@ -540,6 +561,22 @@ def _solve_candidate_impl(
 solve_candidate = functools.partial(
     jax.jit, static_argnames=("geom", "cfg")
 )(_solve_candidate_impl)
+
+
+# Refined-pose side channel. The reference smuggles (tilt, psi, dy) out
+# of lsq_reconstruct via a mutable function attribute (solver:431-439) —
+# shared state that races when tasks fan out over threads. The attribute
+# is kept for API parity, but in-repo callers (pipeline.process_one_task)
+# read the THREAD-LOCAL copy via consume_refined_params().
+_refined_tls = threading.local()
+
+
+def consume_refined_params() -> dict:
+    """Pop this thread's refined (tilt, psi, dy) from the last
+    lsq_reconstruct call; {} when that call did not refine."""
+    params = getattr(_refined_tls, "params", None) or {}
+    _refined_tls.params = {}
+    return params
 
 
 def lsq_reconstruct(
@@ -576,6 +613,10 @@ def lsq_reconstruct(
     ignored (XLA owns threading).
     """
     algorithm = algorithm or dict(model="lsq")
+    # clear the refined-pose side channels up front: a previous refined
+    # call must not leak its pose into an unrefined call's readers
+    lsq_reconstruct._refined_params = {}
+    _refined_tls.params = {}
     img = np.asarray(projection_image, np.float32)
     ny, nx = img.shape
     d2 = int(reconstruct_diameter_2d_pixel) if reconstruct_diameter_2d_pixel > 0 else ny
@@ -656,7 +697,9 @@ def lsq_reconstruct(
             dy,
             refine_tilt_psi_dy_range,
         )
-        lsq_reconstruct._refined_params = dict(tilt=tilt, psi=psi, dy=dy)
+        refined_out = dict(tilt=tilt, psi=psi, dy=dy)
+        lsq_reconstruct._refined_params = refined_out  # reference-compat
+        _refined_tls.params = dict(refined_out)  # race-free channel
         # the separable fast path is only valid at tilt = psi = 0
         cfg = cfg._replace(separable=(tilt == 0 and psi == 0))
 

@@ -325,3 +325,130 @@ def test_thresh_fraction_data_orig_is_background_subtracted(helix_image):
     ]
     assert min(meds) < 1e-6, min(meds)
     assert score > 0
+
+
+def test_abort_skips_best_volume_and_refine(helix_image):
+    """An aborted grid returns partial scores but must NOT re-solve or
+    GN-refine the argmax of the mostly-zero score array."""
+    import jax
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img = np.squeeze(np.asarray(helix_image))
+    calls = {"n": 0}
+
+    def abort():
+        calls["n"] += 1
+        return calls["n"] > 1  # allow the first batch only
+
+    res = reconstruct_grid(
+        img, apix=2.0,
+        twists=np.array([25.0, 30.0, 35.0], np.float32),
+        rises=np.array([6.0, 6.0, 6.0], np.float32),
+        cg_iters=6, fista_iters=4, batch_size=1,
+        devices=jax.devices()[:1], horizontalize=0,
+        should_abort=abort,
+        return_best_volume=True,
+        refine_tilt_psi_dy_range=dict(tilt=5.0, psi=0.0, dy=0.0, max_iter=1),
+    )
+    assert res.best_volume is None
+    assert res.refined_params is None
+    s = np.asarray(res.scores)
+    assert s[0] > 0 and (s[2:] == 0).all()
+
+
+def test_grid_batch_rounds_up_to_device_multiple(helix_image):
+    """batch_size rounds UP to a multiple of the device count (the code
+    previously rounded down, shrinking user batches and doubling the
+    dispatch count)."""
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img = np.squeeze(np.asarray(helix_image))
+    seen = []
+    reconstruct_grid(
+        img, apix=2.0,
+        twists=np.full(20, 30.0, np.float32),
+        rises=np.full(20, 6.0, np.float32),
+        cg_iters=4, fista_iters=3, batch_size=10,  # 8 devices -> 16
+        horizontalize=0, return_best_volume=False,
+        progress_callback=lambda done, total, s: seen.append(done),
+    )
+    assert seen == [16, 20], seen
+
+
+def test_fallback_diameter_units():
+    """derive_task_geometry's degenerate-image fallback must feed a PIXEL
+    count (ny / 2.5) into the A-conversion, not an Angstrom value."""
+    from helicon_tpu.denovo3d.grid import derive_task_geometry
+
+    g = derive_task_geometry(
+        (100, 200), 0.5, 5.0, (4.0, 5.0), (0.0, 0.0),
+        -1, -1, 0.0, 15.0, 4.0, -1, estimated_diameter=None,
+    )
+    # min(ny, ny/2.5) * apix * 2.5 = ny * apix = 50 A (old unit bug: 25)
+    assert g["reconstruct_diameter"] == pytest.approx(50.0)
+
+
+def test_refined_params_channel_is_cleared_between_calls(helix_image):
+    """lsq_reconstruct must not leak a refined pose into a later
+    unrefined call (attribute + thread-local channel both reset)."""
+    from helicon_tpu.denovo3d.solver import (
+        consume_refined_params,
+        lsq_reconstruct,
+    )
+
+    img = np.squeeze(np.asarray(helix_image))[:32, :48]
+    kw = dict(
+        scale2d_to_3d=0.5, twist_degree=30.0, rise_pixel=1.5, csym=1,
+        sym_oversample=1, interpolation="nn",
+        algorithm=dict(model="lreg"),
+    )
+    lsq_reconstruct(img, refine_tilt_psi_dy_range=dict(
+        tilt=2.0, psi=0.0, dy=0.0, max_iter=1), **kw)
+    refined = consume_refined_params()
+    assert set(refined) == {"tilt", "psi", "dy"}
+    assert consume_refined_params() == {}  # consumed
+    lsq_reconstruct(img, **kw)  # no refinement
+    assert consume_refined_params() == {}
+    assert lsq_reconstruct._refined_params == {}
+
+
+def test_reg_per_row_matches_static_product():
+    """SolveConfig.reg_per_row with per-row coefficients must equal the
+    static l1 = alpha * d2 * l2 * cv.sum() product for a candidate with
+    PADDED (partially invalid) copy tables — the case where the grid's
+    old static n_copies scaling over-regularized."""
+    import jax.numpy as jnp
+
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        select_copies,
+        select_pair_ops,
+    )
+    from helicon_tpu.denovo3d.solver import SolveConfig, solve_candidate
+
+    geom = ReconstructionGeometry(
+        d2=12, l2=16, d3=12, l3=8, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    n_copies_padded = 12  # more slots than valid copies for this rise
+    ch, cc, cv = select_copies(geom, 4.0, n_copies_padded)
+    assert 0 < cv.sum() < n_copies_padded  # padding present
+    ops_hc, ops_v, pair_idx, pv = select_pair_ops(geom, 30.0, 4.0, 4, 8)
+    phc = np.zeros((4, 4), np.int32)
+    alpha = 1e-4
+    n_rows = geom.d2 * geom.l2 * int(cv.sum())
+    common = dict(interpolation="nn", model="lasso", cg_iters=0,
+                  fista_iters=20, power_iters=4, separable=True)
+    cfg_static = SolveConfig(l1_reg=alpha * n_rows, **common)
+    cfg_per_row = SolveConfig(l1_reg=alpha, reg_per_row=True, **common)
+    args = (jnp.asarray(region), jnp.float32(30.0), jnp.float32(4.0),
+            jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+            jnp.asarray(phc), jnp.asarray(pv))
+    kw = dict(pair_ops=(jnp.asarray(ops_hc), jnp.asarray(ops_v),
+                        jnp.asarray(pair_idx)))
+    s1 = float(solve_candidate(geom, cfg_static, *args, **kw)["score"])
+    s2 = float(solve_candidate(geom, cfg_per_row, *args, **kw)["score"])
+    assert s1 == pytest.approx(s2, abs=1e-6)
