@@ -148,11 +148,35 @@ def align_images(
                 method="bounded",
                 options=dict(xatol=0.01),
             )
-        else:
-            scale_rotation_score(float(angle0), 0.0)
+        # both ranges 0: NO optimization — the reference returns the
+        # identity pose (scale=1, angle=0, shift=0) without probing the
+        # polarity flip or a phase-correlation shift (alignment.py:156-197)
 
-    score, scale, angle, shift, aligned = best
-    ret = (scale, angle, shift, -score)
+    _, scale, angle, shift, aligned_work = best
+    if aligned_work is None:  # no optimizer ran (both ranges 0)
+        aligned_work = mov_work
+
+    # final similarity at the winning pose (reference alignment.py:210-221)
+    taper_best = np.asarray(
+        transform_image(
+            padded_taper, scale=scale, rotation=angle,
+            post_translation=shift, mode="wrap",
+        )
+    )
+    mask = taper_best > 0
+    similarity = float(
+        cross_correlation_coefficient(ref_work[mask], aligned_work[mask])
+    )
+
+    ret = (scale, angle, shift, similarity)
     if return_aligned_moving_image:
-        ret = (*ret, aligned)
+        # the RAW moving image at the winning pose — not the
+        # tapered+thresholded work image (reference alignment.py:223-230)
+        aligned_raw = np.asarray(
+            transform_image(
+                padded_mov, scale=scale, rotation=angle,
+                post_translation=shift, mode="wrap",
+            )
+        )
+        ret = (*ret, aligned_raw)
     return ret

@@ -164,7 +164,6 @@ def denoise_nl_means(
     num = jnp.zeros_like(img)
     den = jnp.zeros_like(img)
     h2 = jnp.maximum(h * h, 1e-12)
-    center = padded[pad : pad + ny, pad : pad + nx]
     for dy, dx in shifts:
         shifted = padded[pad + dy : pad + dy + ny, pad + dx : pad + dx + nx]
         diff2 = (

@@ -172,7 +172,10 @@ def map_coordinates(
             f = jnp.floor(c)
             lo_list.append(f.astype(jnp.int32))
             frac_list.append(c - f)
-        out = jnp.zeros(out_shape, x.dtype)
+        # accumulate in floating point ALWAYS: an integer accumulator
+        # would truncate the bilinear weights (0.5 -> 0) and return zeros
+        acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        out = jnp.zeros(out_shape, acc_dtype)
         for corner in range(2 ** x.ndim):
             w = jnp.ones(out_shape, jnp.float32)
             idxs = []
@@ -191,6 +194,12 @@ def map_coordinates(
             out = out + vals.astype(out.dtype) * w.astype(out.dtype)
         if mode == "constant":
             out = jnp.where(in_domain, out, cval)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # scipy casts with round-half-AWAY for integer inputs
+            # (2.5 -> 3, -2.5 -> -3; jnp.round would give banker's 2)
+            out = (jnp.sign(out) * jnp.floor(jnp.abs(out) + 0.5)).astype(x.dtype)
+        else:
+            out = out.astype(x.dtype)
         return out
 
     if order == 3:

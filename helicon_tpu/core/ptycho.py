@@ -94,8 +94,13 @@ def load_h5_file(filepath: str):
 
 
 def electron_wavelength_angstrom(voltage_v: float) -> float:
-    """Relativistic electron wavelength (A) at the given voltage (V)."""
-    return 12.2639 / np.sqrt(voltage_v * (1.0 + 0.97845e-6 * voltage_v))
+    """Relativistic electron wavelength (A) at the given voltage (V).
+
+    Delegates to ctf.electron_wavelength (exact CODATA constants) — one
+    source of truth for lambda across CTF simulation and ptychography."""
+    from .ctf import electron_wavelength
+
+    return float(electron_wavelength(voltage_v / 1000.0))
 
 
 def get_probe_size(dp_mean, thresh: float = 0.5):
@@ -121,24 +126,24 @@ def get_probe_size(dp_mean, thresh: float = 0.5):
 
 
 def _phase_cross_correlation_shift(a, b):
-    """Integer+parabolic-subpixel shift of b relative to a (2D, FFT)."""
+    """Integer+parabolic-subpixel shift of a relative to b (2D, FFT):
+    for b = shift(a, s) this returns -s (the convention the parallax
+    C1 fit in estimate_defocus_parallax is built on)."""
+    up = 8  # subpixel resolution 1/up px via Fourier zero-padding
     A = np.fft.fft2(np.asarray(a, np.float64))
     B = np.fft.fft2(np.asarray(b, np.float64))
-    cc = np.fft.ifft2(A * np.conj(B)).real
+    C = np.fft.fftshift(A * np.conj(B))
+    ny, nx = C.shape
+    pad = np.zeros((ny * up, nx * up), np.complex128)
+    y0, x0 = (ny * up - ny) // 2, (nx * up - nx) // 2
+    pad[y0 : y0 + ny, x0 : x0 + nx] = C
+    cc = np.fft.ifft2(np.fft.ifftshift(pad)).real
     idx = np.unravel_index(np.argmax(cc), cc.shape)
     shift = []
     for ax, i in enumerate(idx):
         n = cc.shape[ax]
-        m = cc[idx] if cc[idx] != 0 else 1.0
-        prev_idx = list(idx); prev_idx[ax] = (i - 1) % n
-        next_idx = list(idx); next_idx[ax] = (i + 1) % n
-        p, q = cc[tuple(prev_idx)], cc[tuple(next_idx)]
-        denom = 2 * cc[idx] - p - q
-        sub = 0.5 * (p - q) / denom if abs(denom) > 1e-12 * abs(m) else 0.0
-        s = i + np.clip(sub, -0.5, 0.5)
-        if s > n / 2:
-            s -= n
-        shift.append(s)
+        s = i if i <= n / 2 else i - n
+        shift.append(s / up)
     return np.asarray(shift)
 
 
@@ -149,7 +154,7 @@ def estimate_defocus_parallax(
     r_pixel_a: float,
     bf_radius_px: float,
     center,
-    max_samples: int = 24,
+    max_samples: int = 48,
 ):
     """Parallax (tcBF) defocus estimate in Angstroms.
 
@@ -184,15 +189,43 @@ def estimate_defocus_parallax(
         shifts.append(sh * r_pixel_a)  # Angstroms
     if not thetas:
         return 0.0
-    T = np.concatenate([np.stack(thetas), ]).reshape(-1, 2)
-    S = np.stack(shifts).reshape(-1, 2)
-    # shift = -C1 * theta, per axis; single scalar C1 by stacked lstsq
-    t = T.ravel()
-    s = S.ravel()
-    denom = float(t @ t)
-    if denom == 0:
-        return 0.0
-    return float(-(t @ s) / denom)
+    T = np.stack(thetas)  # (n, 2) radians
+    S = np.stack(shifts)  # (n, 2) Angstroms
+
+    # shift = -C1 * theta + b_axis. The per-axis intercepts absorb the
+    # reference pixel's own nonzero angle and any bright-field-center
+    # estimation error; the TRIMMED refit drops decorrelated samples —
+    # virtual BF images near the disk edge lose correlation with the
+    # axial image and return wrap-around garbage shifts that otherwise
+    # dominate the fit (observed: a 0.1 px center shift changing the
+    # sample set flipped the fitted C1 sign entirely).
+    def fit(T, S):
+        n = len(T)
+        A = np.zeros((2 * n, 3))
+        A[:n, 0] = -T[:, 0]
+        A[n:, 0] = -T[:, 1]
+        A[:n, 1] = 1.0
+        A[n:, 2] = 1.0
+        b = np.concatenate([S[:, 0], S[:, 1]])
+        sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+        resid = A @ sol - b
+        per_sample = np.hypot(resid[:n], resid[n:])
+        return sol, per_sample
+
+    sol, resid = fit(T, S)
+    for _ in range(3):
+        if len(T) <= 6:
+            break
+        keep = resid <= max(2.0 * np.median(resid), 1e-12)
+        # always keep at least half (trim at most the worst half)
+        if keep.sum() < max(6, len(T) // 2):
+            keep = np.argsort(resid)[: max(6, len(T) // 2)]
+        T2, S2 = T[keep], S[keep]
+        if len(T2) == len(T):
+            break
+        T, S = T2, S2
+        sol, resid = fit(T, S)
+    return float(sol[0])
 
 
 def _build_probe(vacuum_intensity, det_shape, bf_radius_px, center,
@@ -240,10 +273,17 @@ def _epie_reconstruct(
     import jax
     import jax.numpy as jnp
 
+    # FFTs route through the core.fft facade (matmul-DFT fallback where
+    # the backend lacks the FFT HLO, e.g. the axon TPU tunnel)
+    from .fft import fft2 as _fft2, ifftn as _ifftn
+
+    def _ifft2(z):
+        return _ifftn(z, axes=(-2, -1))
+
     n, py, px = amplitudes.shape
     oy, ox = obj_shape
     alpha = jnp.float32(step_size)
-    probe_f_amp = jnp.abs(jnp.fft.fft2(jnp.asarray(probe0)))
+    probe_f_amp = jnp.abs(_fft2(jnp.asarray(probe0)))
 
     iy = jnp.arange(py)
     ix = jnp.arange(px)
@@ -254,9 +294,9 @@ def _epie_reconstruct(
         cols = pos[:, 1:2, None] + ix[None, None, :]  # (B, 1, px)
         patches = obj[rows, cols]  # (B, py, px)
         psi = probe[None] * patches
-        big_psi = jnp.fft.fft2(psi)
+        big_psi = _fft2(psi)
         big_psi_new = amps * jnp.exp(1j * jnp.angle(big_psi))
-        dpsi = jnp.fft.ifft2(big_psi_new) - psi
+        dpsi = _ifft2(big_psi_new) - psi
         p_max = jnp.maximum(jnp.max(jnp.abs(probe)) ** 2, 1e-12)
         upd = alpha * jnp.conj(probe)[None] / p_max * dpsi
         # overlap-average the batch update (parallel ePIE)
@@ -269,8 +309,8 @@ def _epie_reconstruct(
         dprobe = jnp.mean(alpha * jnp.conj(patches) / o_max * dpsi, axis=0)
         probe = probe + dprobe
         if fix_probe_aperture:
-            pf = jnp.fft.fft2(probe)
-            probe = jnp.fft.ifft2(probe_f_amp * jnp.exp(1j * jnp.angle(pf)))
+            pf = _fft2(probe)
+            probe = _ifft2(probe_f_amp * jnp.exp(1j * jnp.angle(pf)))
         return obj, probe
 
     obj = jnp.ones(obj_shape, jnp.complex64)
@@ -287,7 +327,13 @@ def _epie_reconstruct(
             if len(sl) == 0:
                 continue
             obj, probe = batch_step(obj, probe, amps[sl], pos[sl])
-    return np.asarray(obj), np.asarray(probe)
+
+    def to_host(z):
+        # complex64 device->host transfer is unimplemented on the axon
+        # TPU backend (see core/fft.py caveat): move real/imag separately
+        return np.asarray(jnp.real(z)) + 1j * np.asarray(jnp.imag(z))
+
+    return to_host(obj), to_host(probe)
 
 
 def reconstruct_ptychography(

@@ -475,6 +475,12 @@ def fft_crop(data, output_size=None):
         return jnp.asarray(data)
     data = jnp.asarray(data, jnp.float32)
     assert data.ndim in (2, 3) and data.ndim == len(output_size)
+    # fail fast on odd sizes: the half-open shift slices keep size//2*2
+    # rows, so an odd request would silently return the wrong shape (or
+    # diverge between the jnp.fft and matmul-DFT backends)
+    assert all(s % 2 == 0 for s in output_size) and all(
+        s % 2 == 0 for s in data.shape
+    ), f"fft_crop requires even sizes, got {tuple(data.shape)} -> {tuple(output_size)}"
     if data.ndim == 2:
         ny, nx = data.shape
         ony, onx = output_size
