@@ -107,6 +107,14 @@ def assign_beamshift_groups(micrographs, software: str, start_id: int = 1, **kwa
     """Micrograph filename -> 1-indexed beamshift group id (epu.py:190-237)."""
     if software in ("EPU", "serialEM_pncc", "serialEM_embl_heidelberg"):
         mapping = {m: extract_beamshift(m, software=software) for m in micrographs}
+        bad = [m for m, v in mapping.items() if v is None]
+        if bad:
+            from ..utils.exceptions import HeliconValueError
+
+            raise HeliconValueError(
+                f"{len(bad)} micrograph name(s) do not match the "
+                f"{software} beamshift filename pattern, e.g. {bad[0]!r}"
+            )
         unique_vals = sorted(set(mapping.values()))
         id_map = {v: i + start_id for i, v in enumerate(unique_vals)}
         return {m: id_map[mapping[m]] for m in micrographs}

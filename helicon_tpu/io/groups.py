@@ -84,7 +84,19 @@ def propagate_ctf_median(data, group_id_name: str) -> None:
         for col in ctf_cols:
             if col in data:
                 vals = np.array(data[col], copy=True)
-                vals[mask] = np.median(vals[mask], axis=0)
+                if vals.dtype == object:
+                    # vector-valued CTF fields (ctf/shift_A, tilt_A,
+                    # trefoil_A, tetra_A, anisomag) arrive as per-cell
+                    # lists from cs2dataframe: median per component,
+                    # written back cell by cell
+                    med = np.median(
+                        np.stack([np.asarray(v) for v in vals[mask]]),
+                        axis=0,
+                    )
+                    for i in mask[0]:
+                        vals[i] = med.tolist()
+                else:
+                    vals[mask] = np.median(vals[mask], axis=0)
                 data[col] = vals
 
 

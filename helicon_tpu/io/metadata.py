@@ -173,11 +173,16 @@ def setPixelSize(data: pd.DataFrame, apix_new: float, update_defocus: bool = Fal
                 data.loc[:, attr] = data[attr].astype(float) * (
                     (apix_new / apix_old) ** 2
                 )
+    # DEVIATION from reference io.py:185-213: when getPixelSize sourced
+    # the value from an MRC header via an image-NAME column, the
+    # reference writes apix_new into that name column, destroying every
+    # path. Map to the corresponding pixel-size column instead.
+    target = pixelSizeAttrForImageAttr(source) or source
     optics = data.attrs.get("optics")
-    if optics is not None and source in optics:
-        optics.loc[:, source] = apix_new
-    if source in data:
-        data.loc[:, source] = apix_new
+    if optics is not None and (target in optics or source != target):
+        optics.loc[:, target] = apix_new
+    if target in data or source != target:
+        data.loc[:, target] = apix_new
 
 
 def get_relion_project_folder(starFile: str):
@@ -602,14 +607,32 @@ def images2dataframe(
             data = dataframe_convert(data, target=target_convention)
         return data
     datalist, opticslist = [], []
+    group_offset = 0
     for f in inputFiles:
         p = image2dataframe(
             f, csparc_passthrough_files, alternative_folders,
             ignore_bad_particle_path, ignore_bad_micrograph_path, warn_missing_ctf,
         )
+        optics = p.attrs.get("optics")
+        if optics is not None and "rlnOpticsGroup" in optics:
+            # renumber per-file optics groups so concatenated files
+            # cannot collide (two files both using group 1 would apply
+            # the FIRST file's optics to the second file's particles)
+            if group_offset:
+                optics = optics.copy()
+                optics["rlnOpticsGroup"] = (
+                    optics["rlnOpticsGroup"].astype(int) + group_offset
+                )
+                if "rlnOpticsGroup" in p:
+                    p["rlnOpticsGroup"] = (
+                        p["rlnOpticsGroup"].astype(int) + group_offset
+                    )
+                p.attrs["optics"] = optics
+            if len(optics):
+                group_offset = int(optics["rlnOpticsGroup"].astype(int).max())
         datalist.append(p)
-        if p.attrs.get("optics") is not None:
-            opticslist.append(p.attrs["optics"])
+        if optics is not None:
+            opticslist.append(optics)
     convention = target_convention
     if convention is None:
         types = {
@@ -621,6 +644,11 @@ def images2dataframe(
             convention = "relion" if "relion" in types else "cryosparc"
     if convention:
         datalist = [dataframe_convert(p, target=convention) for p in datalist]
+    for p in datalist:
+        # concat's __finalize__ compares attrs dicts across frames;
+        # DataFrame-valued attrs (optics) make that comparison raise.
+        # The merged attrs are rebuilt below anyway.
+        p.attrs = {}
     data = pd.concat(datalist, sort=False)
     data.attrs["optics"] = pd.concat(opticslist, sort=False) if opticslist else None
     data.attrs["convention"] = convention
@@ -634,6 +662,24 @@ def images2dataframe(
 # ---------------------------------------------------------------------------
 
 
+def _star_column_lines(frame: pd.DataFrame, keys) -> pd.Series:
+    """Tab-joined row strings with float columns rounded to 6 — ALL of
+    them, including the first (it used to get raw str(), writing
+    0.30000000000000004-style reprs)."""
+
+    def fmt(col):
+        return (
+            col.round(6).astype(str)
+            if col.dtype == np.float64
+            else col.astype(str)
+        )
+
+    lines = fmt(frame[keys[0]])
+    for k in keys[1:]:
+        lines = lines + "\t" + fmt(frame[k])
+    return lines
+
+
 def dataframe2star(data: pd.DataFrame, starFile, format: str = "v3") -> None:
     """DataFrame -> RELION star (v3 builds optics; else dissolves)
     (io.py:1099-1186)."""
@@ -645,9 +691,11 @@ def dataframe2star(data: pd.DataFrame, starFile, format: str = "v3") -> None:
     if format in ("v3", "relion3"):
         star_build_opticsgroup(data2)
         remove_invalid_opticsgroup_parameters(data2)
+        # classify on the CONVERTED frame: a cryoSPARC micrograph input
+        # only gains its rln columns in data2
         data_block_tag = (
             "data_micrographs"
-            if "rlnImageName" not in data and "rlnMicrographName" in data
+            if "rlnImageName" not in data2 and "rlnMicrographName" in data2
             else "data_particles"
         )
     else:
@@ -664,24 +712,12 @@ def dataframe2star(data: pd.DataFrame, starFile, format: str = "v3") -> None:
             keys = [k for k in optics.columns if k.startswith("rln")]
             for ki, k in enumerate(keys):
                 fp.write(f"_{k} #{ki + 1} \n")
-            lines = optics[keys[0]].astype(str)
-            for k in keys[1:]:
-                col = optics[k]
-                lines += "\t" + (
-                    col.round(6).astype(str) if col.dtype == np.float64 else col.astype(str)
-                )
-            fp.write("\n".join(lines) + "\n\n")
+            fp.write("\n".join(_star_column_lines(optics, keys)) + "\n\n")
         fp.write(f"\n{data_block_tag}\n\nloop_ \n")
         keys = [k for k in data2.columns if k.startswith("rln")]
         for ki, k in enumerate(keys):
             fp.write(f"_{k} #{ki + 1} \n")
-        lines = data2[keys[0]].astype(str)
-        for k in keys[1:]:
-            col = data2[k]
-            lines += "\t" + (
-                col.round(6).astype(str) if col.dtype == np.float64 else col.astype(str)
-            )
-        fp.write("\n".join(lines) + "\n")
+        fp.write("\n".join(_star_column_lines(data2, keys)) + "\n")
     finally:
         if close:
             fp.close()
@@ -1243,10 +1279,29 @@ def mrc2mrcs(data: pd.DataFrame) -> pd.DataFrame:
                 mapping[name] = str(mrcs_path)
                 continue
         folder = mrc_path.parent
-        if not os.access(str(folder), os.W_OK):
+        if mrcs_path.exists() or not os.access(str(folder), os.W_OK):
+            # an UNRELATED <stem>.mrcs already occupies the name (it was
+            # neither a symlink nor a hard link to our .mrc — checked
+            # above), or the folder is read-only: fall back to a local
+            # mrc2mrcs/ dir. Uniquify by the resolved path so two
+            # same-basename stacks from different folders cannot silently
+            # share one symlink.
+            import hashlib
+
             folder = Path("./mrc2mrcs")
             folder.mkdir(parents=True, exist_ok=True)
             mrcs_path = folder / (mrc_path.name + "s")
+            if mrcs_path.is_symlink() or mrcs_path.exists():
+                if (
+                    mrcs_path.is_symlink()
+                    and mrcs_path.resolve() == mrc_resolved
+                ):
+                    pass  # already ours
+                else:
+                    tag = hashlib.sha1(
+                        str(mrc_resolved).encode()
+                    ).hexdigest()[:8]
+                    mrcs_path = folder / f"{mrc_path.stem}-{tag}.mrcs"
         mapping[name] = str(mrcs_path)
         if not mrcs_path.exists():
             if mrcs_path.is_symlink():

@@ -285,11 +285,19 @@ def change_map_axes_order(data, header_or_order="zyx", new_axes=None):
         new_axes = ["x", "y", "z"]
     map_axes = {"x": 0, "y": 1, "z": 2}
     try:
-        current = [header.mapc - 1, header.mapr - 1, header.maps - 1]
+        # physical axis (0=X, 1=Y, 2=Z) stored along each numpy axis:
+        # numpy axis 0 = sections (maps), 1 = rows (mapr), 2 = cols (mapc)
+        cur_phys = [header.maps - 1, header.mapr - 1, header.mapc - 1]
     except AttributeError:
-        current = [0, 1, 2]
-    target = [map_axes[a] for a in new_axes]
-    data2 = np.moveaxis(np.asarray(data), current, target)
+        cur_phys = [2, 1, 0]
+    target = [map_axes[a] for a in new_axes]  # (mapc, mapr, maps) - 1 out
+    # DEVIATION from reference io_mrc.py:101-133, which computes
+    # moveaxis(data, [mapc-1, mapr-1, maps-1], [0, 1, 2]) — wrong for
+    # non-self-inverse orders (e.g. (2,1,3): a [Z][X][Y] map came back
+    # [X][Z][Y] instead of [Z][Y][X]). Correct: send the numpy axis
+    # holding physical axis q to the output position that stores q.
+    dest = [2 - target.index(q) for q in cur_phys]
+    data2 = np.moveaxis(np.asarray(data), [0, 1, 2], dest)
     import dataclasses
 
     header2 = dataclasses.replace(

@@ -136,6 +136,10 @@ def _strings_from_offsets(lib, body: bytes, starts, lens, nrows: int):
         import pyarrow as pa
 
         total = int(lens.sum())
+        if total > np.iinfo(np.int32).max:
+            # the Arrow gather uses int32 offsets; >2 GiB of string
+            # bytes would overflow them silently — decode loop instead
+            raise ImportError("string column exceeds int32 Arrow offsets")
         out = np.empty(max(total, 1), np.uint8)
         offs = np.empty(nrows + 1, np.int32)
         starts = np.ascontiguousarray(starts)
@@ -395,8 +399,19 @@ def _format_rows_native(df: pd.DataFrame) -> str | None:
                 dcols.append(vals)
                 kind[j] = 0
         elif pd.api.types.is_integer_dtype(s):
-            icols.append(s.to_numpy(np.int64))
-            kind[j] = 1
+            if (
+                pd.api.types.is_unsigned_integer_dtype(s)
+                and len(s)
+                and int(s.max()) > np.iinfo(np.int64).max
+            ):
+                # uint64 above 2^63 (cryoSPARC uids): to_numpy(int64)
+                # would WRAP to negative; format as strings instead,
+                # matching the pure-Python fallback
+                scols.append(s.astype(str))
+                kind[j] = 2
+            else:
+                icols.append(s.to_numpy(np.int64))
+                kind[j] = 1
         else:
             scols.append(s.astype(str))
             kind[j] = 2

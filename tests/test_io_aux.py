@@ -1,6 +1,7 @@
 """Tests for EPU/groups/EMDB-dataset io modules (mock-based, no network)."""
 
 import gzip
+import os
 from unittest import mock
 
 import numpy as np
@@ -597,4 +598,190 @@ def test_emdb_map_axis_order_normalized(tmp_path, monkeypatch):
     data, apix = ds.EMDB.read_emdb_map(emdb, "999")
     raw_data, _ = read_mrc(f)
     assert data.shape != raw_data.shape  # axes were permuted
-    np.testing.assert_allclose(data, np.moveaxis(raw_data, [1, 0, 2], [0, 1, 2]))
+    # (mapc, mapr, maps) = (2, 1, 3): cols hold Y, rows hold X, sections
+    # hold Z -> the stored [Z][X][Y] array canonicalizes to [Z][Y][X] by
+    # swapping the last two axes. (The reference's own formula swaps the
+    # FIRST two — a latent bug for non-self-inverse orders; documented
+    # deviation in change_map_axes_order.)
+    assert data.shape == (2, 4, 3)
+    np.testing.assert_allclose(data, np.moveaxis(raw_data, [0, 1, 2], [0, 2, 1]))
+
+
+def test_change_map_axes_order_non_self_inverse():
+    """(1,3,2) and (2,1,3) are not their own inverse permutations — the
+    reference formula scrambled them (documented deviation)."""
+    from helicon_tpu.io.mrc import MrcHeader, change_map_axes_order
+
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)  # Z,Y,X
+
+    def hdr(mapc, mapr, maps):
+        import dataclasses
+
+        h = MrcHeader.__new__(MrcHeader)
+        for f in dataclasses.fields(MrcHeader):
+            object.__setattr__(h, f.name, 0)
+        object.__setattr__(h, "mapc", mapc)
+        object.__setattr__(h, "mapr", mapr)
+        object.__setattr__(h, "maps", maps)
+        return h
+
+    # (2,1,3): stored [Z][X][Y]; feed the function that layout
+    stored = np.swapaxes(vol, 1, 2)  # [Z][X][Y]
+    out, h2 = change_map_axes_order(stored, hdr(2, 1, 3))
+    np.testing.assert_array_equal(out, vol)
+    assert (h2.mapc, h2.mapr, h2.maps) == (1, 2, 3)
+    # (1,3,2): stored [Y][Z][X]
+    stored = np.moveaxis(vol, [0, 1, 2], [1, 0, 2])  # [Y][Z][X]
+    out, _ = change_map_axes_order(stored, hdr(1, 3, 2))
+    np.testing.assert_array_equal(out, vol)
+    # (3,2,1): self-inverse [X][Y][Z]
+    stored = np.transpose(vol, (2, 1, 0))
+    out, _ = change_map_axes_order(stored, hdr(3, 2, 1))
+    np.testing.assert_array_equal(out, vol)
+
+
+def test_propagate_ctf_median_vector_columns():
+    """Vector-valued CTF fields (per-cell lists from cs2dataframe) used
+    to crash the median propagation with a broadcast error."""
+    import pandas as pd
+
+    from helicon_tpu.io.groups import propagate_ctf_median
+
+    df = pd.DataFrame(
+        {
+            "exp_group_id": [1, 1, 2],
+            "ctf/cs_mm": [2.7, 2.6, 2.0],
+            "ctf/shift_A": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+        }
+    )
+    propagate_ctf_median(df, "exp_group_id")
+    assert df["ctf/cs_mm"].tolist()[:2] == pytest.approx([2.65, 2.65])
+    assert df["ctf/shift_A"].iloc[0] == pytest.approx([2.0, 3.0])
+    assert df["ctf/shift_A"].iloc[1] == pytest.approx([2.0, 3.0])
+    assert df["ctf/shift_A"].iloc[2] == pytest.approx([5.0, 6.0])
+
+
+def test_set_pixel_size_from_image_header_source(tmp_path):
+    """setPixelSize must NOT overwrite rlnImageName when the pixel size
+    was sourced from the MRC header via the image-name column (a
+    documented deviation: the reference destroys every path)."""
+    import pandas as pd
+
+    from helicon_tpu.io.metadata import getPixelSize, setPixelSize
+    from helicon_tpu.io.mrc import write_mrc
+
+    stack = tmp_path / "s.mrcs"
+    write_mrc(stack, np.zeros((2, 8, 8), np.float32), apix=1.5)
+    df = pd.DataFrame({"rlnImageName": [f"{i+1:06d}@{stack}" for i in range(2)]})
+    df.attrs["source_path"] = str(tmp_path / "run.star")
+    apix, src = getPixelSize(df, return_pixelSize_source=True)
+    assert apix == pytest.approx(1.5) and src == "rlnImageName"
+    setPixelSize(df, 2.0)
+    assert df["rlnImageName"].iloc[0].startswith("000001@")  # intact
+    assert df["rlnImagePixelSize"].iloc[0] == pytest.approx(2.0)
+
+
+def test_mrc2mrcs_does_not_hijack_unrelated_mrcs(tmp_path, monkeypatch):
+    """A pre-existing UNRELATED <stem>.mrcs must not be silently adopted
+    as the particle stack; same-basename stacks from different read-only
+    folders must not share one fallback symlink."""
+    import pandas as pd
+
+    from helicon_tpu.io.metadata import mrc2mrcs
+    from helicon_tpu.io.mrc import write_mrc
+
+    monkeypatch.chdir(tmp_path)
+    d = tmp_path / "d"
+    d.mkdir()
+    write_mrc(d / "a.mrc", np.ones((2, 4, 4), np.float32), apix=1.0)
+    write_mrc(d / "a.mrcs", np.zeros((3, 4, 4), np.float32), apix=1.0)  # unrelated
+    df = pd.DataFrame({"rlnImageName": [f"000001@{d / 'a.mrc'}"]})
+    out = mrc2mrcs(df)
+    mapped = out["rlnImageName"].iloc[0].split("@")[-1]
+    assert mapped != str(d / "a.mrcs")  # NOT the unrelated file
+    assert os.path.realpath(mapped) == os.path.realpath(d / "a.mrc")
+
+    # basename collision in the ./mrc2mrcs fallback
+    e1, e2 = tmp_path / "ro1", tmp_path / "ro2"
+    e1.mkdir(); e2.mkdir()
+    write_mrc(e1 / "b.mrc", np.ones((1, 4, 4), np.float32), apix=1.0)
+    write_mrc(e2 / "b.mrc", np.zeros((1, 4, 4), np.float32), apix=1.0)
+    os.chmod(e1, 0o555); os.chmod(e2, 0o555)
+    try:
+        df2 = pd.DataFrame({
+            "rlnImageName": [f"000001@{e1 / 'b.mrc'}", f"000001@{e2 / 'b.mrc'}"]
+        })
+        out2 = mrc2mrcs(df2)
+        m1, m2 = [v.split("@")[-1] for v in out2["rlnImageName"]]
+        assert m1 != m2
+        assert os.path.realpath(m1) == os.path.realpath(e1 / "b.mrc")
+        assert os.path.realpath(m2) == os.path.realpath(e2 / "b.mrc")
+    finally:
+        os.chmod(e1, 0o755); os.chmod(e2, 0o755)
+
+
+def test_images2dataframe_renumbers_optics_groups(tmp_path):
+    """Two star files each using optics group 1 with different pixel
+    sizes: the merged frame must keep both parameter sets distinct."""
+    import pandas as pd
+
+    from helicon_tpu.io.metadata import dataframe2star, images2dataframe
+
+    for i, apix in enumerate((1.0, 2.0)):
+        df = pd.DataFrame({
+            "rlnImageName": [f"{j+1:06d}@stk_{i}.mrcs" for j in range(2)],
+            "rlnOpticsGroup": [1, 1],
+            "rlnImagePixelSize": [apix, apix],
+            "rlnVoltage": [300.0, 300.0],
+        })
+        dataframe2star(df, str(tmp_path / f"in{i}.star"), format="v3")
+    merged = images2dataframe(
+        [str(tmp_path / "in0.star"), str(tmp_path / "in1.star")],
+        ignore_bad_particle_path=2,
+    )
+    optics = merged.attrs["optics"]
+    groups = optics["rlnOpticsGroup"].astype(int).tolist()
+    assert len(set(groups)) == len(groups)  # unique ids
+    # each particle still resolves to its own file's pixel size
+    per_particle = [
+        float(optics.loc[optics["rlnOpticsGroup"].astype(int) == int(g),
+                         "rlnImagePixelSize"].iloc[0])
+        for g in merged["rlnOpticsGroup"]
+    ]
+    assert per_particle == [1.0, 1.0, 2.0, 2.0]
+
+
+def test_epu_beamshift_nonconforming_name_raises():
+    from helicon_tpu.io.epu import assign_beamshift_groups
+    from helicon_tpu.utils.exceptions import HeliconValueError
+
+    good = "FoilHole_123_Data_456_789_20240101_120000.mrc"
+    with pytest.raises(HeliconValueError, match="do not match"):
+        assign_beamshift_groups([good, "renamed_without_pattern.mrc"], "EPU")
+
+
+def test_dataframe2star_micrograph_block_tag_and_rounding(tmp_path):
+    """Block tag classifies on the CONVERTED frame; every float column
+    (including the first) is rounded to 6 digits."""
+    import pandas as pd
+
+    from helicon_tpu.io.metadata import dataframe2star
+
+    df = pd.DataFrame({
+        "micrograph_blob/path": ["m1.mrc", "m2.mrc"],
+        "mscope_params/accel_kv": [300.0, 300.0],
+    })
+    df.attrs["convention"] = "cryosparc"
+    out = tmp_path / "mics.star"
+    dataframe2star(df, str(out), format="v3")
+    text = out.read_text()
+    assert "data_micrographs" in text
+
+    df2 = pd.DataFrame({
+        "rlnDefocusU": [0.1 + 0.2],  # 0.30000000000000004 unrounded
+        "rlnDefocusV": [0.3],
+    })
+    df2.attrs["convention"] = "relion"
+    out2 = tmp_path / "p.star"
+    dataframe2star(df2, str(out2), format="v3")
+    assert "0.30000000000000004" not in out2.read_text()

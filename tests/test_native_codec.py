@@ -247,3 +247,21 @@ def test_multi_loop_block_preserves_both_tables():
     assert list(blocks["x"].columns) == ["c1", "c2"] and len(blocks["x"]) == 2
     assert list(blocks["x#loop2"].columns) == ["d1"]
     assert blocks["x#loop2"]["d1"].tolist() == [5, 6]
+
+
+def test_uint64_above_int63_not_wrapped(tmp_path):
+    """cryoSPARC uids above 2^63 must survive write_star regardless of
+    which formatter (C++ or Python) runs — int64 conversion wrapped
+    them to negative numbers on the native path."""
+    import pandas as pd
+
+    big = np.uint64(2**63 + 5)
+    df = pd.DataFrame({"rlnA": np.array([big, np.uint64(7)], np.uint64),
+                       "rlnB": [1.5, 2.5]})
+    out = tmp_path / "u.star"
+    write_star(out, {"particles": df})
+    text = out.read_text()
+    assert str(int(big)) in text
+    assert "-922337" not in text
+    back = read_star(out)["particles"]
+    assert int(back["rlnA"].iloc[0]) == int(big)
