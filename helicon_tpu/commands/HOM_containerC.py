@@ -286,6 +286,16 @@ def HelicalSegmentConsistency(
     group_cols = [
         c for c in ("rlnMicrographName", "rlnImageName") if c in data
     ][:1] + ["rlnHelicalTubeID"]
+    if group_cols == ["rlnHelicalTubeID"]:
+        # tube IDs restart at 1 per micrograph: without a micrograph or
+        # image column, same-numbered tubes from DIFFERENT micrographs
+        # would pool into one bogus wrapped-line fit
+        logger.warning(
+            "no rlnMicrographName/rlnImageName column: grouping by "
+            "rlnHelicalTubeID alone — if tube IDs are per-micrograph, "
+            "unrelated filaments will be pooled and the fits will be "
+            "meaningless"
+        )
     P = 360.0 / max(1, csym)
     slopes, sses, n_segments = [], [], []
     fits = []  # per-helix fit records (for the refit pass + reports)

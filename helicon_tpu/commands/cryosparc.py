@@ -46,32 +46,35 @@ def main(args: argparse.Namespace) -> None:
     if args.csFile:
         frames = []
         input_types = []
+        from helicon_tpu.io.cs import find_passthrough_file
+
         for f in args.csFile:
             cs = read_cs(f)
             df = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
-            pts = sorted(Path(f).parent.glob("*_passthrough_particles.cs")) or sorted(
-                Path(f).parent.glob("*_passthrough_exposures.cs")
+            is_particle = "blob/path" in df
+            # match the passthrough KIND to this input's type — an
+            # exposures input must not adopt a particles passthrough
+            prefer = (
+                ("particles", "exposures")
+                if is_particle
+                else ("exposures", "particles")
             )
-            # prefer the passthrough from THIS input's job (J9_particles
-            # -> J9_passthrough_*) — a different job's file merged by uid
-            # yields NaN/stale metadata
-            job = Path(f).stem.split("_")[0]
-            same_job = [p for p in pts if p.name.startswith(job + "_")]
-            if same_job:
-                pts = same_job
-            elif len(pts) > 1:
+            pt, warn = find_passthrough_file(f, prefer=prefer)
+            if pt is not None and warn:
                 logger.warning(
-                    "multiple passthrough files in %s; using %s for %s",
-                    Path(f).parent, pts[0].name, f,
+                    "using passthrough %s for %s — not from the same "
+                    "job; place the matching J*_passthrough_*.cs next "
+                    "to the input to override",
+                    pt.name, f,
                 )
-            if pts:
-                p = read_cs(pts[0])
+            if pt is not None:
+                p = read_cs(pt)
                 pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)
                 add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
                 if "uid" in pdf and "uid" in df:
                     df = df.merge(pdf[add], on="uid", how="left")
             frames.append(df)
-            input_types.append("particle" if "blob/path" in df else "exposure")
+            input_types.append("particle" if is_particle else "exposure")
     else:
         # live-server mode (reference cryosparc.py:78-96): connect, pull
         # each job's output group; gated on cryosparc-tools
@@ -91,21 +94,25 @@ def main(args: argparse.Namespace) -> None:
         project = cs_client.find_project(args.projectID)
         frames = []
         input_types = []
+        used_jobs = []  # (jobID, groupIndex) actually ingested — the
+        # write-back must connect exactly these, not skipped jobs
         for i, jobID in enumerate(args.jobID):
             input_job = cs_client.find_job(args.projectID, jobID)
             groups = input_job.doc["output_result_groups"]
             if len(groups) < 1:
                 logger.warning("%s has no output groups. Ignored", jobID)
                 continue
-            group = groups[args.groupIndex[i]]
+            gidx = args.groupIndex[i] if i < len(args.groupIndex) else 0
+            group = groups[gidx]
             ds = input_job.load_output(group["name"])
             frames.append(_dataset_to_dataframe(ds))
             input_types.append(group["type"])
+            used_jobs.append((jobID, gidx))
             if args.outputWorkspaceID is None:
                 args.outputWorkspaceID = input_job.doc["workspace_uids"][-1]
         if not frames:
             raise HeliconError("no input data")
-        server = (cs_client, project)
+        server = (cs_client, project, used_jobs)
     if len(set(input_types)) > 1:
         raise HeliconError(f"mixed input types: {input_types}")
     input_type = input_types[0]
@@ -137,8 +144,10 @@ def main(args: argparse.Namespace) -> None:
     index_d = {o: 0 for o in args.all_options}
     for option_name in args.all_options:
         if option_name in args.append_options:
+            # the plugin protocol increments index_d itself (dispatch
+            # returns it), exactly like the images2star/proc3d loops —
+            # incrementing here too would double-step repeated options
             param = args.__dict__[option_name][index_d[option_name]]
-            index_d[option_name] += 1
         else:
             param = args.__dict__[option_name]
         if args.verbose:
@@ -192,16 +201,18 @@ def _save_to_server(server, args, data, input_type, output_slots, output_title):
     group, declare an output with the touched slots, save the dataset."""
     from helicon_tpu.io.metadata import dataframe_to_cs_array
 
-    cs_client, project = server
+    cs_client, project, used_jobs = server
     target_input = "particles" if input_type == "particle" else "exposures"
     output_job = project.create_external_job(
         args.outputWorkspaceID,
         title="helicon cryosparc",
         desc=" ".join(sys.argv),
     )
-    for i, jobID in enumerate(args.jobID):
+    # connect only the jobs that were actually ingested — a jobID main
+    # skipped (no output groups) would IndexError here
+    for jobID, gidx in used_jobs:
         input_job = cs_client.find_job(args.projectID, jobID)
-        group = input_job.doc["output_result_groups"][args.groupIndex[i]]
+        group = input_job.doc["output_result_groups"][gidx]
         output_job.connect(
             target_input=target_input,
             source_job_uid=jobID,
@@ -259,6 +270,14 @@ def check_args(args, parser):
         a.dest for a in parser._actions if type(a) is argparse._AppendAction
     ]
     all_options = get_option_list(sys.argv[1:])
+    # argparse (allow_abbrev) accepts unique prefixes; resolve them so
+    # the execution plan carries FULL option names (an abbreviation
+    # reaching dispatch() crashed mid-pipeline after data load)
+    from helicon_tpu.utils.system import resolve_option_abbreviations
+
+    all_options = resolve_option_abbreviations(
+        all_options, [a.dest for a in parser._actions]
+    )
     skip = (
         "cpu csFile output_csFile projectID jobID groupIndex saveLocal "
         "verbose outputWorkspaceID"

@@ -203,14 +203,18 @@ def _split_and_save(data, optics, args):
             data.attrs.update(attrs)
         for si in range(args.splitNumSets):
             subsets[si] = list(range(si, len(data), args.splitNumSets))
-    prefix = Path(args.output_starFile).stem
-    suffix = Path(args.output_starFile).suffix
+    out = Path(args.output_starFile)
+    # keep the output DIRECTORY: bare .stem would drop "results/" and
+    # write the subsets into the CWD (a reference-inherited misplacement)
+    prefix, suffix = out.parent / out.stem, out.suffix
     for si, subset in enumerate(subsets):
         if args.splitNumSets == 2 and args.splitMode == "evenodd":
             name = f"{prefix}.{['e', 'o'][si]}{suffix}"
         else:
             name = f"{prefix}.subset-{si}{suffix}"
-        ds = data.iloc[subset, :].sort_values(["rlnImageName"], ascending=True)
+        ds = data.iloc[subset, :]
+        if "rlnImageName" in ds:
+            ds = ds.sort_values(["rlnImageName"], ascending=True)
         ds = ds.reset_index(drop=True)
         ds["rlnRandomSubset"] = si + 1
         ds.attrs["optics"] = optics
@@ -269,6 +273,14 @@ def check_args(args, parser):
         a.dest for a in parser._actions if type(a) is argparse._AppendAction
     ]
     all_options = get_option_list(sys.argv[1:])
+    # argparse (allow_abbrev) accepts unique prefixes; resolve them so
+    # the execution plan carries FULL option names (an abbreviation
+    # reaching dispatch() crashed mid-pipeline after data load)
+    from helicon_tpu.utils.system import resolve_option_abbreviations
+
+    all_options = resolve_option_abbreviations(
+        all_options, [a.dest for a in parser._actions]
+    )
     skip = (
         "cpu first force ignoreBadParticlePath ignoreBadMicrographPath last "
         "folder splitNumSets splitMode micrographStar tag verbose "

@@ -96,6 +96,14 @@ def check_args(args, parser):
         a.dest for a in parser._actions if type(a) is argparse._AppendAction
     ]
     all_options = get_option_list(sys.argv[1:])
+    # argparse (allow_abbrev) accepts unique prefixes; resolve them so
+    # the execution plan carries FULL option names (an abbreviation
+    # reaching dispatch() crashed mid-pipeline after data load)
+    from helicon_tpu.utils.system import resolve_option_abbreviations
+
+    all_options = resolve_option_abbreviations(
+        all_options, [a.dest for a in parser._actions]
+    )
     # get_option_list yields FLAG names ("outputMapFile"), not argparse
     # dests ("outputMapFile_opt") — excluding only the dest let the
     # supported --outputMapFile flag reach dispatch() as an unknown

@@ -192,23 +192,23 @@ def _load(csFile, pass_through=None):
     cs = read_cs(csFile)
     df = pd.DataFrame.from_records(cs.tolist(), columns=cs.dtype.names)
     if pass_through:
-        pts = [Path(pass_through)]
+        pt = Path(pass_through)
+        if not pt.exists():
+            raise HeliconError(
+                f"passthrough file {pass_through} does not exist "
+                "(-pt1/-pt2) — refusing to silently continue without it"
+            )
     else:
-        # auto-discover: prefer a passthrough sharing this input's job
-        # prefix (J9_particles.cs -> J9_passthrough_particles.cs); a
-        # different job's file merged by uid yields NaN/stale metadata
-        stem = Path(csFile).stem
-        job = stem.split("_")[0]
-        cand = sorted(Path(csFile).parent.glob("*_passthrough_particles.cs"))
-        same_job = [p for p in cand if p.name.startswith(job + "_")]
-        pts = same_job or cand
-        if len(pts) > 1 or (pts and not same_job):
+        from helicon_tpu.io.cs import find_passthrough_file
+
+        pt, warn = find_passthrough_file(csFile, prefer=("particles",))
+        if pt is not None and warn:
             logger.warning(
                 "using passthrough %s for %s — pass -pt1/-pt2 to override",
-                pts[0], csFile,
+                pt, csFile,
             )
-    if pts and pts[0].exists():
-        p = read_cs(pts[0])
+    if pt is not None:
+        p = read_cs(pt)
         pdf = pd.DataFrame.from_records(p.tolist(), columns=p.dtype.names)
         add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
         df = df.merge(pdf[add], on="uid", how="left")

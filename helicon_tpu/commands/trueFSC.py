@@ -227,6 +227,26 @@ def main(args):
     plot_fsc(fsc_curves, args.plotFile,
              sections=[("Map 1", map1, m1), ("Map 2", map2, m2)])
     logger.info("Saved FSC plot: %s", args.plotFile)
+    if args.showPlot:
+        # open the saved plot in a viewer (reference trueFSC.py:396-423);
+        # argv list + shell=False, fire-and-forget
+        import subprocess
+
+        if str(args.plotFile).lower().endswith(".pdf"):
+            viewers = ["evince", "okular", "zathura", "xpdf", "open"]
+        else:
+            viewers = ["xdg-open", "open"]
+        for viewer in viewers:
+            try:
+                subprocess.Popen([viewer, str(args.plotFile)])
+                logger.info("Opening %s...", args.plotFile)
+                break
+            except FileNotFoundError:
+                continue
+        else:
+            logger.warning(
+                "No viewer found; open %s manually", args.plotFile
+            )
     print(f"trueFSC resolution at FSC=0.143: {res_true:.2f} A")
 
 

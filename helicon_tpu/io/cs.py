@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_cs", "write_cs"]
+__all__ = ["read_cs", "write_cs", "find_passthrough_file"]
 
 _NUMPY_MAGIC = b"\x93NUMPY"
 _CSDAT_MAGIC = b"\x94CSDAT"
@@ -32,6 +32,35 @@ def read_cs(path) -> np.ndarray:
             "cryoSPARC (Dataset.save with NUMPY format) first"
         )
     raise ValueError(f"{path}: not a recognized .cs file (magic {magic!r})")
+
+
+def find_passthrough_file(cs_path, prefer=("particles", "exposures")):
+    """Auto-discover the passthrough .cs next to a CryoSPARC output.
+
+    Shared by `helicon cryosparc` and `helicon symmetry_mismatch` (the
+    two drivers used to carry divergent near-copies of this logic).
+    Preference order: a passthrough sharing the input's job prefix
+    (J9_particles.cs -> J9_passthrough_*.cs), trying `prefer` kinds in
+    order. A candidate from a DIFFERENT job is returned only with
+    warn=True — merging another job's passthrough by uid yields
+    NaN/stale metadata, so callers must log it and offer an override.
+
+    Returns (path_or_None, warn: bool).
+    """
+    p = Path(cs_path)
+    job = p.stem.split("_")[0]
+    cands: list[Path] = []
+    for kind in prefer:
+        kind_cands = sorted(p.parent.glob(f"*_passthrough_{kind}.cs"))
+        same_job = [c for c in kind_cands if c.name.startswith(job + "_")]
+        if same_job:
+            # unambiguous: same job, preferred kind (warn only if this
+            # kind somehow has several same-job files)
+            return same_job[0], len(same_job) > 1
+        cands.extend(kind_cands)
+    if cands:
+        return cands[0], True
+    return None, False
 
 
 def write_cs(path, data: np.ndarray):

@@ -53,6 +53,28 @@ def get_option_list(argv: list[str]) -> list[str]:
     return names
 
 
+def resolve_option_abbreviations(options, known):
+    """Map argparse-abbreviated option names back to their full names.
+
+    argparse (allow_abbrev=True) accepts e.g. ``--sortb`` for
+    ``--sortby`` and stores the value under the full dest, but
+    get_option_list() reads the literal sys.argv token — dispatching the
+    abbreviation mid-pipeline would crash with 'Unknown option' AFTER
+    the input data has been loaded. Resolve unique prefixes up front;
+    ambiguous or unknown names are returned unchanged for the caller's
+    own validation to reject early.
+    """
+    known = list(known)
+    resolved = []
+    for name in options:
+        if name in known:
+            resolved.append(name)
+            continue
+        matches = [k for k in known if k.startswith(name)]
+        resolved.append(matches[0] if len(matches) == 1 else name)
+    return resolved
+
+
 def _coerce_value(v: str) -> Any:
     if v.lower() == "true":
         return 1

@@ -531,3 +531,41 @@ def test_cli_proc3d_output_flag_form(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "out.mrc").exists()
+
+
+def test_cli_abbreviated_option_resolves(tmp_path):
+    """argparse accepts --sortb for --sortby; the execution plan must
+    carry the FULL name instead of crashing mid-pipeline."""
+    df = pd.DataFrame({
+        "rlnImageName": [f"{i+1:06d}@s.mrcs" for i in range(3)],
+        "rlnDefocusU": [3.0, 1.0, 2.0],
+    })
+    dataframe2file(df, str(tmp_path / "in.star"))
+    touch_stacks(tmp_path, df)
+    r = run_cli("images2star", "in.star", "out.star", "--sortb",
+                "rlnDefocusU", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    from helicon_tpu.io.metadata import star2dataframe
+
+    out = star2dataframe(str(tmp_path / "out.star"),
+                         ignore_bad_particle_path=2)
+    assert out["rlnDefocusU"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_cli_split_respects_output_directory(tmp_path):
+    """--splitNumSets subset files must land in the requested output
+    directory (bare .stem dropped it), and a micrographs-only input
+    (no rlnImageName) must not crash the per-subset sort."""
+    df = pd.DataFrame({
+        "rlnMicrographName": [f"m{i%4}.mrc" for i in range(8)],
+        "rlnDefocusU": np.arange(8.0),
+    })
+    dataframe2file(df, str(tmp_path / "in.star"))
+    (tmp_path / "results").mkdir()
+    r = run_cli("images2star", "in.star", "results/out.star",
+                "--splitNumSets", "2", "--splitMode", "micrograph",
+                "--ignoreBadMicrographPath", "1", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    subs = sorted((tmp_path / "results").glob("out.subset-*.star"))
+    assert len(subs) == 2, list(tmp_path.iterdir())
+    assert not list(tmp_path.glob("out.subset-*.star"))  # not in CWD

@@ -223,3 +223,27 @@ def test_check_args_validation():
         args = parser.parse_args(["--projectID", "P1", "--jobID", "J1", "J2"])
         args = check_args(args, parser)
         assert args.groupIndex == [0, 0]
+
+
+def test_writeback_skips_jobs_without_output_groups(
+    fake_cryosparc_tools, monkeypatch
+):
+    """A jobID whose job has no output groups is skipped during ingest;
+    the write-back must connect only the ingested jobs (it used to
+    IndexError on the skipped one after the pipeline had run)."""
+    import helicon_tpu.commands.cryosparc as cmd
+
+    empty = FakeJob("J0", None)
+    empty.doc["output_result_groups"] = []
+    fake = FakeCS({"J0": empty, "J1": FakeJob("J1", _particles_array())})
+    monkeypatch.setattr(
+        "helicon_tpu.io.metadata.connect_cryosparc", lambda *a, **k: fake
+    )
+    args = _args(
+        jobID=["J0", "J1"], groupIndex=[0, 0],
+        all_options=["resetExposureGroups"], resetExposureGroups=1,
+    )
+    cmd.main(args)
+    (job,) = fake.project.external_jobs
+    assert job.started and job.stopped
+    assert [c["source_job_uid"] for c in job.connects] == ["J1"]

@@ -313,3 +313,64 @@ def test_short_helices_not_marked_consistent():
     mask_short = out["rlnMicrographName"] == "mShort.mrc"
     assert (out.loc[mask_short, "rlnHelicalConsistencyGood"] == 0).all()
     assert (out.loc[~mask_short, "rlnHelicalConsistencyGood"] == 1).mean() > 0.9
+
+
+def test_symmetry_mismatch_missing_explicit_passthrough_raises(tmp_path):
+    """A typo'd -pt1/-pt2 path must raise, not silently skip the merge."""
+    import numpy as np
+
+    from helicon_tpu.commands.symmetry_mismatch import _load
+    from helicon_tpu.io.cs import write_cs
+    from helicon_tpu.utils.exceptions import HeliconError
+
+    arr = np.zeros(2, dtype=[("uid", "<u8"), ("blob/path", "S20")])
+    f = tmp_path / "J9_particles.cs"
+    write_cs(f, arr)
+    with pytest.raises(HeliconError, match="does not exist"):
+        _load(str(f), pass_through=str(tmp_path / "typo.cs"))
+
+
+def test_find_passthrough_prefers_same_job(tmp_path):
+    """Auto-discovery prefers the input's own job; a different job's
+    passthrough is flagged for a warning, and the kind preference is
+    honored (exposures input must not adopt a particles passthrough)."""
+    import numpy as np
+
+    from helicon_tpu.io.cs import find_passthrough_file, write_cs
+
+    arr = np.zeros(1, dtype=[("uid", "<u8")])
+    for name in ("J9_passthrough_particles.cs", "J5_passthrough_particles.cs",
+                 "J9_passthrough_exposures.cs"):
+        write_cs(tmp_path / name, arr)
+    pt, warn = find_passthrough_file(tmp_path / "J9_particles.cs",
+                                     prefer=("particles",))
+    assert pt.name == "J9_passthrough_particles.cs" and not warn
+    pt, warn = find_passthrough_file(tmp_path / "J9_exposures.cs",
+                                     prefer=("exposures", "particles"))
+    assert pt.name == "J9_passthrough_exposures.cs" and not warn
+    pt, warn = find_passthrough_file(tmp_path / "J7_particles.cs",
+                                     prefer=("particles",))
+    assert pt is not None and warn  # different job: caller must warn
+
+
+def test_hom_warns_on_tube_only_grouping(caplog):
+    """Grouping by rlnHelicalTubeID alone (no micrograph/image column)
+    pools unrelated filaments — a loud warning is required."""
+    import logging
+
+    import numpy as np
+    import pandas as pd
+
+    from helicon_tpu.commands.HOM_containerC import HelicalSegmentConsistency
+
+    rng = np.random.default_rng(0)
+    n = 24
+    df = pd.DataFrame({
+        "rlnHelicalTubeID": [1] * n,
+        "rlnAngleRot": rng.uniform(0, 360, n),
+        "rlnHelicalTrackLengthAngst": np.arange(n) * 50.0,
+    })
+    with caplog.at_level(logging.WARNING,
+                         logger="helicon_tpu.commands.HOM_containerC"):
+        HelicalSegmentConsistency(df)
+    assert any("pooled" in r.message for r in caplog.records)
