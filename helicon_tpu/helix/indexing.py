@@ -40,7 +40,8 @@ def bessel_first_peak_x(n: int) -> float:
     """Position of the first maximum of |J_n(x)| (n >= 0).
 
     J_0 peaks at x=0; for n >= 1 the standard asymptotic
-    x ~= n + 0.8086434 n^(1/3) is accurate to <1% for n >= 1.
+    x ~= n + 0.8086434 n^(1/3) is accurate to ~2% at n = 1
+    (1.8086 vs the true 1.8412) and <1% for n >= 3.
     """
     n = abs(int(n))
     if n == 0:
@@ -127,10 +128,10 @@ def detect_layer_lines(
     on = _peak_rows(merid_prof)
 
     lines = []
+    off_px = {}  # row -> off-meridian argmax, reused by the ghost filter
     for key, (p, inten) in sorted(off.items()):
-        row = pwr[p].copy()
-        row[max(0, cx - 1) : cx + 2] = 0.0
-        px = int(np.argmax(row))
+        px = int(np.argmax(_masked_row(pwr, p, cx)))
+        off_px[p] = px
         r_peak = abs(float(sx[px]))
         n_est = None
         if radius is not None and radius > 0:
@@ -152,7 +153,7 @@ def detect_layer_lines(
         r_ghost = 4.0 * df
     ghost_Z = {
         k for k, (p, _) in off.items()
-        if 0 < abs(float(sx[np.argmax(_masked_row(pwr, p, cx))])) < r_ghost
+        if 0 < abs(float(sx[off_px[p]])) < r_ghost
     }
     for key, (p, inten) in sorted(on.items()):
         # a meridional line must beat the off-meridian peak on its row
@@ -314,10 +315,14 @@ def estimate_helical_parameters(
             )
     if not pitches:
         for rise, mline in rises:
+            # only the rise family was detected: the twist is UNRESOLVED
+            # (NaN, like the mirrored pitch-only branch) — reporting 0.0
+            # here would present an unmeasured twist as a definite value
             candidates.append(
                 dict(
-                    twist=0.0, rise=rise, pitch=math.inf, csym=csym,
-                    Z_rise=mline.Z, Z_pitch=0.0, support=mline.intensity,
+                    twist=math.nan, rise=rise, pitch=math.nan, csym=csym,
+                    Z_rise=mline.Z, Z_pitch=math.nan,
+                    support=mline.intensity,
                 )
             )
     candidates.sort(key=lambda c: -c["support"])

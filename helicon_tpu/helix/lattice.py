@@ -42,6 +42,13 @@ def helical_lattice_points(
     """
     if length is None:
         length = (n_units if n_units else 10) * abs(rise) * 2
+    if length > 0 and abs(rise) < length * 1e-6:
+        from ..utils.exceptions import HeliconValueError
+
+        raise HeliconValueError(
+            f"rise={rise} is degenerate for length={length}: the rung "
+            "count length/rise would explode (all subunits sit at z=0)"
+        )
     hmax = max(1, int(math.ceil(length / 2.0 / max(abs(rise), 1e-6))))
     circ = 2.0 * math.pi * radius
     pts = []

@@ -42,7 +42,12 @@ def estimate_pitch_from_pair_distances(
     """
     from scipy.signal import find_peaks
 
-    d = np.asarray(list(distances), float)
+    distances = (
+        np.fromiter(distances, float)
+        if not isinstance(distances, (np.ndarray, list, tuple))
+        else distances
+    )
+    d = np.asarray(distances, float).ravel()
     if max_pair_dist is not None and max_pair_dist > 0:
         d = d[d <= max_pair_dist]
     if d.size < 4:

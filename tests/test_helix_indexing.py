@@ -262,3 +262,35 @@ def test_harmonic_support_excludes_equator_neighbors():
     h2 = LayerLine(Z=0.2, intensity=5.0, r_peak=0.01)       # k = 2 exactly
     assert _harmonic_support(10.0, [spur]) == 0.0
     assert _harmonic_support(10.0, [spur, h2]) == 5.0
+
+
+def test_rise_only_candidates_mark_twist_unresolved():
+    """When only meridional (rise) lines are detected, the twist is NOT
+    measured: candidates must carry NaN, not a fake definite 0.0."""
+    import math
+
+    from helicon_tpu.helix.indexing import estimate_helical_parameters
+
+    ny = nx = 64
+    apix = 1.0
+    rng = np.random.default_rng(0)
+    pwr = rng.random((ny, nx)) * 0.01 + 1.0
+    sy = np.fft.fftshift(np.fft.fftfreq(ny, d=apix))
+    p = int(np.argmin(np.abs(sy - 1.0 / 4.0)))  # rise = 4 A line
+    cx = nx // 2
+    pwr[p, cx] = 50.0
+    pwr[ny - p, cx] = 50.0
+    out = estimate_helical_parameters(pwr=pwr, apix=apix)
+    assert out["candidates"], "rise line should yield a candidate"
+    c = out["candidates"][0]
+    assert math.isnan(c["twist"]) and math.isnan(c["pitch"])
+    assert c["rise"] == pytest.approx(4.0, rel=0.05)
+
+
+def test_lattice_degenerate_rise_raises():
+    from helicon_tpu.helix.lattice import helical_lattice_points
+    from helicon_tpu.utils.exceptions import HeliconValueError
+
+    with pytest.raises(HeliconValueError, match="degenerate"):
+        helical_lattice_points(twist=30.0, rise=0.0, radius=50.0,
+                               length=100.0)
