@@ -61,7 +61,9 @@ def _compile(src: pathlib.Path) -> pathlib.Path | None:
 def load_star_codec():
     """ctypes handle to the STAR codec, or None (pure-Python fallback)."""
     global _CODEC
-    if os.environ.get("HELICON_NO_NATIVE"):
+    # flag semantics: "0" / "false" / "" mean ENABLED (a user exporting
+    # HELICON_NO_NATIVE=0 to opt in must not silently lose the codec)
+    if os.environ.get("HELICON_NO_NATIVE", "").lower() not in ("", "0", "false"):
         return None
     with _LOCK:
         if _CODEC is None:

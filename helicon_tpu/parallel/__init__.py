@@ -47,8 +47,9 @@ def image_candidate_mesh(devices=None, n_image_shards: int | None = None) -> Mes
             and n % (n_image_shards * 2) == 0
         ):
             n_image_shards *= 2
-        if n % 2 == 0 and n_image_shards == 1 and n > 1:
-            n_image_shards = 2
+        # (no n=2 special case: the documented rule gives a 1x2 mesh —
+        # both chips on the candidate axis — which is what a
+        # single-image batch on a 2-chip host actually wants)
     assert n % n_image_shards == 0, (n, n_image_shards)
     grid = np.asarray(devices).reshape(n_image_shards, n // n_image_shards)
     return Mesh(grid, ("images", "candidates"))

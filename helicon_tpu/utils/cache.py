@@ -113,10 +113,14 @@ def cache(cache_dir=None, ignore=None, expires_after: float | None = None, verbo
             d = Path(cache_dir) if cache_dir is not None else setup_cache_dir()
             d.mkdir(parents=True, exist_ok=True)
             mem = _ExpiringMemory(d, expires_after, verbose=verbose)
-        except OSError:
+        except (OSError, ImportError):
+            # unwritable cache dir OR joblib absent (it is an optional
+            # dependency): degrade to pass-through, never crash imports
             mem = DummyMemory()
         cached_func = mem.cache(func, ignore=ignore)
-        functools.update_wrapper(cached_func, func)
+        if cached_func is not func:  # update_wrapper(func, func) would
+            # set a self-referential __wrapped__ that breaks inspect
+            functools.update_wrapper(cached_func, func)
         return cached_func
 
     return decorator

@@ -54,6 +54,8 @@ def getLogger(
     """
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
+    for h in logger.handlers:  # close old file handlers: clear() alone
+        h.close()  # leaks one fd per getLogger(logfile=...) call
     logger.handlers.clear()
 
     console = logging.StreamHandler()

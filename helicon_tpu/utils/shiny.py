@@ -168,14 +168,48 @@ def get_client_url(input):
 
 
 def file_selection_ui(label="Select a file", value=None, width="100%"):
-    """Browse-popover file selector UI (reference lib/shiny.py:343-397)."""
-    shiny = _require_shiny()
+    """Browse-popover file selector UI (reference lib/shiny.py:343-397):
+    a Browse popover holding the current directory, a sub-directory
+    navigator, and a file picker, next to the editable path field."""
+    _require_shiny()
+    from pathlib import Path
+
     from shiny import ui
 
+    start_dir = str(Path(value).parent) if value else str(Path.cwd())
     return ui.div(
-        ui.input_text("file_selection_path", label, value=value or "",
-                      width=width),
-        ui.input_action_button("file_selection_browse", "Browse"),
+        ui.popover(
+            ui.input_action_button(
+                "file_selection_browse", "Browse",
+                style="height: 30px; --bs-btn-padding-y: 0",
+            ),
+            ui.input_text(
+                "file_selection_dir", "Current directory",
+                value=start_dir, width="100%",
+            ),
+            ui.layout_column_wrap(
+                ui.input_select(
+                    "file_selection_subdir", "Go to a sub-directory",
+                    choices=[], width="100%",
+                ),
+                ui.input_select(
+                    "file_selection_file", "Select a file",
+                    choices=[Path(value).name] if value else [],
+                    selected=Path(value).name if value else None,
+                    width="100%",
+                ),
+                width="100%",
+            ),
+            title=label,
+            width="100%",
+        ),
+        ui.input_text(
+            "file_selection_path", label, value=value or "", width=width
+        ),
+        style=(
+            "display: flex; flex-flow: row; align-items: stretch; "
+            f"gap: 2px; margin: 0; padding: 0; width: {width};"
+        ),
     )
 
 
@@ -183,21 +217,76 @@ def file_selection_server(
     input, output, session, file_types=None, ignore_hidden_files=True
 ):
     """Server half of the file selector (reference lib/shiny.py:398-523):
-    returns a reactive calc yielding the selected path."""
-    shiny = _require_shiny()
-    from shiny import reactive
+    wires the popover's directory/file navigation and returns a reactive
+    calc yielding the validated selected path."""
+    _require_shiny()
+    from pathlib import Path
+
+    from shiny import reactive, req, ui
+
+    if file_types and isinstance(file_types, str):
+        file_types = [file_types]
+
+    def _visible(entries):
+        return [
+            e for e in entries if not (ignore_hidden_files and e.startswith("."))
+        ]
+
+    @reactive.effect
+    @reactive.event(input.file_selection_dir)
+    def _update_listing():
+        p = Path(input.file_selection_dir())
+        req(p.is_dir())
+        try:
+            names = sorted(e.name for e in p.iterdir())
+        except OSError:
+            ui.modal_show(
+                ui.modal(
+                    f"{p}: failed to list the directory.",
+                    title="Folder access error", easy_close=True, footer=None,
+                )
+            )
+            return
+        dirs = _visible([n for n in names if (p / n).is_dir()])
+        files = _visible([n for n in names if (p / n).is_file()])
+        if file_types:
+            files = [f for f in files if any(f.endswith(t) for t in file_types)]
+        ui.update_select(
+            "file_selection_subdir", choices=[".", ".."] + dirs, selected="."
+        )
+        cur = Path(input.file_selection_path() or "")
+        keep = cur.name if cur.parent == p and cur.name in files else None
+        ui.update_select(
+            "file_selection_file", choices=files,
+            selected=keep or (files[0] if files else None),
+        )
+
+    @reactive.effect
+    @reactive.event(input.file_selection_subdir)
+    def _navigate():
+        sub = input.file_selection_subdir()
+        req(sub and sub != ".")
+        target = (Path(input.file_selection_dir()) / sub).resolve()
+        if target.is_dir():
+            ui.update_text("file_selection_dir", value=str(target))
+
+    @reactive.effect
+    @reactive.event(input.file_selection_file)
+    def _pick():
+        f = input.file_selection_file()
+        req(f)
+        ui.update_text(
+            "file_selection_path",
+            value=str(Path(input.file_selection_dir()) / f),
+        )
 
     @reactive.calc
     def selected_file():
         path = input.file_selection_path()
         if not path:
             return None
-        if file_types:
-            types = [file_types] if isinstance(file_types, str) else file_types
-            if not any(str(path).endswith(t) for t in types):
-                return None
-        from pathlib import Path
-
+        if file_types and not any(str(path).endswith(t) for t in file_types):
+            return None
         p = Path(path)
         if ignore_hidden_files and p.name.startswith("."):
             return None

@@ -314,8 +314,10 @@ def get_context_function_name(level: int = 1) -> str:
     """Name of the calling function (reference system.py helper)."""
     import inspect
 
+    # currentframe() is THIS helper's frame: level=1 means one f_back
+    # hop — the function that called us (reference: inspect.stack()[1])
     frame = inspect.currentframe()
-    for _ in range(level + 1):
+    for _ in range(level):
         if frame is None:
             return ""
         frame = frame.f_back

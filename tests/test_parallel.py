@@ -94,3 +94,19 @@ def test_image_candidate_mesh_factorization():
     # explicit factorization
     mesh2 = image_candidate_mesh(devices, n_image_shards=len(devices))
     assert mesh2.devices.shape == (len(devices), 1)
+
+
+def test_image_candidate_mesh_two_devices_candidate_parallel():
+    """n=2 follows the documented rule: 1 image shard x 2 candidate
+    shards (a forced 2x1 mesh left the candidate grid unsharded)."""
+    import jax
+
+    from helicon_tpu.parallel import image_candidate_mesh
+
+    devices = jax.devices()[:2]
+    if len(devices) < 2:
+        import pytest
+
+        pytest.skip("needs 2 devices")
+    mesh = image_candidate_mesh(devices)
+    assert mesh.devices.shape == (1, 2)

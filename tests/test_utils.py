@@ -217,3 +217,57 @@ def test_timedelta2string_accepts_plain_seconds():
     assert timedelta2string(3723.0) == timedelta2string(
         datetime.timedelta(seconds=3723)
     )
+
+
+def test_cache_decorator_degrades_without_joblib(monkeypatch, tmp_path):
+    """joblib is optional: its absence must degrade to pass-through, and
+    the DummyMemory path must not create an inspect wrapper loop."""
+    import builtins
+    import importlib
+    import inspect
+
+    c = importlib.import_module("helicon_tpu.utils.cache")
+
+    real_import = builtins.__import__
+
+    def no_joblib(name, *a, **k):
+        if name == "joblib" or name.startswith("joblib."):
+            raise ImportError("blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_joblib)
+
+    @c.cache(cache_dir=tmp_path / "cc")
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    inspect.signature(f)  # must not raise 'wrapper loop'
+    inspect.unwrap(f)
+
+
+def test_get_context_function_name_names_the_caller():
+    from helicon_tpu.utils.system import get_context_function_name
+
+    def inner():
+        return get_context_function_name()
+
+    def outer():
+        return inner()
+
+    assert outer() == "inner"
+
+
+def test_helicon_no_native_zero_means_enabled(monkeypatch):
+    """HELICON_NO_NATIVE=0/false means the native codec stays ENABLED."""
+    import helicon_tpu.native as native
+
+    monkeypatch.setenv("HELICON_NO_NATIVE", "1")
+    assert native.load_star_codec() is None
+    monkeypatch.setenv("HELICON_NO_NATIVE", "0")
+    # returns the codec handle or None-if-uncompilable, but must NOT be
+    # rejected by the env check itself: compare against the unset case
+    monkeypatch.setenv("HELICON_NO_NATIVE", "")
+    unset_result = native.load_star_codec()
+    monkeypatch.setenv("HELICON_NO_NATIVE", "0")
+    assert type(native.load_star_codec()) is type(unset_result)
