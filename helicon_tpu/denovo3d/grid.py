@@ -452,7 +452,13 @@ def reconstruct_grid(
     else:
         put = jnp.asarray
 
-    scores = np.zeros(n_cand, np.float32)
+    # incremental mode marks unscored candidates with -inf so consumers
+    # (the web app's ranked snapshots) can distinguish "not yet scored"
+    # from a legitimate 0.0 score; a full run overwrites every entry
+    incremental_mode = progress_callback is not None or should_abort is not None
+    scores = np.full(
+        n_cand, -np.inf if incremental_mode else 0.0, np.float32
+    )
     from concurrent.futures import ThreadPoolExecutor
 
     copy_cache: dict = {}
@@ -694,7 +700,10 @@ def _reconstruct_grid_bucketed(
     geometries; the bench is single-bucket).
     """
     n_cand = len(twists)
-    scores = np.zeros(n_cand, np.float32)
+    incremental_mode = progress_callback is not None or should_abort is not None
+    scores = np.full(
+        n_cand, -np.inf if incremental_mode else 0.0, np.float32
+    )
     merged_refined: dict = {}
     best_sub = None
     best_score = -np.inf

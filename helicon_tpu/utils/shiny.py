@@ -19,9 +19,22 @@ __all__ = [
     "google_analytics",
     "image_gallery",
     "image_select",
+    "int_or",
+    "numeric_or",
     "server_file_browser",
     "set_client_url_query_params",
 ]
+
+
+def numeric_or(value, default=0.0) -> float:
+    """Shiny numeric-input value -> float; a CLEARED field returns None
+    (float(None) inside a reactive effect kills the whole session)."""
+    return default if value is None else float(value)
+
+
+def int_or(value, default=0) -> int:
+    """Shiny numeric-input value -> int; None (cleared field) -> default."""
+    return default if value is None else int(value)
 
 
 def _require_shiny():

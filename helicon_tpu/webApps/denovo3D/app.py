@@ -71,13 +71,10 @@ _abort_flag = threading.Event()
 _progress_holder: dict = {"snap": None, "done": False}
 
 
-def _num(v, default=0.0):
-    """Numeric input -> float; shiny returns None for a cleared field."""
-    return default if v is None else float(v)
-
-
-def _int(v, default=0):
-    return default if v is None else int(v)
+from helicon_tpu.utils.shiny import (  # shared None-safe input coercers
+    int_or as _int,
+    numeric_or as _num,
+)
 
 
 def _selected_images():
@@ -460,11 +457,26 @@ def start_reconstruction():
     req(img is not None)
     t0, t1 = input.twist_range()
     r0, r1 = input.rise_range()
+    twist_step = _num(input.twist_step(), 1.0)
+    rise_step = _num(input.rise_step(), 0.25)
+    if twist_step <= 0 or rise_step <= 0:
+        # np.arange with step 0 raises ZeroDivisionError inside the
+        # effect (fatal to the session); a negative step yields an
+        # empty grid that fails later in the worker
+        ui.notification_show(
+            "Twist/rise steps must be positive", type="error"
+        )
+        return
     twists, rises = build_candidate_grid(
-        t0, t1, _num(input.twist_step(), 1.0), r0, r1,
-        _num(input.rise_step(), 0.25),
+        t0, t1, twist_step, r0, r1, rise_step,
         handedness=input.handedness(),
     )
+    if not len(twists):
+        ui.notification_show(
+            "No (twist, rise) candidates in the requested ranges",
+            type="error",
+        )
+        return
     algorithm = dict(model=input.lr_algorithm())
     if _num(input.lr_alpha(), -1.0) >= 0:
         algorithm["alpha"] = _num(input.lr_alpha())
@@ -499,22 +511,44 @@ def abort_reconstruction():
 
 @reactive.effect
 def collect_result():
-    res = reconstruction_task.result()
+    try:
+        res = reconstruction_task.result()
+    except Exception as e:  # surface worker errors instead of dying:
+        # .result() re-raises inside the effect, which is fatal to the
+        # whole session — the user would lose every loaded image
+        ui.modal_show(
+            ui.modal(
+                str(e), title="Reconstruction failed", easy_close=True,
+                footer=None,
+            )
+        )
+        return
     if res is not None:
         grid_result.set(res)
 
 
 # --------------------------------------------------------------- display
-@render.ui
-def image_gallery_ui():
+@reactive.calc
+def _gallery_data_urls():
+    """Base64 thumbnails, recomputed only when the IMAGES change — a
+    selection click re-renders the gallery (for the highlight border)
+    and must not re-encode 50 JPEGs each time."""
     imgs = all_images.get()
     if imgs is None or not len(imgs["data"]):
+        return []
+    return [encode_numpy(np.asarray(im)) for im in imgs["data"][:50]]
+
+
+@render.ui
+def image_gallery_ui():
+    urls = _gallery_data_urls()
+    if not urls:
         return ui.p("Provide input images (upload / URL / EMDB).")
     return image_select(
         "select_image",
         "Click to select/deselect images:",
-        [np.asarray(im) for im in imgs["data"][:50]],
-        image_labels=[str(i + 1) for i in range(min(len(imgs["data"]), 50))],
+        urls,
+        image_labels=[str(i + 1) for i in range(len(urls))],
         image_size=96,
         initial_selected_indices=selected_indices.get(),
     )

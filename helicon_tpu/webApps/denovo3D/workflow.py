@@ -228,20 +228,32 @@ def run_grid_incremental(
     rises = np.asarray(rises, np.float32)
     t0 = time.time()
     state = dict(aborted=False)
+    top_keep = 200  # rank at most this many rows per snapshot
+
+    def _ranked(scores):
+        """Best-first (twist, rise, score) rows of the SCORED candidates.
+
+        Unscored entries are -inf (reconstruct_grid's incremental
+        sentinel — a legitimate 0.0 score must still rank). Large grids
+        are argpartitioned to the top rows before the full sort: the UI
+        shows a top-N table, so sorting all 20k candidates per batch
+        would be O(n^2 log n) across the run.
+        """
+        scored = np.flatnonzero(np.isfinite(scores))
+        if len(scored) > top_keep:
+            part = np.argpartition(-scores[scored], top_keep)[:top_keep]
+            scored = scored[part]
+        order = scored[np.argsort(-scores[scored])]
+        return [
+            (float(twists[i]), float(rises[i]), float(scores[i]))
+            for i in order
+        ]
 
     def progress_callback(done, total, scores):
         elapsed = time.time() - t0
         eta = elapsed / max(done, 1) * (total - done)
-        # rank the candidates that HAVE been scored: in the rise-bucketed
-        # grid path completed scores land at scattered bucket indices, so
-        # slicing [:done] would rank unscored zeros and miss scored ones
-        scored = np.flatnonzero(scores != 0.0)
-        order = scored[np.argsort(-scores[scored])]
-        ranked = [
-            (float(twists[i]), float(rises[i]), float(scores[i])) for i in order
-        ]
         if on_progress is not None:
-            on_progress(GridProgress(done, total, eta, ranked))
+            on_progress(GridProgress(done, total, eta, _ranked(scores)))
 
     def abort():
         if should_abort is not None and should_abort():
@@ -259,16 +271,14 @@ def run_grid_incremental(
         **grid_kwargs,
     )
     if on_progress is not None:
-        # like the in-flight snapshots, rank only SCORED candidates: an
-        # abort leaves unscored entries at their 0.0 initialization
-        scored = np.flatnonzero(res.scores != 0.0)
-        order = scored[np.argsort(-res.scores[scored])]
-        ranked = [
-            (float(twists[i]), float(rises[i]), float(res.scores[i]))
-            for i in order
-        ]
-        done = len(scored) if state["aborted"] else len(twists)
+        done = (
+            int(np.isfinite(res.scores).sum())
+            if state["aborted"]
+            else len(twists)
+        )
         on_progress(
-            GridProgress(done, len(twists), 0.0, ranked, state["aborted"])
+            GridProgress(
+                done, len(twists), 0.0, _ranked(res.scores), state["aborted"]
+            )
         )
     return res

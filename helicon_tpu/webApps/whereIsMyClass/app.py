@@ -46,7 +46,7 @@ try:  # figures degrade to static tables when plotly is absent
 except ImportError:  # pragma: no cover
     _HAS_WIDGETS = False
 
-from helicon_tpu.utils.shiny import image_select
+from helicon_tpu.utils.shiny import image_select, int_or as _int, numeric_or as _num
 from helicon_tpu.utils.system import encode_numpy
 
 from . import compute
@@ -275,9 +275,9 @@ def load_micrograph():
     req(fn)
     data, apix, apix_original = compute.get_micrograph(
         filename=fn,
-        target_apix=float(input.target_apix()),
-        low_pass_angstrom=float(input.low_pass_angstrom()),
-        high_pass_angstrom=float(input.high_pass_angstrom()),
+        target_apix=_num(input.target_apix(), 5.0),
+        low_pass_angstrom=_num(input.low_pass_angstrom(), 20.0),
+        high_pass_angstrom=_num(input.high_pass_angstrom(), 0.0),
     )
     displayed_micrograph_data.set((np.asarray(data), float(apix)))
     displayed_micrograph_apix_original.set(float(apix_original))
@@ -359,7 +359,7 @@ if _HAS_WIDGETS:
         compute.mark_classes_on_helices(
             fig=fig,
             helices=_marked_class_xys(),
-            marker_size=int(input.marker_size()),
+            marker_size=_int(input.marker_size(), 10),
         )
 
     @reactive.effect
@@ -387,10 +387,10 @@ if _HAS_WIDGETS:
             title=f"{len(dists):,} same-class pair distances",
             xlabel="Pair distance (A)",
             ylabel="Count",
-            max_pair_dist=float(input.max_pair_dist()),
-            bins=int(input.bins()),
+            max_pair_dist=_num(input.max_pair_dist(), -1),
+            bins=_int(input.bins(), 100),
             log_y=bool(input.log_y()),
-            show_pitch_twist=dict(rise=float(input.rise()), csyms=csyms),
+            show_pitch_twist=dict(rise=_num(input.rise(), 4.75), csyms=csyms),
             multi_crosshair=True,
         )
 
@@ -411,7 +411,7 @@ else:  # plotly-free fallbacks keep the app usable
         dists, _ = compute.compute_pair_distances(helices, lengths)
         if not len(dists):
             return ui.p("no pair distances for the selected classes")
-        hist, edges = np.histogram(dists, bins=int(input.bins()))
+        hist, edges = np.histogram(dists, bins=max(1, _int(input.bins(), 100)))
         rows = [
             ui.tags.tr(
                 ui.tags.td(f"{0.5 * (edges[i] + edges[i + 1]):.0f}"),
@@ -434,6 +434,9 @@ def class_gallery():
     data, apix = da
     ab = abundance.get()
     labels = [f"{i + 1}: {int(ab[i]):,d}" for i in ids]
+    # highlight the selected classes (displayed-index space): reading
+    # selected_class_ids here also makes the gallery re-render on click
+    sel = [ids.index(c) for c in selected_class_ids.get() if c in ids]
     return image_select(
         "select_class",
         f"{len(ids)}/{len(data)} classes | "
@@ -441,6 +444,7 @@ def class_gallery():
         [np.asarray(data[i]) for i in ids],
         image_labels=labels,
         image_size=96,
+        initial_selected_indices=sel,
     )
 
 

@@ -12,9 +12,12 @@ lazily).
 
 from __future__ import annotations
 
+import logging
 import pathlib
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ...core.filters import low_high_pass_filter
 from ...io.mrc import mrc_header, read_mrc
@@ -174,10 +177,24 @@ def estimate_inter_segment_distance(data):
 
 
 def get_class_abundance(params, nClass: int):
-    """Particle count per class (compute.py:149-153)."""
+    """Particle count per class (compute.py:149-153).
+
+    Classes outside [1, nClass] (a params file referencing more classes
+    than the sibling image stack holds) are skipped with a warning
+    instead of crashing the app with an IndexError."""
     abundance = np.zeros(nClass, dtype=int)
+    skipped = []
     for gn, g in params.groupby("rlnClassNumber"):
-        abundance[int(gn) - 1] = len(g)
+        i = int(gn) - 1
+        if 0 <= i < nClass:
+            abundance[i] = len(g)
+        else:
+            skipped.append(int(gn))
+    if skipped:
+        logger.warning(
+            "params reference class(es) %s but the class stack has only "
+            "%d images — mismatched files?", skipped, nClass,
+        )
     return abundance
 
 

@@ -354,7 +354,7 @@ def test_abort_skips_best_volume_and_refine(helix_image):
     assert res.best_volume is None
     assert res.refined_params is None
     s = np.asarray(res.scores)
-    assert s[0] > 0 and (s[2:] == 0).all()
+    assert s[0] > 0 and np.isneginf(s[2:]).all()
 
 
 def test_grid_batch_rounds_up_to_device_multiple(helix_image):

@@ -164,7 +164,7 @@ class TestIncrementalGrid:
         )
         s = np.asarray(res.scores)
         assert s[0] > 0  # first batch completed
-        assert (s[2:] == 0).all()  # aborted before the tail
+        assert np.isneginf(s[2:]).all()  # aborted: -inf = unscored
 
 
 def test_final_snapshot_after_abort_ranks_only_scored():
@@ -199,4 +199,4 @@ def test_final_snapshot_after_abort_ranks_only_scored():
     final = snaps[-1]
     assert final.aborted
     assert final.done < final.total
-    assert all(s != 0.0 for _, _, s in final.ranked)
+    assert all(np.isfinite(s) for _, _, s in final.ranked)
