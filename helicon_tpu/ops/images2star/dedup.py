@@ -85,7 +85,11 @@ def _keep_one_per(data, extra_group=None):
         data = data.copy()
         data[var] = tmp.iloc[:, 1]
     keys = [var] + ([extra_group] if extra_group else [])
-    data = data.groupby(keys, as_index=False, sort=False).first()
+    # head(1) keeps an ACTUAL first row per group; groupby().first()
+    # takes the first non-NA value PER COLUMN, blending fields from
+    # different particles into a chimeric record when the first row has
+    # NaNs (e.g. unclassified particles without rlnClassNumber)
+    data = data.groupby(keys, sort=False).head(1).reset_index(drop=True)
     if var == "filename":
         data = data.drop(columns=["filename"])
     data.attrs.update(attrs)
@@ -137,9 +141,19 @@ def _h_splitByMicrograph(data, args, index_d, param):
             names = data["rlnMicrographName"]
         else:
             names = data["rlnImageName"].str.split("@", expand=True).iloc[:, -1]
-        prefix = Path(getattr(args, "output_starFile", "output.star")).stem
+        outp = Path(getattr(args, "output_starFile", "output.star"))
+        # keep the output DIRECTORY (bare .stem wrote into the CWD) and
+        # uniquify duplicate micrograph stems from different folders
+        prefix = outp.parent / outp.stem
+        used: dict = {}
         for i, (name, particles) in enumerate(names.groupby(names, sort=False)):
-            out = f"{prefix}.{Path(name).stem}.star"
+            stem = Path(name).stem
+            if used.get(stem, name) != name:
+                import hashlib
+
+                stem = f"{stem}-{hashlib.sha1(str(name).encode()).hexdigest()[:8]}"
+            used[Path(name).stem] = name
+            out = f"{prefix}.{stem}.star"
             dataframe2file(data.loc[particles.index], out)
         raise HeliconExit()
     return data, index_d

@@ -25,6 +25,23 @@ from ..registry import Plugin
 logger = logging.getLogger(__name__)
 
 
+def _unique_out_path(outdir: Path, src_name, used: dict) -> Path:
+    """outdir/<basename> unless a DIFFERENT source already claimed that
+    name (micrographs with equal basenames in different folders would
+    silently overwrite each other); collisions get a resolved-path hash.
+    """
+    out = outdir / Path(src_name).name
+    prev = used.get(str(out))
+    if prev is not None and prev != str(src_name):
+        import hashlib
+
+        tag = hashlib.sha1(str(src_name).encode()).hexdigest()[:8]
+        p = Path(src_name)
+        out = outdir / f"{p.stem}-{tag}{p.suffix}"
+    used[str(out)] = str(src_name)
+    return out
+
+
 # ------------------------------------------------------------------
 # recoverFullFilaments (recoverfullfilaments.py)
 # ------------------------------------------------------------------
@@ -458,6 +475,14 @@ def _h_extractHelices(data, args, index_d, param):
             coord_df = coord_df.iloc[: int(topLength)]
         if lengthCutoffAngst:
             coord_df = coord_df[coord_df["helixLength"] >= float(lengthCutoffAngst)]
+        # length sort applied the top-N/cutoff filters above; regroup by
+        # micrograph for extraction so the single-entry micrograph cache
+        # actually works (interleaved micrographs re-read each full
+        # multi-hundred-MB file once per helix)
+        coord_df = coord_df.sort_values(
+            ["rlnMicrographName", "helixLength"],
+            ascending=[True, False], kind="stable",
+        )
         out_rows = []
         mic_cache = {}
         for hi, rec in enumerate(coord_df.itertuples()):
@@ -537,8 +562,30 @@ def _h_maskGold(data, args, index_d, param):
                 gradient_sigma = float(np.sqrt(min_area) * 10)
 
         rng = np.random.default_rng(0)
+
+        def _mask_one(img, apix):
+            if gradient_sigma > 0:
+                frac = 2 * apix / gradient_sigma
+                img = img - np.asarray(
+                    low_high_pass_filter(img, low_pass_fraction=min(frac, 1.0))
+                )
+            med = np.median(img)
+            mad = np.median(np.abs(img - med)) + 1e-12
+            outlier = img > med + value_sigma * mad * 1.4826
+            if both_sides:
+                outlier |= img < med - value_sigma * mad * 1.4826
+            # drop connected regions smaller than min_area
+            lab, n = ndimage.label(outlier)
+            if n:
+                areas = ndimage.sum(outlier, lab, range(1, n + 1)) * apix * apix
+                small = np.isin(lab, np.where(areas < min_area)[0] + 1)
+                outlier &= ~small
+            noise = rng.normal(med, mad * 1.4826, size=img.shape)
+            return np.where(outlier, noise, img).astype(np.float32)
+
+        used_out: dict = {}
         for name, particles in names.groupby(names, sort=False):
-            out = outdir / Path(name).name
+            out = _unique_out_path(outdir, name, used_out)
             if out.exists():
                 if out.samefile(name):
                     # (maskgold.py:100-104) never overwrite the source
@@ -563,38 +610,28 @@ def _h_maskGold(data, args, index_d, param):
                         continue  # reuse the existing masked stack
             h = mrc_header(name)
             apix = h.apix or 1.0
-            imgs = []
-            for pid in pids.loc[particles.index].astype(int):
-                img = read_image_2d(name, int(pid) - 1 if tmp.shape[1] > 1 else 0)
-                if gradient_sigma > 0:
-                    frac = 2 * apix / gradient_sigma
-                    img = img - np.asarray(
-                        low_high_pass_filter(img, low_pass_fraction=min(frac, 1.0))
-                    )
-                med = np.median(img)
-                mad = np.median(np.abs(img - med)) + 1e-12
-                outlier = img > med + value_sigma * mad * 1.4826
-                if both_sides:
-                    outlier |= img < med - value_sigma * mad * 1.4826
-                # drop connected regions smaller than min_area
-                lab, n = ndimage.label(outlier)
-                if n:
-                    areas = ndimage.sum(outlier, lab, range(1, n + 1)) * apix * apix
-                    small = np.isin(lab, np.where(areas < min_area)[0] + 1)
-                    outlier &= ~small
-                noise = rng.normal(med, mad * 1.4826, size=img.shape)
-                imgs.append(np.where(outlier, noise, img).astype(np.float32))
-            write_mrc(out, np.stack(imgs), apix=apix)
-            new_names = (
-                pd.Series(range(1, len(imgs) + 1), index=particles.index).map(
-                    "{:06d}".format
-                )
-                + "@"
-                + str(out)
-            )
             if attrSrc == "rlnImageName":
+                imgs = []
+                for pid in pids.loc[particles.index].astype(int):
+                    img = read_image_2d(
+                        name, int(pid) - 1 if tmp.shape[1] > 1 else 0
+                    )
+                    imgs.append(_mask_one(img, apix))
+                write_mrc(out, np.stack(imgs), apix=apix)
+                new_names = (
+                    pd.Series(
+                        range(1, len(imgs) + 1), index=particles.index
+                    ).map("{:06d}".format)
+                    + "@"
+                    + str(out)
+                )
                 data.loc[particles.index, attrSrc] = new_names.values
             else:
+                # micrograph fallback: mask each unique path ONCE and
+                # write a 2D micrograph (the per-row loop used to mask
+                # slice 0 N times and emit an N-slice "micrograph")
+                img = read_image_2d(name, 0)
+                write_mrc(out, _mask_one(img, apix), apix=apix)
                 data.loc[particles.index, attrSrc] = str(out)
         index_d["maskGold"] += 1
     return data, index_d
@@ -634,9 +671,10 @@ def _h_denoiseCurvelet(data, args, index_d, param):
         tmp = data[attrSrc].str.split("@", expand=True)
         names = tmp.iloc[:, -1]
         pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
+        used_out: dict = {}
         for name, particles in names.groupby(names, sort=False):
             apix = mrc_header(name).apix
-            out = outdir / Path(name).name
+            out = _unique_out_path(outdir, name, used_out)
             if attrSrc == "rlnImageName":
                 imgs = []
                 for pid in pids.loc[particles.index].astype(int):
@@ -733,7 +771,10 @@ def _match_filaments_by_geometry(data, data2, fullStarFile):
         d = np.hypot(bx - ax, by - ay)
         return abs(d - d1 - d2) < epsilon
 
-    helices = []
+    # one record PER FULL FILAMENT: several input fragments of the same
+    # fragmented filament merge into it (appending per fragment used to
+    # emit the full filament's particles once per matching fragment)
+    by_full: dict = {}
     mgraphs2 = dict(list(data2.groupby("rlnMicrographName", sort=False)))
     for mgraph_name, mg in data.groupby("rlnMicrographName", sort=False):
         if mgraph_name not in mgraphs2:
@@ -746,7 +787,7 @@ def _match_filaments_by_geometry(data, data2, fullStarFile):
             cx = seg["rlnCoordinateX"].astype(float).values
             cy = seg["rlnCoordinateY"].astype(float).values
             matched = False
-            for _, seg2 in filaments2:
+            for tube2_id, seg2 in filaments2:
                 cx2 = seg2["rlnCoordinateX"].astype(float).values
                 cy2 = seg2["rlnCoordinateY"].astype(float).values
                 if on_line_segment(
@@ -755,12 +796,20 @@ def _match_filaments_by_geometry(data, data2, fullStarFile):
                     cx[-1], cy[-1], cx2[0], cy2[0], cx2[-1], cy2[-1]
                 ):
                     matched = True
-                    helices.append((len(seg), len(seg2), list(seg2.index)))
+                    rec = by_full.get((mgraph_name, tube2_id))
+                    if rec is None:
+                        by_full[(mgraph_name, tube2_id)] = [
+                            len(seg), len(seg2), list(seg2.index),
+                        ]
+                    else:
+                        rec[0] += len(seg)
+                    break  # a fragment belongs to one full filament
             if not matched:
                 logger.warning(
                     "%s:helicalTubeID=%s: cannot find a matching helix in %s",
                     mgraph_name, tube_id, fullStarFile,
                 )
+    helices = [tuple(v) for v in by_full.values()]
     if not helices:
         raise HeliconError(
             f"--recoverFullFilaments: no filament of the input could be "

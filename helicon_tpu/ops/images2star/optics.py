@@ -41,12 +41,44 @@ def _image_name_col(data):
     return name
 
 
-def _rebuild_optics_rows(optics_orig, n_groups):
-    optics = pd.concat([optics_orig.iloc[[0]]] * n_groups, ignore_index=True)
+def _rebuild_optics_rows(optics_orig, n_groups, source_groups=None):
+    """Fresh optics table for n_groups regrouped optics groups.
+
+    source_groups[i] (optional): the ORIGINAL rlnOpticsGroup whose
+    parameter row seeds new group i+1. Without it every new row clones
+    row 0 — wrong pixel size/voltage for particles that came from a
+    different original group in merged multi-optics datasets.
+    """
+    rows = []
+    for gi in range(n_groups):
+        row = optics_orig.iloc[[0]]
+        if source_groups is not None and "rlnOpticsGroup" in optics_orig:
+            m = (
+                optics_orig["rlnOpticsGroup"].astype(int)
+                == int(source_groups[gi])
+            )
+            if m.any():
+                row = optics_orig.loc[m].iloc[[0]]
+        rows.append(row)
+    optics = pd.concat(rows, ignore_index=True)
     for gi in range(n_groups):
         optics.loc[gi, "rlnOpticsGroup"] = gi + 1
         optics.loc[gi, "rlnOpticsGroupName"] = f"opticsGroup{gi + 1}"
     return optics
+
+
+def _modal_source_groups(old_groups, new_groups, n_groups):
+    """For each new group id 1..n_groups, the most common ORIGINAL
+    optics-group id among its particles (None when unknowable)."""
+    if old_groups is None:
+        return None
+    old = np.asarray(old_groups, int)
+    new = np.asarray(new_groups, int)
+    out = []
+    for g in range(1, n_groups + 1):
+        sel = old[new == g]
+        out.append(int(np.bincount(sel).argmax()) if len(sel) else 1)
+    return out
 
 
 def _add_apix(parser):
@@ -99,8 +131,14 @@ def _h_assignPerMicrograph(data, args, index_d, param):
         names = data[image_name].str.split("@", expand=True).iloc[:, -1]
         unique_names = names.unique()
         mapping = per_micrograph_mapping(unique_names)
+        old_groups = data["rlnOpticsGroup"].astype(int).to_numpy()
         data["rlnOpticsGroup"] = names.map(mapping)
-        data.attrs["optics"] = _rebuild_optics_rows(optics_orig, len(unique_names))
+        data.attrs["optics"] = _rebuild_optics_rows(
+            optics_orig, len(unique_names),
+            _modal_source_groups(
+                old_groups, data["rlnOpticsGroup"], len(unique_names)
+            ),
+        )
         index_d["assignOpticGroupPerMicrograph"] += 1
     return data, index_d
 
@@ -146,9 +184,15 @@ def _h_assignByBeamShiftLabel(data, args, index_d, param):
             )
         names = data[image_name].str.split("@", expand=True).iloc[:, -1]
         mapping = assign_beamshift_groups(list(names.unique()), software)
+        old_groups = (
+            data["rlnOpticsGroup"].astype(int).to_numpy()
+            if "rlnOpticsGroup" in data else None
+        )
         data["rlnOpticsGroup"] = names.map(mapping)
+        n_new = len(set(mapping.values()))
         data.attrs["optics"] = _rebuild_optics_rows(
-            optics_orig, len(set(mapping.values()))
+            optics_orig, n_new,
+            _modal_source_groups(old_groups, data["rlnOpticsGroup"], n_new),
         )
         index_d["assignOpticGroupByBeamShiftLabel"] += 1
     return data, index_d
@@ -190,8 +234,16 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
         )
         labels = assign_beamshifts_to_cluster(shifts, n_clusters=n_clusters)
         mapping = dict(zip(unique_names, labels))
+        old_groups = (
+            data["rlnOpticsGroup"].astype(int).to_numpy()
+            if "rlnOpticsGroup" in data else None
+        )
         data["rlnOpticsGroup"] = names.map(mapping)
-        data.attrs["optics"] = _rebuild_optics_rows(optics_orig, int(labels.max()))
+        n_new = int(labels.max())
+        data.attrs["optics"] = _rebuild_optics_rows(
+            optics_orig, n_new,
+            _modal_source_groups(old_groups, data["rlnOpticsGroup"], n_new),
+        )
         index_d["assignOpticGroupByBeamShiftXY"] += 1
     return data, index_d
 
@@ -220,12 +272,14 @@ def _h_assignByTime(data, args, index_d, param):
             time_group_size=param,
             verbose=getattr(args, "verbose", 0),
         )
+        old_groups = data["rlnOpticsGroup"].astype(int).to_numpy()
         data["rlnOpticsGroup"] = new_ids
         data["rlnMovieCollectionTime"] = pd.Series(movies, index=data.index).map(
             m2ts
         )
         data.attrs["optics"] = _rebuild_optics_rows(
-            optics_orig, int(np.max(new_ids))
+            optics_orig, int(np.max(new_ids)),
+            _modal_source_groups(old_groups, new_ids, int(np.max(new_ids))),
         )
         index_d["assignOpticGroupByTime"] += 1
     return data, index_d
@@ -379,8 +433,20 @@ def _h_copyCtf(data, args, index_d, param):
         agg["mean_astig_angle"] = np.rad2deg(
             np.arctan2(agg["astig_y"], agg["astig_x"])
         )
+        # exact string match first; fall back to BASENAME matching for
+        # differently-rooted paths (relative vs absolute spellings left
+        # the backfilled NaN defocus in the output, which RELION rejects)
+        src_by_base: dict = {}
+        for m in agg.index:
+            src_by_base.setdefault(Path(str(m)).name, []).append(m)
+        tgt_base = data["rlnMicrographName"].map(lambda s: Path(str(s)).name)
         for micrograph in agg.index:
             rows = data["rlnMicrographName"] == micrograph
+            if not rows.any():
+                base = Path(str(micrograph)).name
+                if len(src_by_base[base]) > 1:
+                    continue  # ambiguous basename: no safe fallback
+                rows = tgt_base == base
             if not rows.any():
                 continue
             data.loc[rows, "rlnDefocusU"] = (
@@ -396,6 +462,12 @@ def _h_copyCtf(data, args, index_d, param):
             data.loc[rows, ["rlnDefocusAngle"] + extra] = agg.loc[
                 micrograph, ["mean_astig_angle"] + extra
             ].values
+        unmatched = int(data["rlnDefocusU"].isna().sum())
+        if unmatched:
+            logger.warning(
+                "--copyCtf: %d particles matched no source micrograph "
+                "(their defocus stays NaN)", unmatched,
+            )
         index_d["copyCtf"] += 1
     return data, index_d
 

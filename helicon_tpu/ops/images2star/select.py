@@ -203,8 +203,13 @@ def _file_filter(data, args, index_d, param, option, invert):
                 f"--{option}: no common image found between the input and {sf}"
             )
         else:
-            logger.info("nothing left after --%s; quitting", option)
-            data = data2
+            # reference excludeFile.py:87-95 KEEPS the original data
+            # when the exclusion would empty it (an empty frame crashes
+            # the next pipeline op); warn loudly that nothing was removed
+            logger.warning(
+                "--%s would remove every image; keeping the input "
+                "unchanged (reference behavior)", option,
+            )
         index_d[option] += 1
     return data, index_d
 

@@ -109,12 +109,17 @@ def _h_fft_resample(data, args, index_d, param, apix, nx, ny, nz):
             ),
             output_size=(new_nz, new_ny, new_nx),
         )
-        # jnp.abs BEFORE materializing: complex64 device->host transfer
+        # jnp.real BEFORE materializing: complex64 device->host transfer
         # is UNIMPLEMENTED on the axon TPU backend (fully on-device
-        # chains work; see core/fft.py docstring)
+        # chains work; see core/fft.py docstring).
+        # DEVIATION from reference fft_resample.py:107, which takes
+        # np.abs() — rectifying every negative voxel of a normalized
+        # density map (solvent noise is negative). The inverse FFT of a
+        # resampled real map is real up to rounding; real() is the
+        # correct projection.
         import jax.numpy as jnp
 
-        data = np.asarray(jnp.abs(hfft.ifftn(fft))).astype(np.float32)
+        data = np.asarray(jnp.real(hfft.ifftn(fft))).astype(np.float32)
         data *= new_nx * new_ny * new_nz / (nx * ny * nz)
         apix = round(apix * nx / new_nx, 4)
         nx, ny, nz = new_nx, new_ny, new_nz

@@ -838,3 +838,116 @@ class TestReviewFixes4:
             dispatch(
                 "selectFile", relion_df.copy(), "col1=rlnImageName",
             )
+
+
+def test_fft_resample_preserves_negative_density():
+    """DEVIATION test: resampling a normalized (mean~0) map must keep
+    negative solvent voxels (the reference's np.abs rectified them)."""
+    from argparse import Namespace
+
+    from helicon_tpu.ops.proc3d import dispatch as p3_dispatch
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    out, apix, nx, ny, nz = p3_dispatch(
+        "fft_resample", vol, Namespace(verbose=0), {"fft_resample": 0},
+        "new_nx=8:new_ny=8:new_nz=8", 1.0, 16, 16, 16,
+    )
+    assert out.shape == (8, 8, 8)
+    assert out.min() < 0  # negatives survive
+
+
+def test_rebuild_optics_rows_uses_source_group_parameters():
+    """Regrouping merged multi-optics data must seed each new optics row
+    from the ORIGINAL group of its particles, not clone row 0."""
+    import pandas as pd
+
+    from helicon_tpu.ops.images2star.optics import (
+        _modal_source_groups,
+        _rebuild_optics_rows,
+    )
+
+    optics = pd.DataFrame({
+        "rlnOpticsGroup": [1, 2],
+        "rlnOpticsGroupName": ["a", "b"],
+        "rlnImagePixelSize": [1.0, 2.0],
+        "rlnVoltage": [200.0, 300.0],
+    })
+    old = [1, 1, 2, 2]
+    new = [1, 1, 2, 2]  # new group 2's particles came from old group 2
+    src = _modal_source_groups(old, new, 2)
+    rebuilt = _rebuild_optics_rows(optics, 2, src)
+    assert rebuilt["rlnImagePixelSize"].tolist() == [1.0, 2.0]
+    assert rebuilt["rlnVoltage"].tolist() == [200.0, 300.0]
+    assert rebuilt["rlnOpticsGroup"].tolist() == [1, 2]
+
+
+def test_maskgold_micrograph_fallback_writes_2d(tmp_path, monkeypatch):
+    """rlnMicrographName-only data: each unique micrograph is masked
+    ONCE into a 2D file (not an N-slice stack per referencing row)."""
+    from argparse import Namespace
+
+    from helicon_tpu.io.mrc import mrc_header, write_mrc
+    from helicon_tpu.ops.images2star import dispatch
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    mic = rng.normal(0, 1, (32, 32)).astype(np.float32)
+    mic[5, 5] = 100.0  # gold pixel
+    write_mrc(tmp_path / "m1.mrc", mic, apix=1.0)
+    df = pd.DataFrame({
+        "rlnMicrographName": [str(tmp_path / "m1.mrc")] * 3,
+        "rlnCoordinateX": [1.0, 2.0, 3.0],
+    })
+    args = Namespace(verbose=0, output_starFile="out.star")
+    out, _ = dispatch("maskGold", df, args, {"maskGold": 0},
+                      "value_sigma=6:min_area=0.5")
+    written = Path(out["rlnMicrographName"].iloc[0])
+    assert written.exists()
+    h = mrc_header(written)
+    assert h.nz == 1  # a 2D micrograph, not a 3-slice stack
+    assert len(set(out["rlnMicrographName"])) == 1
+
+
+def test_keep_one_per_tube_keeps_actual_rows():
+    """groupby().first() blended non-NA fields across particles; the
+    kept record must be an actual row of the group."""
+    from argparse import Namespace
+
+    from helicon_tpu.ops.images2star import dispatch
+
+    df = pd.DataFrame({
+        "rlnMicrographName": ["m1.mrc"] * 2,
+        "rlnHelicalTubeID": [1, 1],
+        "rlnCoordinateX": [10.0, 20.0],
+        "rlnClassNumber": [np.nan, 7.0],  # first row has NaN
+    })
+    out, _ = dispatch(
+        "keepOneParticlePerHelicalTube", df, Namespace(verbose=0),
+        {"keepOneParticlePerHelicalTube": 0}, 1,
+    )
+    assert len(out) == 1
+    # first actual row: coordinate 10 AND its own NaN class (no blend)
+    assert out["rlnCoordinateX"].iloc[0] == 10.0
+    assert np.isnan(out["rlnClassNumber"].iloc[0])
+
+
+def test_copyctf_matches_by_basename(tmp_path, relion_df, monkeypatch):
+    """copyCtf falls back to basename matching when path roots differ
+    (relative target vs differently-rooted source spellings used to
+    leave the NaN-backfilled defocus in the output)."""
+    from helicon_tpu.io.metadata import dataframe2star
+
+    monkeypatch.chdir(tmp_path)
+    ref = relion_df.copy()
+    ref["rlnMicrographName"] = [
+        "/some/other/root/" + Path(str(m)).name
+        for m in ref["rlnMicrographName"]
+    ]
+    ref["rlnDefocusU"] = 20000.0
+    ref["rlnDefocusV"] = 18000.0
+    ref["rlnDefocusAngle"] = 0.0
+    dataframe2star(ref, tmp_path / "ref.star")
+    out = dispatch("copyCtf", relion_df.copy(), str(tmp_path / "ref.star"))
+    assert out["rlnDefocusU"].notna().all()
+    assert out["rlnDefocusU"].iloc[0] == pytest.approx(20000.0, rel=1e-3)
