@@ -177,7 +177,9 @@ def _h_psiPrior180(data, args, index_d, param):
             idMax = ceil_power_of_10(int(data2["rlnHelicalTubeID"].astype(int).max()))
             data2["rlnHelicalTubeID"] = data2["rlnHelicalTubeID"] + idMax
         attrs = dict(data.attrs)
-        data = pd.concat((data, data2), axis=0)
+        # reset_index: duplicate index labels would make later
+        # label-based ops (loc/groupby-index paths) double-select rows
+        data = pd.concat((data, data2), axis=0).reset_index(drop=True)
         data.attrs.update(attrs)
         index_d["psiPrior180"] += 1
     return data, index_d

@@ -86,6 +86,13 @@ def _h_showTime(data, args, index_d, param):
             data,
             attrs="rlnMicrographMovieName rlnMicrographName rlnImageName".split(),
         )
+        if fileAttr is None:
+            from ...utils.exceptions import HeliconError
+
+            raise HeliconError(
+                "--showTime needs a file-name column "
+                "(rlnMicrographMovieName/rlnMicrographName/rlnImageName)"
+            )
         tmpCol = unique_attr_name(data, attr_prefix=fileAttr)
         data[tmpCol] = data[fileAttr].str.split("@", expand=True).iloc[:, -1]
         timeCol = f"{fileAttr}CreateTime"

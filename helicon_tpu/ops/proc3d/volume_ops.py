@@ -229,6 +229,11 @@ def _h_z_moving_average(data, args, index_d, param, apix, nx, ny, nz):
             raise HeliconError("specify either length or n_pixel, not both")
         if length > 0:
             n_pixel = int(np.round(length / apix))
+        if not (1 <= n_pixel <= np.asarray(data).shape[0]):
+            raise HeliconError(
+                f"z_moving_average window of {n_pixel} pixels (length="
+                f"{length} A at {apix} A/pixel) must be in [1, nz={nz}]"
+            )
         tmp = np.cumsum(np.asarray(data, np.float64), axis=0)
         data = np.asarray(data).copy()
         # same slice arithmetic as the reference (z_moving_average.py):
