@@ -454,7 +454,7 @@ def build_problem_separable(
     _, PT_vjp = jax.vjp(P, jnp.zeros(vol_shape, jnp.float32))
     _, ST_vjp = jax.vjp(S, jnp.zeros(vol_shape, jnp.float32))
     b = jnp.asarray(image_region, jnp.float32).T
-    return dict(
+    ops = dict(
         P=P,
         PT=lambda r: PT_vjp(r)[0],
         PTP=PTP,
@@ -464,3 +464,17 @@ def build_problem_separable(
         row_valid=row_valid,
         mask=mask_f > 0.5,
     )
+    if pair_ops is not None and use_matmul_sym:
+        # raw factor arrays for the fused Pallas solve kernel
+        # (pallas_solver.py): the SAME tensors the closures above close
+        # over, so both formulations are numerically identical inputs
+        ops["factors"] = dict(
+            Wsum=Wsum_c,          # (C, d2, d3^2) compute dtype
+            Gz=Gz,                # (C, l3, l3) z-Gram per copy
+            Mz_ops=Mz_ops,        # (O, l3, l3)
+            Mxy_ops=Mxy_ops,      # (O, d3^2, d3^2)
+            pair_idx=pair_idx,    # (P, 2) int32
+            pair_ok=pair_ok_f,    # (P, l3, d3, d3) f32
+            mask=mask_f,          # (l3, d3, d3) f32
+        )
+    return ops

@@ -1,0 +1,85 @@
+"""Interpret-mode parity of the fused Pallas solve kernel vs the XLA
+closures (CPU; the compiled kernel is exercised on real TPU hardware by
+the bench/session tooling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helicon_tpu.denovo3d import (
+    ReconstructionGeometry,
+    select_copies,
+    select_pair_ops,
+)
+from helicon_tpu.denovo3d.pallas_solver import (
+    fits_vmem,
+    pallas_inputs,
+    solve_candidate_pallas,
+)
+from helicon_tpu.denovo3d.projector_separable import build_problem_separable
+from helicon_tpu.denovo3d.solver import _cg, _fista, _power_iteration
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    geom = ReconstructionGeometry(
+        d2=12, l2=16, d3=12, l3=8, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    rng = np.random.default_rng(0)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    ch, cc, cv = select_copies(geom, 2.5, 6)
+    ops_hc, ops_v, pair_idx, pv = select_pair_ops(geom, 30.0, 2.5, 5, 8)
+    phc = np.zeros((5, 4), np.int32)
+    ops = build_problem_separable(
+        geom, region, jnp.float32(30.0), jnp.float32(2.5),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv), 0.0, "nn",
+        geom.cylindrical_mask(), geom.cell_valid_mask(),
+        compute_dtype=jnp.float32,
+        pair_ops=(jnp.asarray(ops_hc), jnp.asarray(ops_v),
+                  jnp.asarray(pair_idx)),
+    )
+    return geom, ops
+
+
+def test_kernel_matches_xla_solve(small_problem):
+    geom, ops = small_problem
+    assert "factors" in ops
+    mask_f = jnp.asarray(geom.cylindrical_mask(), jnp.float32)
+    rowv = ops["row_valid"].astype(jnp.float32)
+    b_eff = ops["b"][None] * rowv
+    rhs = ops["PT"](b_eff) * mask_f
+    l2_reg, l1_reg, lb, ub = 0.01, 0.001, 0.0, float(jnp.max(b_eff))
+    CG, FI, PW = 8, 10, 4
+
+    PTP, S, ST = ops["PTP"], ops["S"], ops["ST"]
+
+    def N(v):
+        return (PTP(v) + ST(S(v))) * mask_f + l2_reg * v * mask_f
+
+    x = _cg(N, rhs, CG)
+    lips = _power_iteration(N, rhs.shape, PW)
+    x = _fista(N, rhs, x, lb, ub, l1_reg, FI, lips)
+    x_ref = np.asarray(x * mask_f).reshape(geom.l3, -1)
+
+    w2, w2t, gz_big, mxy, mxyt, b1, b1t, pok, maskk = pallas_inputs(
+        ops["factors"], jnp.float32
+    )
+    scal = jnp.asarray([[l2_reg, l1_reg, lb, ub]], jnp.float32)
+    x_k = np.asarray(
+        solve_candidate_pallas(
+            w2, w2t, gz_big, mxy, mxyt, b1, b1t, pok,
+            jnp.asarray(rhs).reshape(geom.l3, -1), maskk, scal,
+            cg_iters=CG, fista_iters=FI, power_iters=PW,
+            use_bf16=False, interpret=True,
+        )
+    )
+    rel = np.abs(x_k - x_ref).max() / max(np.abs(x_ref).max(), 1e-30)
+    assert rel < 1e-4, rel
+
+
+def test_fits_vmem_gate():
+    assert fits_vmem(131, 28, 784, 5, 4, jnp.bfloat16)  # bench geometry
+    assert not fits_vmem(131, 28, 44**2, 20, 24, jnp.float32)  # huge
