@@ -29,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 __all__ = ["solve_candidate_pallas", "fits_vmem", "pallas_inputs"]
 
@@ -236,3 +237,356 @@ def solve_candidate_pallas(
         ),
         interpret=interpret,
     )(w2, w2t, gz_big, mxy, mxyt, b1, b1t, pok, rhs, mask, scal)
+
+
+# ---------------------------------------------------------------------------
+# v2: FULL-PIPELINE kernel — operators built IN-KERNEL from ~1 MB of
+# per-candidate tables; cosine score computed in-kernel. Nothing larger
+# than the tables ever touches HBM (profiling showed the XLA grid is
+# dominated by operator materialization, not solve FLOPs).
+# ---------------------------------------------------------------------------
+
+
+def full_kernel_inputs(geom, ops, twist_degree, rise_pixel, copies_h,
+                       copies_c, copies_valid, op_hc, cdt):
+    """Small per-candidate tables for the v2 kernel (all host/XLA math
+    on SMALL tensors; the big Wsum/Mxy never materialize here).
+
+    ops: build_problem_separable output (for factors Gz/Mz/pair_ok and
+    b/row_valid). Returns the kernel argument tuple.
+    """
+    f = ops["factors"]
+    C, d2, d3sq = f["Wsum"].shape  # Wsum is NOT materialized: only shape
+    O, l3, _ = f["Mz_ops"].shape
+    P = f["pair_idx"].shape[0]
+    d2p = ((d2 + 15) // 16) * 16  # sublane-aligned copy stride
+    csym = geom.csym
+
+    theta = jnp.deg2rad(
+        twist_degree * copies_h.astype(jnp.float32)
+        + 360.0 * copies_c.astype(jnp.float32) / csym
+    )  # (C,)
+    dz = copies_h.astype(jnp.float32) * rise_pixel
+    cvf = copies_valid.astype(jnp.float32)
+    op_theta = jnp.deg2rad(
+        twist_degree * op_hc[:, 0].astype(jnp.float32)
+        + 360.0 * op_hc[:, 1].astype(jnp.float32) / csym
+    )  # (O,)
+
+    # z-Gram per copy, broadcast over the padded copy stride
+    gz = f["Gz"].astype(jnp.float32)  # (C, l3, l3)
+    gz_bigp = jnp.zeros((l3, l3, C * d2p), jnp.float32)
+    src = jnp.repeat(jnp.transpose(gz, (1, 2, 0)), d2, axis=2).reshape(
+        l3, l3, C, d2
+    )
+    gz_bigp = gz_bigp.reshape(l3, l3, C, d2p).at[:, :, :, :d2].set(src)
+    gz_bigp = gz_bigp.reshape(l3, l3, C * d2p)
+
+    # u_flat[m, c*d2p + j] = sum_i Mz[c, i, m] b_eff[c, i, j]
+    rowv = ops["row_valid"].astype(jnp.float32)  # (C, l2, d2)
+    b_eff = ops["b"][None] * rowv
+    mz = f["Mz"].astype(jnp.float32)  # (C, l2, l3)
+    u = jnp.einsum("cim,cij->mcj", mz, b_eff)  # (l3, C, d2)
+    u_flat = jnp.zeros((l3, C, d2p), jnp.float32).at[:, :, :d2].set(u)
+    u_flat = u_flat.reshape(l3, C * d2p)
+    b_norm = jnp.sqrt(jnp.sum(b_eff * b_eff))
+
+    de = (
+        jax.nn.one_hot(f["pair_idx"][:, 0], O, dtype=jnp.float32)
+        - jax.nn.one_hot(f["pair_idx"][:, 1], O, dtype=jnp.float32)
+    )
+    mzs = f["Mz_ops"].astype(jnp.float32)
+    b1 = jnp.einsum("po,omn->pmon", de, mzs).reshape(P * l3, O * l3)
+    pok = f["pair_ok"].reshape(P * l3, d3sq).astype(jnp.float32)
+    mask = f["mask"].reshape(l3, d3sq).astype(jnp.float32)
+    plane_ok = f["plane_ok"].astype(jnp.float32).reshape(1, d3sq)
+
+    # pre-broadcast per-ROW tables (C*d2p, 1) so the kernel's W2 build
+    # is a single vectorized pass with NO per-copy loop (a fori_loop
+    # over C copies with dynamic stores cost ~7 us/copy of pure loop
+    # overhead — ~0.9 ms/candidate at C=131)
+    cs = jnp.cos(theta)
+    sn = jnp.sin(theta)
+    jc = (jnp.arange(d2p, dtype=jnp.float32) - d2 // 2)
+    jrow_ok = (jnp.arange(d2p) < d2).astype(jnp.float32)
+
+    def bc(percopy, perrow):
+        return (percopy[:, None] * perrow[None, :]).reshape(C * d2p, 1)
+
+    ones_r = jnp.ones((d2p,), jnp.float32)
+    rowtab = jnp.concatenate(
+        [
+            bc(cs, ones_r), bc(sn, ones_r), bc(cvf, jrow_ok),
+            bc(jnp.ones((C,), jnp.float32), jc),
+        ],
+        axis=1,
+    )  # (C*d2p, 4): cs, sn, cv*row_ok, jc
+    lanetab = rowtab.T.reshape(4, 1, C * d2p)  # lane-oriented copy
+    return (theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1.T, pok,
+            mask, plane_ok, rowtab, lanetab, b_norm)
+
+
+def _full_kernel(
+    theta_ref, dz_ref, cvf_ref, opth_ref, gz_ref, u_ref, b1_ref, b1t_ref,
+    pok_ref, mask_ref, pln_ref, rowtab_ref, lanetab_ref, scal_ref,
+    x_ref, score_ref, w2_ref, w2t_ref, mxy_ref, mxyt_ref, *,
+    C, d2, d2p, d3, l3, n_ops, n_pairs, n_taps,
+    cg_iters, fista_iters, power_iters, use_bf16, scale2d_to_3d, dy_pixel,
+):
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    d3sq = d3 * d3
+    s = scale2d_to_3d
+    l2_reg = scal_ref[0, 0]
+    l1_reg = scal_ref[0, 1]
+    lb = scal_ref[0, 2]
+    ub = scal_ref[0, 3]
+    b_norm = scal_ref[0, 4]
+    pln = pln_ref[:]  # (1, d3sq)
+    mask = mask_ref[:]
+
+    # ---- build W2 (C*d2p, d3sq) + transpose in VMEM ------------------
+    # per-copy fori_loop with aligned dynamic stores; the experiments in
+    # docs/PROFILE.md cover the faster-looking variants that lost
+    # (fully vectorized: scoped-vmem blowup; row-block tiling: lane-dim
+    # dynamic stores cost more than the loop they replaced)
+    gx = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, d3sq), 1) % d3
+    ).astype(jnp.float32)
+    gy = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, d3sq), 1) // d3
+    ).astype(jnp.float32)
+    jc = (
+        jax.lax.broadcasted_iota(jnp.int32, (d2p, 1), 0) - d2 // 2
+    ).astype(jnp.float32)
+    row_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (d2p, 1), 0) < d2
+    ).astype(jnp.float32)
+    gxi = gx.astype(jnp.int32)
+    gyi = gy.astype(jnp.int32)
+
+    def build_copy(c, _):
+        th = theta_ref[c]
+        cs = jnp.cos(th)
+        sn = jnp.sin(th)
+        dx = -s * cs
+        dy_ = s * sn
+        y0j = s * jc - dy_pixel  # (d2p, 1)
+        cx = y0j * sn + d3 // 2
+        cy = y0j * cs + d3 // 2
+        kc_star = ((gx - cx) * dx + (gy - cy) * dy_) / (s * s)
+        k0 = jnp.round(kc_star)
+        acc = jnp.zeros((d2p, d3sq), jnp.float32)
+        for delta in range(-n_taps, n_taps + 1):
+            kc = k0 + delta
+            ink = (kc >= -(d2 // 2)) & (kc <= d2 - 1 - d2 // 2)
+            X = cx + kc * dx
+            Y = cy + kc * dy_
+            xi = jnp.round(X).astype(jnp.int32)
+            yi = jnp.round(Y).astype(jnp.int32)
+            inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+            same = (xi == gxi) & (yi == gyi)
+            ok = inb & same & (pln > 0.5) & ink
+            acc = acc + ok.astype(jnp.float32)
+        wc = acc * cvf_ref[c] * row_ok
+        w2_ref[pl.ds(c * d2p, d2p), :] = wc.astype(cdt)
+        return _
+
+    jax.lax.fori_loop(0, C, build_copy, 0)
+    w2t_ref[:] = jnp.transpose(w2_ref[:], (1, 0))
+
+    # ---- build Mxy / MxyT (O, d3sq, d3sq) in VMEM -------------------
+    # rows = sample index i (sublanes for mxy, lanes for mxyt); the
+    # plane_ok lookup at idx folds into the receiving column because
+    # the one-hot is nonzero only where j == idx_i.
+    px_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (d3sq, 1), 0) % d3 - d3 // 2
+    ).astype(jnp.float32)
+    py_r = (
+        jax.lax.broadcasted_iota(jnp.int32, (d3sq, 1), 0) // d3 - d3 // 2
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d3sq, d3sq), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d3sq, d3sq), 0)
+    px_l = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, d3sq), 1) % d3 - d3 // 2
+    ).astype(jnp.float32)
+    py_l = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, d3sq), 1) // d3 - d3 // 2
+    ).astype(jnp.float32)
+    pln_row = jnp.transpose(pln, (1, 0))  # (d3sq, 1)
+
+    def build_op(o, _):
+        th = opth_ref[o]
+        cs = jnp.cos(th)
+        sn = jnp.sin(th)
+        # sublane-sample orientation (for mxy[i, j])
+        Xp = px_r * cs - py_r * sn + d3 // 2
+        Yp = px_r * sn + py_r * cs + d3 // 2
+        xi = jnp.round(Xp).astype(jnp.int32)
+        yi = jnp.round(Yp).astype(jnp.int32)
+        inb = (
+            (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+        ).astype(jnp.float32)
+        idx = yi * d3 + xi  # (d3sq, 1)
+        m = (cols == idx).astype(jnp.float32) * inb * pln
+        mxy_ref[o] = m.astype(cdt)
+        # lane-sample orientation (for mxyt[j, i] = mxy[i, j])
+        Xl = px_l * cs - py_l * sn + d3 // 2
+        Yl = px_l * sn + py_l * cs + d3 // 2
+        xj = jnp.round(Xl).astype(jnp.int32)
+        yj = jnp.round(Yl).astype(jnp.int32)
+        inb_l = (
+            (xj >= 0) & (xj <= d3 - 1) & (yj >= 0) & (yj <= d3 - 1)
+        ).astype(jnp.float32)
+        idx_l = yj * d3 + xj  # (1, d3sq)
+        mt = (rows == idx_l).astype(jnp.float32) * inb_l * pln_row
+        mxyt_ref[o] = mt.astype(cdt)
+        return _
+
+    jax.lax.fori_loop(0, n_ops, build_op, 0)
+
+    gz = gz_ref[:]
+    w2 = w2_ref[:]
+
+    def _dg(a, b, a_dim, b_dim):
+        return jax.lax.dot_general(
+            a, b, (((a_dim,), (b_dim,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def data_term(v):
+        vb = v.astype(cdt)
+        y = _dg(vb, w2t_ref[:], 1, 0)  # (l3, C*d2p)
+        z = jnp.sum(gz * y[None, :, :], axis=1)
+        return _dg(z.astype(cdt), w2, 1, 0)  # (l3, d3sq)
+
+    def matvec(v):
+        vb = v.astype(cdt)
+        out = data_term(v)
+        tmp = jnp.concatenate(
+            [_dg(vb, mxyt_ref[o], 1, 0) for o in range(n_ops)], axis=0
+        )
+        diff = _dg(b1_ref[:], tmp, 1, 0) * pok_ref[:]
+        ubar = _dg(b1t_ref[:], diff, 1, 0).astype(cdt)
+        sts = jnp.zeros((l3, d3sq), jnp.float32)
+        for o in range(n_ops):
+            sts = sts + _dg(ubar[o * l3 : (o + 1) * l3], mxy_ref[o], 1, 0)
+        return (out + sts + l2_reg * v) * mask
+
+    # rhs = (P^T b_eff) * mask, computed from the freshly built W2
+    rhs = _dg(u_ref[:].astype(cdt), w2, 1, 0) * mask  # (l3, d3sq)
+
+    def cg_body(_, carry):
+        x, r, p, rs = carry
+        np_ = matvec(p)
+        pnp = jnp.sum(p * np_)
+        alpha = jnp.where(pnp > 0, rs / jnp.maximum(pnp, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * np_
+        rs_new = jnp.sum(r * r)
+        beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = r + beta * p
+        return x, r, p, rs_new
+
+    x0 = jnp.zeros((l3, d3 * d3), jnp.float32)
+    x, _, _, _ = jax.lax.fori_loop(
+        0, cg_iters, cg_body, (x0, rhs, rhs, jnp.sum(rhs * rhs))
+    )
+
+    if fista_iters > 0:
+        v = jnp.ones((l3, d3 * d3), jnp.float32)
+        v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v)), 1e-30)
+
+        def pow_body(_, v):
+            w = matvec(v)
+            return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+
+        v = jax.lax.fori_loop(0, power_iters, pow_body, v)
+        margin = 1.2 if power_iters >= 4 else (1.5 if power_iters >= 2 else 1.8)
+        lips = margin * jnp.sum(v * matvec(v))
+        eta = 1.0 / jnp.maximum(lips, 1e-20)
+
+        def prox(v):
+            v = jnp.sign(v) * jnp.maximum(jnp.abs(v) - eta * l1_reg, 0.0)
+            return jnp.clip(v, lb, ub)
+
+        def fista_body(_, carry):
+            x, y, t = carry
+            g = matvec(y) - rhs
+            x_new = prox(y - eta * g)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+            return x_new, y_new, t_new
+
+        xc = jnp.clip(x, lb, ub)
+        x, _, _ = jax.lax.fori_loop(
+            0, fista_iters, fista_body, (xc, xc, jnp.float32(1.0))
+        )
+
+    x = x * mask
+    x_ref[:] = x
+    # cosine score WITHOUT materializing the reprojection:
+    #   num = <P(x), b_eff> = <x, rhs>
+    #   |P(x)*rowv|^2 = <x, P^T P x> = <x, data_term(x)>
+    num = jnp.sum(x * rhs)
+    den = jnp.sqrt(jnp.maximum(jnp.sum(x * data_term(x)), 0.0)) * b_norm
+    score = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+    score_ref[0, 0] = score
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "C", "d2", "d3", "l3", "n_taps", "cg_iters", "fista_iters",
+        "power_iters", "use_bf16", "scale2d_to_3d", "dy_pixel", "interpret",
+    ),
+)
+def score_candidate_pallas(
+    theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
+    plane_ok, rowtab, lanetab, scal,
+    C: int, d2: int, d3: int, l3: int, n_taps: int,
+    cg_iters: int, fista_iters: int, power_iters: int,
+    use_bf16: bool = True, scale2d_to_3d: float = 1.0,
+    dy_pixel: float = 0.0, interpret: bool = False,
+):
+    """Full-pipeline fused kernel: build operators + solve + score.
+
+    Returns (x (l3, d3sq) f32, score scalar f32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d3sq = d3 * d3
+    d2p = ((d2 + 15) // 16) * 16
+    n_ops = op_theta.shape[0]
+    n_pairs = b1.shape[0] // l3
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    kernel = functools.partial(
+        _full_kernel,
+        C=C, d2=d2, d2p=d2p, d3=d3, l3=l3, n_ops=n_ops, n_pairs=n_pairs,
+        n_taps=n_taps, cg_iters=cg_iters, fista_iters=fista_iters,
+        power_iters=power_iters, use_bf16=use_bf16,
+        scale2d_to_3d=scale2d_to_3d, dy_pixel=dy_pixel,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((l3, d3sq), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[sm, sm, sm, sm, vm, vm, vm, vm, vm, vm, vm, vm, vm, sm],
+        out_specs=(vm, sm),
+        scratch_shapes=[
+            pltpu.VMEM((C * d2p, d3sq), cdt),       # w2
+            pltpu.VMEM((d3sq, C * d2p), cdt),       # w2t
+            pltpu.VMEM((n_ops, d3sq, d3sq), cdt),   # mxy
+            pltpu.VMEM((n_ops, d3sq, d3sq), cdt),   # mxyt
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
+      plane_ok, rowtab, lanetab, scal)
+    return out

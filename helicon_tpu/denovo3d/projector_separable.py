@@ -471,10 +471,12 @@ def build_problem_separable(
         ops["factors"] = dict(
             Wsum=Wsum_c,          # (C, d2, d3^2) compute dtype
             Gz=Gz,                # (C, l3, l3) z-Gram per copy
+            Mz=Mz_all,            # (C, l2, l3) f32 z-interp per copy
             Mz_ops=Mz_ops,        # (O, l3, l3)
             Mxy_ops=Mxy_ops,      # (O, d3^2, d3^2)
             pair_idx=pair_idx,    # (P, 2) int32
             pair_ok=pair_ok_f,    # (P, l3, d3, d3) f32
             mask=mask_f,          # (l3, d3, d3) f32
+            plane_ok=plane_ok_flat,  # (d3^2,) f32 in-plane cell mask
         )
     return ops

@@ -83,3 +83,62 @@ def test_kernel_matches_xla_solve(small_problem):
 def test_fits_vmem_gate():
     assert fits_vmem(131, 28, 784, 5, 4, jnp.bfloat16)  # bench geometry
     assert not fits_vmem(131, 28, 44**2, 20, 24, jnp.float32)  # huge
+
+
+def test_full_pipeline_kernel_matches_xla(small_problem):
+    """v2 kernel (in-kernel operator build + solve + cosine score)
+    matches the XLA path exactly in interpret mode."""
+    import math
+
+    from helicon_tpu.denovo3d import select_copies, select_pair_ops
+    from helicon_tpu.denovo3d.pallas_solver import (
+        full_kernel_inputs,
+        score_candidate_pallas,
+    )
+    from helicon_tpu.denovo3d.solver import _cosine
+
+    geom, ops = small_problem
+    mask_f = jnp.asarray(geom.cylindrical_mask(), jnp.float32)
+    rowv = ops["row_valid"].astype(jnp.float32)
+    b_eff = ops["b"][None] * rowv
+    rhs = ops["PT"](b_eff) * mask_f
+    CG, FI, PW = 8, 10, 4
+    lb, ub = 0.0, float(jnp.max(b_eff))
+
+    PTP, S, ST = ops["PTP"], ops["S"], ops["ST"]
+
+    def N(v):
+        return (PTP(v) + ST(S(v))) * mask_f
+
+    x = _cg(N, rhs, CG)
+    lips = _power_iteration(N, rhs.shape, PW)
+    x = _fista(N, rhs, x, lb, ub, 0.0, FI, lips) * mask_f
+    pred = ops["P"](x) * rowv
+    score_ref = float(_cosine(pred.ravel(), b_eff.ravel()))
+    x_ref = np.asarray(x).reshape(geom.l3, -1)
+
+    ch, cc, cv = select_copies(geom, 2.5, 6)
+    ops_hc, *_ = select_pair_ops(geom, 30.0, 2.5, 5, 8)
+    inp = full_kernel_inputs(
+        geom, ops, jnp.float32(30.0), jnp.float32(2.5),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(ops_hc), jnp.float32,
+    )
+    (theta, dz, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln,
+     rowtab, lanetab, b_norm) = inp
+    scal = jnp.asarray(
+        [[0.0, 0.0, lb, ub, float(b_norm), 0, 0, 0]], jnp.float32
+    )
+    n_taps = int(math.ceil(math.sqrt(2.0) / geom.scale2d_to_3d)) + 2
+    x_k, sc = score_candidate_pallas(
+        theta, dz, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln,
+        rowtab, lanetab, scal,
+        C=len(theta), d2=geom.d2, d3=geom.d3, l3=geom.l3, n_taps=n_taps,
+        cg_iters=CG, fista_iters=FI, power_iters=PW, use_bf16=False,
+        scale2d_to_3d=geom.scale2d_to_3d, dy_pixel=0.0, interpret=True,
+    )
+    rel = np.abs(np.asarray(x_k) - x_ref).max() / max(
+        np.abs(x_ref).max(), 1e-30
+    )
+    assert rel < 1e-4, rel
+    assert abs(float(np.asarray(sc)[0, 0]) - score_ref) < 1e-4
