@@ -144,7 +144,7 @@ def _candidate_tables(
 
 
 @functools.lru_cache(maxsize=16)
-def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0):
+def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0, devices=None):
     """Compiled vmapped scorer, shared ACROSS reconstruct_grid calls.
 
     The image region and the tilt/psi/dy pose are traced arguments
@@ -163,6 +163,14 @@ def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0):
     from HBM on every one of the ~29 matvecs — ~350 GB per 1024-batch,
     saturating the HBM roofline. With the interchange each chunk's
     operators are built once and live in VMEM across all its iterations.
+
+    devices (tuple, len > 1) combines both: the chunked schedule runs
+    per device under jax.shard_map over a 1D "candidates" mesh, so a
+    multi-chip grid keeps the VMEM-resident interchange instead of
+    falling back to the HBM-bound vmapped form (a plain lax.map cannot
+    scan a sharded axis — shard_map makes the scan device-local). Each
+    device's shard must divide by inner_chunk; reconstruct_grid sizes
+    batches to n_dev * inner_chunk multiples.
     """
 
     def one(region, tiltv, psiv, dyv, tw, ri, a, b, c, d, e, oh, ov, pi):
@@ -200,6 +208,24 @@ def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0):
             lambda ca: vone(region, tiltv, psiv, dyv, *ca), cargs
         )
         return scores.reshape(n)
+
+    if devices is not None and len(devices) > 1:
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("candidates",))
+        # each device runs the chunked schedule on its LOCAL candidate
+        # shard; region/pose broadcast replicated. No collectives are
+        # needed — scores concatenate along the sharded axis.
+        sharded = jax.shard_map(
+            chunked,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()) + (P("candidates"),) * 10,
+            out_specs=P("candidates"),
+            # no collectives inside; the varying-axes checker would
+            # otherwise demand pcast plumbing through every scan carry
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     return jax.jit(chunked)
 
@@ -430,12 +456,15 @@ def reconstruct_grid(
     inner_chunk = int(
         _os.environ.get("HELICON_GRID_INNER", str(default_chunk))
     )
-    if n_dev > 1:
-        inner_chunk = 0  # lax.map cannot scan a sharded axis; see shard_map TODO
     if inner_chunk > 0:
-        # chunked mode needs batch % inner_chunk == 0
-        batch_size = max(inner_chunk, (batch_size // inner_chunk) * inner_chunk)
-    vsolve = _vsolve_cached(geom, cfg, inner_chunk)
+        # chunked mode needs every device's shard divisible by the
+        # chunk: batch % (inner_chunk * n_dev) == 0
+        unit = inner_chunk * n_dev
+        batch_size = max(unit, (batch_size // unit) * unit)
+    vsolve = _vsolve_cached(
+        geom, cfg, inner_chunk,
+        tuple(devices) if (n_dev > 1 and inner_chunk > 0) else None,
+    )
     pose_args = (
         jnp.asarray(region),
         jnp.float32(tilt),

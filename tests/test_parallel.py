@@ -78,6 +78,46 @@ def test_dryrun_multichip_cold_shell():
     assert "dryrun_multichip ok: 8 devices" in proc.stdout
 
 
+def test_multidevice_chunked_shard_map_matches_vmapped():
+    """The loop-interchanged (VMEM-resident) chunked schedule runs
+    per-device under jax.shard_map on a multi-device mesh; before this
+    path existed, n_dev > 1 silently fell back to the HBM-bound vmapped
+    form. Scores must match the vmapped reference bit-for-bit (each
+    candidate's solve is independent)."""
+    import os
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+    from helicon_tpu.helix.simulate import simulate_helical_projection
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=48, nx=96, apix=2.0,
+        rng=0,
+    )))
+    twists = np.array([20.0, 25.0, 30.0, 35.0, 40.0, 45.0, 50.0, 55.0],
+                      np.float32)
+    rises = np.full(8, 6.0, np.float32)
+    kw = dict(
+        apix=2.0, twists=twists, rises=rises, cg_iters=8, fista_iters=6,
+        batch_size=8, return_best_volume=False, devices=jax.devices(),
+        compute_dtype="float32",  # bf16 reduction order differs between
+        # the chunked and vmapped compilations (~1e-4); f32 pins tightly
+    )
+    old = os.environ.get("HELICON_GRID_INNER")
+    try:
+        os.environ["HELICON_GRID_INNER"] = "0"
+        ref = reconstruct_grid(img, **kw)
+        os.environ["HELICON_GRID_INNER"] = "2"  # unit = 2 * 8 devices = 16
+        got = reconstruct_grid(img, **kw)
+    finally:
+        if old is None:
+            os.environ.pop("HELICON_GRID_INNER", None)
+        else:
+            os.environ["HELICON_GRID_INNER"] = old
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=0, atol=1e-6)
+    assert int(np.argmax(got.scores)) == 2  # truth twist=30
+
+
 def test_image_candidate_mesh_factorization():
     """2D (images x candidates) mesh covers all devices; image shards
     default to the largest power-of-2 divisor <= sqrt(n)."""
