@@ -146,12 +146,6 @@ def build_problem_separable(
     plane_ok_flat = jnp.asarray(plane_ok.reshape(-1), jnp.float32)
     mask_f = jnp.asarray(mask_np, jnp.float32)
 
-    # base in-plane points: (j, k) -> (x0, y0) before per-copy rotation
-    jc = (jnp.arange(d2, dtype=jnp.float32) - d2 // 2)[:, None]
-    kc = (jnp.arange(d2, dtype=jnp.float32) - d2 // 2)[None, :]
-    x0 = jnp.broadcast_to(-s * kc, (d2, d2)).reshape(-1)  # (d2j * d2k,)
-    y0 = jnp.broadcast_to(s * jc - dy_pixel, (d2, d2)).reshape(-1)
-
     ic = jnp.arange(l2, dtype=jnp.float32) - l2 // 2  # z along the image
 
     theta = jnp.deg2rad(
@@ -167,7 +161,19 @@ def build_problem_separable(
     # kc* = (g - C_j) . D / s^2. Evaluating those few taps directly per
     # (j, cell) reorders the exact same sum as the scatter-add — with no
     # scatter (TPU scatters serialize and dominate the precompute).
-    n_taps = int(np.ceil(np.sqrt(2.0) / max(s, 1e-6))) + 2
+    # Tight tap window (exact): a sample at kc deposits into cell g only
+    # if |P(kc) - g|_inf < 1 (linear hat support; <= 0.5 for nn rounding,
+    # including round-half ties). Decomposing P(kc) - g along/across the
+    # ray D (|D| = s, P(kc*) - g perpendicular to D) gives
+    # s|kc - kc*| <= |P(kc) - g|_2 < sqrt(2) (linear) / <= sqrt(1/2) (nn),
+    # and |kc - k0| <= |kc - kc*| + 1/2 with k0 = round(kc*). Taps beyond
+    # the bound contribute exactly 0 (their ok mask is provably false),
+    # so the loop below is bit-identical with ~half the taps of the old
+    # conservative ceil(sqrt(2)/s) + 2 window.
+    if linear:
+        n_taps = int(np.ceil(np.sqrt(2.0) / max(s, 1e-6) + 0.5))
+    else:
+        n_taps = int(np.ceil(np.sqrt(0.5) / max(s, 1e-6) + 0.5))
     gx_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 1).reshape(-1)
     gy_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 0).reshape(-1)
     jc_rows = jnp.arange(d2, dtype=jnp.float32) - d2 // 2
@@ -236,31 +242,21 @@ def build_problem_separable(
         return Wsum * cv.astype(jnp.float32)
 
     def copy_mats(th, dzc, cv):
-        """Build (Wsum, Mz, row_valid) for one copy via 4 scatter-adds —
-        never materializing the (d2^2, d3^2) compare matrix."""
-        c, sn = jnp.cos(th), jnp.sin(th)
-        # inverse z-rotation: (x, y) -> (x c + y s, -x s + y c)
-        X = (x0 * c + y0 * sn) + d3 // 2
-        Y = (-x0 * sn + y0 * c) + d3 // 2
+        """Build (Wsum, Mz, row_valid) for one copy — fully gather-free.
+
+        Row validity falls out of Wsum itself: row j has >= 1 valid
+        sample iff its Wsum row deposits any weight (nn deposits 1 per
+        valid sample; linear deposits bilinear weights summing to
+        exactly 1 per valid sample — same in-bounds + base-cell-valid
+        test as the per-sample formulation). The previous per-sample
+        recomputation did a 784-point plane_ok gather per copy, which
+        serialized on TPU and dominated the whole operator build
+        (567 of 620 us/candidate, 2026-08-17 DCE-split measurement).
+        """
         cvf = cv.astype(jnp.float32)
-        # per-sample validity (for row_valid); Wsum itself is built
-        # scatter-free by copy_wsum_direct
-        if linear:
-            xi = jnp.floor(X).astype(jnp.int32)
-            yi = jnp.floor(Y).astype(jnp.int32)
-            inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
-            base = jnp.clip(yi, 0, d3 - 2) * d3 + jnp.clip(xi, 0, d3 - 2)
-            ok = inb.astype(jnp.float32) * plane_ok_flat[base]
-        else:
-            xi = jnp.round(X).astype(jnp.int32)
-            yi = jnp.round(Y).astype(jnp.int32)
-            inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
-            idx = jnp.clip(yi, 0, d3 - 1) * d3 + jnp.clip(xi, 0, d3 - 1)
-            ok = inb.astype(jnp.float32) * plane_ok_flat[idx]
-        xy_ok = ok > 0
         Wsum = copy_wsum_direct(th, dzc, cv)
         Mz = _z_interp_matrix(s * ic - dzc + l3 // 2, l3, linear) * cvf
-        xy_any = jnp.any(xy_ok.reshape(d2, d2), axis=1) & cv  # per row j
+        xy_any = (jnp.sum(Wsum, axis=1) > 0) & cv  # per row j
         z_ok = jnp.sum(Mz, axis=1) > 0
         row_valid = (z_ok[:, None] & xy_any[None, :]) & cv  # (l2, d2)
         return Wsum, Mz, row_valid
