@@ -452,7 +452,10 @@ def reconstruct_grid(
     # operator tensors stay VMEM-resident across its CG/FISTA scan
     # instead of re-streaming from HBM every iteration), OFF on CPU
     # (a sequential lax.map only slows the reference oracle runs).
-    default_chunk = 32 if devices[0].platform != "cpu" else 0
+    # Chunk-size sweep after the gather-free build (2026-08-17): 8 wins
+    # (1041 cand/s device-level vs 766 at 32; 8x~12MB of operators is
+    # real VMEM residency, 32x streams).
+    default_chunk = 8 if devices[0].platform != "cpu" else 0
     inner_chunk = int(
         _os.environ.get("HELICON_GRID_INNER", str(default_chunk))
     )
