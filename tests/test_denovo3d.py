@@ -297,6 +297,48 @@ def test_separable_matches_gather_path(interpolation):
     )
 
 
+@pytest.mark.parametrize("interpolation", ["nn", "linear"])
+@pytest.mark.parametrize("scale", [0.4, 0.7, 1.3, 1.8])
+def test_separable_tap_window_across_scales(interpolation, scale):
+    """The tight receiving-cell tap window (projector_separable.py:166-176)
+    and the Wsum-derived row validity must stay exact for every
+    scale2d_to_3d: n_taps shrinks with s (1 tap at s >= ~1.4 nn) and grows
+    below 1, and a dropped tap or a missed deposit would show up as a P/
+    row_valid mismatch vs the per-sample gather formulation."""
+    from helicon_tpu.denovo3d.projector_separable import build_problem_separable
+
+    geom = ReconstructionGeometry(
+        d2=8, l2=12, d3=10, l3=8, rmin=0.0, rmax=4.0,
+        scale2d_to_3d=scale, csym=1,
+    )
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    ch, cc, cv = select_copies(geom, 1.7, 6)
+    phc, pv = select_pairs(geom, 27.0, 1.7, 5)
+    rng = np.random.default_rng(42)
+    region = rng.random((geom.d2, geom.l2)).astype(np.float32)
+    x = (rng.random(geom.volume_shape) * mask).astype(np.float32)
+    args = (
+        geom, region, jnp.float32(27.0), jnp.float32(1.7),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+    )
+    ops_g = build_problem(*args, 0.0, 0.0, 0.3, interpolation, mask, cellok)
+    ops_s = build_problem_separable(*args, 0.3, interpolation, mask, cellok)
+    np.testing.assert_allclose(
+        np.asarray(ops_s["P"](jnp.asarray(x))),
+        np.asarray(ops_g["P"](jnp.asarray(x))),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ops_s["row_valid"]), np.asarray(ops_g["row_valid"])
+    )
+    r = jnp.asarray(rng.random((len(ch), geom.l2, geom.d2)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops_s["PT"](r)), np.asarray(ops_g["PT"](r)), atol=1e-4
+    )
+
+
 def test_pair_ops_table_matches_pairs():
     """The op-table S (shared op sampling) must equal the per-pair S."""
     from helicon_tpu.denovo3d.geometry import select_pair_ops
