@@ -9,8 +9,8 @@ runs this on ONE chip, so the single-chip target is 166.7/8 = 20.8/s).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Env knobs: HELICON_BENCH_N (candidates, default 256),
-HELICON_BENCH_BATCH (batch size, default 32).
+Env knobs: HELICON_BENCH_N (candidates, default 10240),
+HELICON_BENCH_BATCH (batch size, default 1024).
 """
 
 import json

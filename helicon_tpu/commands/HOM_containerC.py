@@ -118,6 +118,11 @@ def fit_line_wrapped_by_m_known(x, o, P, m_best):
     best = None
     for m in (m_abs, -m_abs):
         r = unwrap_sequence(o - m * x, P)
+        # mean of the MOD-P residuals, not mean(r) as in
+        # solve_b_given_m_wrapped: faithful to the reference
+        # (HOM_containerC.py:903 uses np.mean(rpos % Period)), which can
+        # place the intercept ~P/2 off when residuals straddle 0/P —
+        # kept for parity
         b = float(np.mean(r % P))
         d = wrap_sym(o - (m * x + b), P)
         sse = float(np.sum(np.abs(d)))

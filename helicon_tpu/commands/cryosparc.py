@@ -73,6 +73,16 @@ def main(args: argparse.Namespace) -> None:
                 add = [c for c in pdf.columns if c not in df.columns or c == "uid"]
                 if "uid" in pdf and "uid" in df:
                     df = df.merge(pdf[add], on="uid", how="left")
+            # .cs |S fields arrive as bytes; every downstream consumer
+            # (path building, regexes, the .cs writer's str().encode())
+            # expects str — decode like io.metadata.cs2dataframe does
+            for c in df.columns:
+                if (
+                    df[c].dtype == object
+                    and len(df)
+                    and isinstance(df[c].iloc[0], bytes)
+                ):
+                    df[c] = df[c].str.decode("utf-8", errors="replace")
             frames.append(df)
             input_types.append("particle" if is_particle else "exposure")
     else:
@@ -188,6 +198,8 @@ def _dataset_to_dataframe(ds) -> pd.DataFrame:
     cols = {}
     for n in names:
         v = np.asarray(get(n))
+        if v.dtype.kind == "S":  # |S bytes -> str for path/regex consumers
+            v = np.char.decode(v, "utf-8")
         cols[n] = list(v) if v.ndim > 1 else v
     df = pd.DataFrame(cols)
     df.attrs["convention"] = "cryosparc"

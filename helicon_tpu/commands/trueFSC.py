@@ -389,7 +389,11 @@ def _soft_mask(mask, soft_width):
     soft = np.ones(mask.shape, np.float64)
     outside = ~mask.astype(bool)
     near = outside & (dist > 0) & (dist <= soft_width)
-    soft[near] = (np.cos(dist[near] / soft_width * np.pi / 2) + 1) / 2
+    # full cosine falloff reaching 0 at d = soft_width. Documented
+    # deviation: the reference's half-cosine (pi/2; trueFSC.py:779)
+    # leaves a 0.5-amplitude cliff at the soft zone's outer edge —
+    # exactly the mask-autocorrelation artifact FSCtrue exists to remove
+    soft[near] = (np.cos(dist[near] / soft_width * np.pi) + 1) / 2
     soft[outside & (dist > soft_width)] = 0.0
     return soft
 

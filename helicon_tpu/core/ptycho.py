@@ -80,11 +80,15 @@ def load_h5_file(filepath: str):
             raise ValueError(f"{filepath}: no 4D dataset found")
         node = f[candidates[0]]
         data = np.asarray(node)
-        attrs: dict = {}
+        # nearest attribute wins: apply root first, dataset last
+        chain = []
         n = node
         while n is not None:
-            attrs.update(dict(n.attrs))
+            chain.append(n)
             n = n.parent if n.name != "/" else None
+        attrs: dict = {}
+        for g in reversed(chain):
+            attrs.update(dict(g.attrs))
         acc_v = float(attrs.get("energy", attrs.get("E_keV", 300.0))) * 1e3
         semi = float(attrs.get("Convergence semi-angle [mrad]",
                                attrs.get("semiconv_mrad", 0.0)))

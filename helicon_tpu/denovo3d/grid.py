@@ -512,7 +512,7 @@ def reconstruct_grid(
         # web app): block per batch so completed scores stream out and an
         # abort between batches keeps them. Otherwise keep dispatch ASYNC:
         # enqueue all batches, then block.
-        incremental = progress_callback is not None or should_abort is not None
+        incremental = incremental_mode
         pending = []
         done = 0
         cost_stats = None
@@ -793,6 +793,8 @@ def _reconstruct_grid_bucketed(
         # one single-candidate pass on the winner (its own bucket's
         # geometry) for the volume; refinement (if configured) re-runs
         # deterministically on this one candidate
+        win_kw = dict(kw, batch_size=None)  # 1 candidate: autosize, don't
+        # pad the winner to the caller's full scoring batch
         win = reconstruct_grid(
             image,
             apix,
@@ -800,7 +802,7 @@ def _reconstruct_grid_bucketed(
             rises[best_global_idx: best_global_idx + 1],
             return_best_volume=True,
             rise_bucket_ratio=ratio,
-            **kw,
+            **win_kw,
         )
         result.best_volume = win.best_volume
         result.geom = win.geom

@@ -31,9 +31,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["solve_candidate_pallas", "fits_vmem", "pallas_inputs"]
+__all__ = [
+    "solve_candidate_pallas",
+    "score_candidate_pallas",
+    "fits_vmem",
+    "pallas_inputs",
+    "full_kernel_inputs",
+]
 
-# leave headroom out of the ~16 MB/core VMEM for temporaries
+# v5e has 128 MiB of physical VMEM per core (Mosaic's scoped-vmem
+# DEFAULT is only 16 MB; the kernels raise it via vmem_limit_bytes).
+# Budget 56 MB for one candidate's resident operators, leaving the rest
+# for Mosaic temporaries and double-buffering.
 _VMEM_BUDGET_BYTES = 56 * 1024 * 1024
 
 
@@ -266,7 +275,6 @@ def full_kernel_inputs(geom, ops, twist_degree, rise_pixel, copies_h,
         twist_degree * copies_h.astype(jnp.float32)
         + 360.0 * copies_c.astype(jnp.float32) / csym
     )  # (C,)
-    dz = copies_h.astype(jnp.float32) * rise_pixel
     cvf = copies_valid.astype(jnp.float32)
     op_theta = jnp.deg2rad(
         twist_degree * op_hc[:, 0].astype(jnp.float32)
@@ -301,34 +309,13 @@ def full_kernel_inputs(geom, ops, twist_degree, rise_pixel, copies_h,
     mask = f["mask"].reshape(l3, d3sq).astype(jnp.float32)
     plane_ok = f["plane_ok"].astype(jnp.float32).reshape(1, d3sq)
 
-    # pre-broadcast per-ROW tables (C*d2p, 1) so the kernel's W2 build
-    # is a single vectorized pass with NO per-copy loop (a fori_loop
-    # over C copies with dynamic stores cost ~7 us/copy of pure loop
-    # overhead — ~0.9 ms/candidate at C=131)
-    cs = jnp.cos(theta)
-    sn = jnp.sin(theta)
-    jc = (jnp.arange(d2p, dtype=jnp.float32) - d2 // 2)
-    jrow_ok = (jnp.arange(d2p) < d2).astype(jnp.float32)
-
-    def bc(percopy, perrow):
-        return (percopy[:, None] * perrow[None, :]).reshape(C * d2p, 1)
-
-    ones_r = jnp.ones((d2p,), jnp.float32)
-    rowtab = jnp.concatenate(
-        [
-            bc(cs, ones_r), bc(sn, ones_r), bc(cvf, jrow_ok),
-            bc(jnp.ones((C,), jnp.float32), jc),
-        ],
-        axis=1,
-    )  # (C*d2p, 4): cs, sn, cv*row_ok, jc
-    lanetab = rowtab.T.reshape(4, 1, C * d2p)  # lane-oriented copy
-    return (theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1.T, pok,
-            mask, plane_ok, rowtab, lanetab, b_norm)
+    return (theta, cvf, op_theta, gz_bigp, u_flat, b1, b1.T, pok,
+            mask, plane_ok, b_norm)
 
 
 def _full_kernel(
-    theta_ref, dz_ref, cvf_ref, opth_ref, gz_ref, u_ref, b1_ref, b1t_ref,
-    pok_ref, mask_ref, pln_ref, rowtab_ref, lanetab_ref, scal_ref,
+    theta_ref, cvf_ref, opth_ref, gz_ref, u_ref, b1_ref, b1t_ref,
+    pok_ref, mask_ref, pln_ref, scal_ref,
     x_ref, score_ref, w2_ref, w2t_ref, mxy_ref, mxyt_ref, *,
     C, d2, d2p, d3, l3, n_ops, n_pairs, n_taps,
     cg_iters, fista_iters, power_iters, use_bf16, scale2d_to_3d, dy_pixel,
@@ -541,8 +528,8 @@ def _full_kernel(
     ),
 )
 def score_candidate_pallas(
-    theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
-    plane_ok, rowtab, lanetab, scal,
+    theta, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
+    plane_ok, scal,
     C: int, d2: int, d3: int, l3: int, n_taps: int,
     cg_iters: int, fista_iters: int, power_iters: int,
     use_bf16: bool = True, scale2d_to_3d: float = 1.0,
@@ -575,7 +562,7 @@ def score_candidate_pallas(
             jax.ShapeDtypeStruct((l3, d3sq), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        in_specs=[sm, sm, sm, sm, vm, vm, vm, vm, vm, vm, vm, vm, vm, sm],
+        in_specs=[sm, sm, sm, vm, vm, vm, vm, vm, vm, vm, sm],
         out_specs=(vm, sm),
         scratch_shapes=[
             pltpu.VMEM((C * d2p, d3sq), cdt),       # w2
@@ -587,6 +574,6 @@ def score_candidate_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(theta, dz, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
-      plane_ok, rowtab, lanetab, scal)
+    )(theta, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
+      plane_ok, scal)
     return out

@@ -387,14 +387,49 @@ def _solve_one_weighting(
     # and gave NO convergence gain on this system — the binding budget
     # is the FISTA phase that enforces the box constraint, so the
     # iteration split favors FISTA (see bench.py defaults).
-    x = _cg(N, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
+    lb = jnp.where(positive, 0.0, -jnp.inf)
+    ub = jnp.where(positive, ub_val, jnp.inf)
 
-    if cfg.fista_iters > 0:
-        lb = jnp.where(positive, 0.0, -jnp.inf)
-        ub = jnp.where(positive, ub_val, jnp.inf)
-        L = _power_iteration(N, rhs.shape, cfg.power_iters)
-        x = _fista(N, rhs, x, lb, ub, l1_eff, cfg.fista_iters, L)
-    x = x * mask_f
+    def run(scale):
+        # one CG warm start + FISTA pass at regularization (l1, l2)*scale
+        if cfg.l2_reg:
+            def Ns(v):
+                return N0(v) + l2_eff * scale * v * mask_f
+        else:
+            Ns = N
+        x = _cg(Ns, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
+        if cfg.fista_iters > 0:
+            L = _power_iteration(Ns, rhs.shape, cfg.power_iters)
+            x = _fista(Ns, rhs, x, lb, ub, l1_eff * scale, cfg.fista_iters, L)
+        else:
+            # no FISTA phase: still honor the box constraint the
+            # reference's solvers always enforce (positive=True /
+            # lsq_linear bounds) by projecting the CG solution
+            x = jnp.clip(x, lb, ub)
+        return x * mask_f
+
+    x = run(jnp.float32(1.0))
+    if cfg.l1_reg > 0 or cfg.l2_reg > 0:
+        # reference solver:330-337: an all-zero fit retries with
+        # alpha *= 0.1 until some coefficient survives (bounded here so
+        # a structurally-zero problem cannot loop forever)
+        def _zero_cond(c):
+            xx, s = c
+            return jnp.logical_and(~jnp.any(xx != 0.0), s > 1e-7)
+
+        def _zero_body(c):
+            _, s = c
+            s = s * 0.1
+            return run(s), s
+
+        x, _ = jax.lax.while_loop(_zero_cond, _zero_body, (x, jnp.float32(1.0)))
+    elif cfg.model == "lreg":
+        # reference solver:331-332: lreg seeds the center voxel so a
+        # degenerate all-zero solution still scores deterministically
+        seed = (
+            jnp.zeros_like(x).ravel().at[x.size // 2].set(1.0).reshape(x.shape)
+        )
+        x = jnp.where(jnp.any(x != 0.0), x, seed)
 
     pred = P(x) * rowv
     if cfg.thresh_fraction >= 0:
@@ -647,17 +682,20 @@ def lsq_reconstruct(
     )
     ch, cc, cv = select_copies(geom, float(rise_pixel), n_copies)
     phc, pv = select_pairs(geom, float(twist_degree), float(rise_pixel), n_pairs)
-    from .geometry import estimate_n_pair_ops, select_pair_ops
 
-    n_ops = estimate_n_pair_ops(geom, float(rise_pixel))
-    ops_hc, ops_v, pair_idx, _ = select_pair_ops(
-        geom, float(twist_degree), float(rise_pixel), n_pairs, n_ops
-    )
+    # exactly d2 x l2 pixels centered like the reference's
+    # np.ix_(arange(d2) - d2//2 + ny//2, ...) (solver:366-372) — a plain
+    # half-open slice drops a row/column for odd sizes
+    r0 = ny // 2 - d2 // 2
+    c0 = nx // 2 - l2 // 2
+    if r0 < 0 or c0 < 0 or r0 + d2 > ny or c0 + l2 > nx:
+        from ..utils.exceptions import HeliconError
 
-    region = img[
-        ny // 2 - d2 // 2 : ny // 2 + d2 // 2,
-        nx // 2 - l2 // 2 : nx // 2 + l2 // 2,
-    ]
+        raise HeliconError(
+            f"reconstruction region {d2}x{l2} does not fit inside the "
+            f"{ny}x{nx} projection image"
+        )
+    region = img[r0 : r0 + d2, c0 : c0 + l2]
 
     model = algorithm.get("model", "lsq")
     l1, l2_reg = regularization_from_algorithm(
@@ -703,6 +741,20 @@ def lsq_reconstruct(
         # the separable fast path is only valid at tilt = psi = 0
         cfg = cfg._replace(separable=(tilt == 0 and psi == 0))
 
+    # pair-op tables feed only the separable fast path; building them is
+    # a host-side Python loop over every pair row, so skip it otherwise
+    pair_ops = None
+    if cfg.separable:
+        from .geometry import estimate_n_pair_ops, select_pair_ops
+
+        n_ops = estimate_n_pair_ops(geom, float(rise_pixel))
+        ops_hc, ops_v, pair_idx, _ = select_pair_ops(
+            geom, float(twist_degree), float(rise_pixel), n_pairs, n_ops
+        )
+        pair_ops = (
+            jnp.asarray(ops_hc), jnp.asarray(ops_v), jnp.asarray(pair_idx)
+        )
+
     # reference's nn sym kernel dedups duplicate voxel-pair rows
     # (pair_ids first-occurrence); reproduce via a host-built keep mask
     sym_keep = None
@@ -729,11 +781,7 @@ def lsq_reconstruct(
         jnp.float32(tilt),
         jnp.float32(psi),
         jnp.float32(dy),
-        pair_ops=(
-            (jnp.asarray(ops_hc), jnp.asarray(ops_v), jnp.asarray(pair_idx))
-            if cfg.separable
-            else None
-        ),
+        pair_ops=pair_ops,
         sym_keep=sym_keep,
     )
     rec3d = np.asarray(out["rec3d"])

@@ -696,3 +696,108 @@ def test_equation_counts_reach_reference_target():
         n_sym = int(np.sum(np.asarray(ops["S"](probe)) != 0))
         target = int(geom.cylindrical_mask().sum()) * so
         assert n_sym >= target, (l3, rise_px, n_sym, target)
+
+
+def _sim_helix_img():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    return simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=32, nx=64, apix=2.0,
+        rng=0,
+    )
+
+
+def test_lasso_all_zero_solution_retries_with_smaller_alpha():
+    """Reference solver:330-337: an all-zero fit retries with alpha*0.1
+    until coefficients survive — a huge alpha must not return a zero
+    volume / zero score."""
+    img = _sim_helix_img()
+    kwargs = dict(
+        projection_image=img, scale2d_to_3d=1.0, csym=1,
+        reconstruct_diameter_2d_pixel=24, reconstruct_diameter_3d_pixel=24,
+        reconstruct_length_2d_pixel=48, reconstruct_length_3d_pixel=16,
+        sym_oversample=2, interpolation="nn",
+    )
+    (rec, _, _), score = lsq_reconstruct(
+        twist_degree=30.0, rise_pixel=3.0,
+        algorithm=dict(model="lasso", alpha=1e4), **kwargs
+    )
+    assert np.any(np.asarray(rec) != 0)
+    assert score > 0
+
+
+def test_positivity_honored_without_fista():
+    """fista_iters=0 must still honor the box constraint the reference
+    always enforces (positive=True solvers): the CG solution is
+    projected rather than returned unconstrained."""
+    from helicon_tpu.denovo3d import (
+        ReconstructionGeometry,
+        select_copies,
+        select_pair_ops,
+        select_pairs,
+    )
+    from helicon_tpu.denovo3d.solver import _solve_candidate_impl
+
+    geom = ReconstructionGeometry(
+        d2=12, l2=16, d3=12, l3=12, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    cfg = SolveConfig(
+        interpolation="nn", cg_iters=10, fista_iters=0, power_iters=0,
+        separable=True, positive_constraint=1,
+    )
+    rng = np.random.default_rng(0)
+    region = rng.standard_normal((geom.d2, geom.l2)).astype(np.float32)
+    ch, cc, cv = select_copies(geom, 2.5, 5)
+    phc, pv = select_pairs(geom, 30.0, 2.5, 5)
+    oh, ov, pi, _ = select_pair_ops(geom, 30.0, 2.5, 5, 8)
+    out = _solve_candidate_impl(
+        geom, cfg, jnp.asarray(region), jnp.float32(29.4), jnp.float32(2.5),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        pair_ops=(jnp.asarray(oh), jnp.asarray(ov), jnp.asarray(pi)),
+    )
+    rec = np.asarray(out["rec3d"])
+    assert rec.min() >= 0.0
+    # the unconstrained CG solution on noise must have negatives —
+    # otherwise this test exercises nothing
+    cfg_unc = cfg._replace(positive_constraint=0)
+    out_unc = _solve_candidate_impl(
+        geom, cfg_unc, jnp.asarray(region), jnp.float32(29.4),
+        jnp.float32(2.5),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        pair_ops=(jnp.asarray(oh), jnp.asarray(ov), jnp.asarray(pi)),
+    )
+    assert np.asarray(out_unc["rec3d"]).min() < 0.0
+
+
+def test_lsq_reconstruct_odd_region_sizes():
+    """Odd diameter/length must extract a full d2 x l2 region (the
+    reference's np.ix_ indexing handles odd sizes; solver:366-372)."""
+    img = _sim_helix_img()
+    (rec, _, _), score = lsq_reconstruct(
+        projection_image=img, scale2d_to_3d=1.0, twist_degree=30.0,
+        rise_pixel=3.0, csym=1,
+        reconstruct_diameter_2d_pixel=23, reconstruct_diameter_3d_pixel=23,
+        reconstruct_length_2d_pixel=47, reconstruct_length_3d_pixel=15,
+        sym_oversample=2, interpolation="nn",
+    )
+    assert np.isfinite(score)
+    assert np.asarray(rec).shape[0] == 15  # l3 slices
+
+
+def test_lsq_reconstruct_region_too_large_raises():
+    from helicon_tpu.utils.exceptions import HeliconError
+
+    img = _sim_helix_img()  # 32 x 64
+    with pytest.raises(HeliconError):
+        lsq_reconstruct(
+            projection_image=img, scale2d_to_3d=1.0, twist_degree=30.0,
+            rise_pixel=3.0, csym=1,
+            reconstruct_diameter_2d_pixel=64,  # > ny=32
+            reconstruct_diameter_3d_pixel=24,
+            reconstruct_length_2d_pixel=48, reconstruct_length_3d_pixel=16,
+            sym_oversample=2, interpolation="nn",
+        )

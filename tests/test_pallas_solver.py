@@ -124,15 +124,13 @@ def test_full_pipeline_kernel_matches_xla(small_problem):
         jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
         jnp.asarray(ops_hc), jnp.float32,
     )
-    (theta, dz, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln,
-     rowtab, lanetab, b_norm) = inp
+    (theta, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln, b_norm) = inp
     scal = jnp.asarray(
         [[0.0, 0.0, lb, ub, float(b_norm), 0, 0, 0]], jnp.float32
     )
     n_taps = int(math.ceil(math.sqrt(2.0) / geom.scale2d_to_3d)) + 2
     x_k, sc = score_candidate_pallas(
-        theta, dz, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln,
-        rowtab, lanetab, scal,
+        theta, cvf, opth, gzb, uf, b1, b1t, pok, maskk, pln, scal,
         C=len(theta), d2=geom.d2, d3=geom.d3, l3=geom.l3, n_taps=n_taps,
         cg_iters=CG, fista_iters=FI, power_iters=PW, use_bf16=False,
         scale2d_to_3d=geom.scale2d_to_3d, dy_pixel=0.0, interpret=True,
