@@ -168,7 +168,45 @@ def bench_xcorr():
     }))
 
 
+def _guard_backend(timeout_s=240):
+    """Never hang the driver on a wedged accelerator transport.
+
+    The axon-tunneled TPU backend can block indefinitely inside
+    jax.devices() when the tunnel is down (observed 2026-08-17: >300 s
+    at make_c_api_client). Probe backend init in a short-lived
+    subprocess; if it does not come up within timeout_s, force the CPU
+    platform so the bench still emits its JSON line (flagged via
+    "platform" so the number is not mistaken for a TPU figure).
+    Honors an explicit HELICON_PLATFORM choice as-is.
+    """
+    if os.environ.get("HELICON_PLATFORM"):
+        return os.environ["HELICON_PLATFORM"]
+    timeout_s = int(os.environ.get("HELICON_BENCH_BACKEND_TIMEOUT", timeout_s))
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('up')"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        if proc.returncode == 0 and "up" in proc.stdout:
+            return None  # default backend healthy
+    except subprocess.TimeoutExpired:
+        pass
+    sys.stderr.write(
+        f"bench: default backend failed to initialize within {timeout_s}s; "
+        "falling back to CPU\n"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
+
+
 def main():
+    platform_note = _guard_backend()
     metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
     if metric == "etl":
         return bench_etl()
@@ -266,6 +304,8 @@ def main():
         "unit": "candidates/s",
         "vs_baseline": round(rate / target_rate, 4),
     }
+    if platform_note == "cpu-fallback":
+        out["platform"] = platform_note
     # MFU: XLA-counted flops per candidate x achieved rate / chip peak.
     # Also report XLA's static bytes-accessed per candidate and the
     # implied EFFECTIVE bandwidth (rate x bytes). Note: bytes_accessed
