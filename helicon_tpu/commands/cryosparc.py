@@ -254,13 +254,17 @@ def add_args(parser: argparse.ArgumentParser) -> None:
         "--output_csFile", metavar="<file.cs>", type=str, default="",
         help="output .cs file (default: <input>.helicon.cs)",
     )
-    parser.add_argument("--projectID", metavar="<PX>", type=str, default="",
+    # short aliases (-p/-j/-g/-w) match the reference CLI
+    # (commands/cryosparc.py:208-233); "extend" accepts both the
+    # reference's repeated-flag style (-j J1 -j J2) and one-flag lists
+    parser.add_argument("-p", "--projectID", metavar="<PX>", type=str, default="",
                         help="CryoSPARC project (requires cryosparc-tools)")
-    parser.add_argument("--jobID", metavar="<JX>", type=str, nargs="+",
-                        default=[], help="CryoSPARC job(s)")
-    parser.add_argument("--groupIndex", metavar="<n>", type=int, nargs="+",
-                        default=[], help="output group index per job (default 0)")
-    parser.add_argument("--outputWorkspaceID", metavar="<WX>", type=str,
+    parser.add_argument("-j", "--jobID", metavar="<JX>", type=str, nargs="+",
+                        action="extend", default=[], help="CryoSPARC job(s)")
+    parser.add_argument("-g", "--groupIndex", metavar="<n>", type=int, nargs="+",
+                        action="extend", default=[],
+                        help="output group index per job (default 0)")
+    parser.add_argument("-w", "--outputWorkspaceID", metavar="<WX>", type=str,
                         default=None, help="output workspace (server mode)")
     parser.add_argument("--saveLocal", type=int, metavar="<0|1>", default=0,
                         help="save output as a local .cs instead of uploading")

@@ -232,6 +232,11 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         "--csparcPassthroughFiles", metavar="<filename>", type=str, nargs="+",
         help="input cryosparc v2 passthrough file(s)", default=[],
     )
+    parser.add_argument(
+        "--ppid", metavar="<n>", type=int, default=-1,
+        help="parent-process PID (accepted for reference CLI compatibility; "
+        "commands/images2star.py:459-465)",
+    )
     parser.add_argument("--first", type=int, metavar="<n>", default=0,
                         help="first image to process")
     parser.add_argument("--last", type=int, metavar="<n>", default=-1,
@@ -284,7 +289,7 @@ def check_args(args, parser):
     skip = (
         "cpu first force ignoreBadParticlePath ignoreBadMicrographPath last "
         "folder splitNumSets splitMode micrographStar tag verbose "
-        "csparcPassthroughFiles subset"
+        "csparcPassthroughFiles subset ppid"
     ).split()
     args.all_options = [o for o in all_options if o not in skip]
 

@@ -101,6 +101,43 @@ def test_every_plugin_option_dispatchable():
     assert not gaps, gaps
 
 
+def test_every_command_flag_has_counterpart():
+    """Every argparse flag a reference command declares (positional dest,
+    long or short option) is accepted by our counterpart's add_args, so a
+    reference user's scripts parse unchanged."""
+    import argparse
+
+    gaps = {}
+    for f in sorted((REF / "commands").glob("*.py")):
+        name = f.stem
+        if name == "__init__":
+            continue
+        ref_flags = set()
+        for node in ast.walk(ast.parse(f.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)
+                and isinstance(node.args[0].value, str)
+            ):
+                ref_flags.add(node.args[0].value)
+        m = importlib.import_module(f"helicon_tpu.commands.{name}")
+        parser = argparse.ArgumentParser()
+        m.add_args(parser)
+        ours = set()
+        for action in parser._actions:
+            for opt in action.option_strings:
+                ours.add(opt.lstrip("-"))
+            if not action.option_strings:
+                ours.add(action.dest)
+        miss = sorted(fl for fl in ref_flags if fl.lstrip("-") not in ours)
+        if miss:
+            gaps[name] = miss
+    assert not gaps, gaps
+
+
 def test_every_command_has_counterpart():
     gaps = []
     for f in sorted((REF / "commands").glob("*.py")):
