@@ -1,0 +1,36 @@
+"""``helicon`` — drop-in compatibility package for jianglab/helicon users.
+
+This package mirrors the reference package layout (src/helicon/:
+flat namespace + lib/ + plugins/ + commands/ + webApps/) on top of
+``helicon_tpu``, the TPU-native implementation.  Code written against
+the reference runs unchanged::
+
+    import helicon
+    helicon.calc_fsc(...)
+
+    from helicon.lib.curvelet import curvelet_denoise_udct
+    from helicon.plugins.images2star.select import handle
+    from helicon.commands import proc3d
+
+Every name resolves lazily to its ``helicon_tpu`` implementation; see
+``helicon/_shim.py`` and ``docs/MIGRATION.md`` for the module map.
+"""
+
+from __future__ import annotations
+
+import helicon_tpu as _impl
+
+from ._shim import install_alias_finder, reexport
+
+__version__ = getattr(_impl, "__version__", "2026.08")
+
+__getattr__, __dir__ = reexport(__name__, "helicon_tpu")
+
+# `import helicon.commands.proc3d`, `from helicon.webApps.denovo3D import
+# app`, `helicon.denovo3d`, ... resolve to the very same module objects
+# as their helicon_tpu counterparts.
+install_alias_finder()
+
+# The reference's __init__ eagerly exposes the dataset singleton module
+# (reference __init__.py:218) — helicon_tpu's flat namespace already
+# carries `dataset` and `cache_dir`, so attribute delegation covers both.

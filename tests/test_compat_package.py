@@ -1,0 +1,152 @@
+"""The ``helicon`` drop-in compatibility package: code written against the
+reference (jianglab/helicon src/helicon/) must run unchanged on top of
+helicon_tpu.  Covers the flat namespace (reference __init__.py:16-228),
+deep ``helicon.lib.*`` imports, per-plugin alias modules
+(reference plugins/<family>/<option>.py), and the meta-path alias that
+maps every other subtree (commands, webApps, core, ...) onto the very
+same module objects as helicon_tpu's."""
+
+import importlib
+import sys
+
+import numpy as np
+import pytest
+
+import helicon
+import helicon_tpu
+
+from test_namespace import REFERENCE_EXPORTS
+
+
+# ---------------------------------------------------------------- flat names
+def test_every_reference_flat_export_resolves():
+    missing = [n for n in REFERENCE_EXPORTS if not hasattr(helicon, n)]
+    assert not missing, f"helicon.* lacks reference exports: {missing}"
+
+
+def test_version_and_dir():
+    assert isinstance(helicon.__version__, str) and helicon.__version__
+    d = dir(helicon)
+    assert "calc_fsc" in d and "apply_helical_symmetry" in d
+
+
+def test_unknown_attribute_raises_attributeerror():
+    with pytest.raises(AttributeError):
+        helicon.this_name_does_not_exist_anywhere
+
+
+# ------------------------------------------------------------- lib/ modules
+# One representative public symbol per reference lib module
+# (reference src/helicon/lib/<module>.py).
+LIB_SYMBOLS = {
+    "alignment": "align_images",
+    "analysis": "calc_fsc",
+    "angular": "angular_difference",
+    "cache": "cache",
+    "clustering": "AgglomerativeClusteringWithMinSize",
+    "collections": "unique",
+    "curvelet": "curvelet_denoise_udct",
+    "dataset": "EMDB",
+    "epu": "movie_filename_patterns",
+    "euler": "euler_relion2eman",
+    "exceptions": "HeliconExit",
+    "filters": "calculate_structural_factor",
+    "groups": "combine_groups",
+    "io": "star2dataframe",
+    "io_mrc": "get_image_number",
+    "logging": "color_print",
+    "path_utils": "which",
+    "point_group": "PointGroup",
+    "ptycho": "load_h5_file",
+    "shiny": "image_gallery",
+    "system": "get_option_list",
+    "transforms": "apply_helical_symmetry",
+    "util": "download_file_from_url",
+}
+
+
+@pytest.mark.parametrize("module,symbol", sorted(LIB_SYMBOLS.items()))
+def test_lib_module_exposes_reference_symbol(module, symbol):
+    mod = importlib.import_module(f"helicon.lib.{module}")
+    assert hasattr(mod, symbol), f"helicon.lib.{module} lacks {symbol}"
+
+
+def test_lib_covers_every_reference_module():
+    import pathlib
+
+    here = pathlib.Path(__file__).resolve().parents[1] / "helicon" / "lib"
+    shipped = {p.stem for p in here.glob("*.py")} - {"__init__"}
+    assert shipped >= set(LIB_SYMBOLS), set(LIB_SYMBOLS) - shipped
+
+
+def test_lib_functions_actually_run():
+    a = np.arange(8.0)
+    d = helicon.lib.angular.angular_difference(np.array([10.0]), np.array([350.0]))
+    assert np.allclose(d, 20.0)
+    assert helicon.lib.collections.unique([3, 1, 3, 2, 1]) == [3, 1, 2]
+    assert callable(helicon.lib.io.star2dataframe)
+    del a
+
+
+# ----------------------------------------------------------------- plugins/
+@pytest.mark.parametrize(
+    "family,option",
+    [
+        ("images2star", "select"),
+        ("images2star", "extractHelices"),
+        ("images2star", "denoiseCurvelet"),
+        ("proc3d", "helical_sym"),
+        ("cryosparc", "extractParticles"),
+    ],
+)
+def test_plugin_alias_module(family, option):
+    mod = importlib.import_module(f"helicon.plugins.{family}.{option}")
+    assert mod.option_name == option
+    assert callable(mod.add_args) and callable(mod.handle)
+
+
+def test_plugin_lowercase_filename_alias():
+    # The reference names files in both styles (selectFile.py vs
+    # denoisecurvelet.py); both spellings must import.
+    lo = importlib.import_module("helicon.plugins.images2star.denoisecurvelet")
+    hi = importlib.import_module("helicon.plugins.images2star.denoiseCurvelet")
+    assert lo.handle is hi.handle
+
+
+def test_every_registered_plugin_has_alias_module():
+    for family in ("images2star", "proc3d", "cryosparc"):
+        plugins = importlib.import_module(f"helicon_tpu.ops.{family}")._plugins
+        pkg = importlib.import_module(f"helicon.plugins.{family}")
+        for opt in plugins:
+            assert hasattr(pkg, opt), f"helicon.plugins.{family}.{opt} missing"
+
+
+# -------------------------------------------------- alias finder (deep tree)
+def test_cli_dispatcher_module():
+    # Reference ships src/helicon/helicon.py with the console entry `main`.
+    mod = importlib.import_module("helicon.helicon")
+    assert callable(mod.main)
+
+
+def test_commands_alias_is_same_module_object():
+    a = importlib.import_module("helicon.commands.proc3d")
+    b = importlib.import_module("helicon_tpu.commands.proc3d")
+    assert a is b
+
+
+def test_package_alias_and_submodule_import():
+    core = importlib.import_module("helicon.core.analysis")
+    assert core is importlib.import_module("helicon_tpu.core.analysis")
+    assert "helicon.core.analysis" in sys.modules
+
+
+def test_nonexistent_submodule_import_fails_cleanly():
+    with pytest.raises(ImportError):
+        importlib.import_module("helicon.no_such_subpackage_xyz")
+
+
+def test_flat_call_through_shim():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    fsc = np.asarray(helicon.calc_fsc(v, v, apix=1.0))  # columns (freq, fsc)
+    assert np.all(fsc[:, 1] > 0.99)
