@@ -206,10 +206,10 @@ def _guard_backend(timeout_s=240):
 
 
 def main():
-    platform_note = _guard_backend()
     metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
     if metric == "etl":
-        return bench_etl()
+        return bench_etl()  # pandas-only: never probe/init an accelerator
+    platform_note = _guard_backend()
     if metric == "ctf":
         return bench_ctf()
     if metric == "hill":

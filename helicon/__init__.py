@@ -24,7 +24,30 @@ from ._shim import install_alias_finder, reexport
 
 __version__ = getattr(_impl, "__version__", "2026.08")
 
-__getattr__, __dir__ = reexport(__name__, "helicon_tpu")
+_flat_getattr, _flat_dir = reexport(__name__, "helicon_tpu")
+
+
+def __getattr__(name: str):
+    try:
+        return _flat_getattr(name)
+    except AttributeError:
+        # Subpackage attribute access after a bare `import helicon` —
+        # the reference binds `helicon.lib` as a star-import side effect
+        # (reference __init__.py), so `helicon.lib.util.f(...)` must work
+        # without an explicit `import helicon.lib`. Resolve any subtree
+        # (lib, plugins, commands, webApps, core, io, ...) by importing it.
+        import importlib
+
+        try:
+            return importlib.import_module(f"{__name__}.{name}")
+        except ImportError:
+            raise AttributeError(
+                f"module {__name__!r} has no attribute {name!r}"
+            ) from None
+
+
+def __dir__():
+    return sorted(set(_flat_dir()) | {"lib", "plugins", "commands", "webApps"})
 
 # `import helicon.commands.proc3d`, `from helicon.webApps.denovo3D import
 # app`, `helicon.denovo3d`, ... resolve to the very same module objects

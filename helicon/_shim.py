@@ -69,11 +69,19 @@ class _AliasFinder(importlib.abc.MetaPathFinder):
             return None
         if found is None:
             return None
-        return importlib.machinery.ModuleSpec(
+        spec = importlib.machinery.ModuleSpec(
             fullname,
             _AliasLoader(target_name),
             is_package=found.submodule_search_locations is not None,
         )
+        # module_from_spec rewrites the live target module's __path__ from
+        # this spec before exec_module restores it; carrying the REAL
+        # search locations makes that rewrite a no-op (an is_package spec
+        # otherwise defaults to [], which would transiently break any
+        # concurrent `helicon_tpu.<pkg>.<sub>` import).
+        if found.submodule_search_locations is not None:
+            spec.submodule_search_locations = found.submodule_search_locations
+        return spec
 
 
 def install_alias_finder() -> None:

@@ -10,6 +10,19 @@ the registry's handle for the ``select`` option.
 """
 
 
+def __getattr__(name: str):
+    # `helicon.plugins.images2star` must resolve after a bare
+    # `import helicon.plugins` (attribute access imports the family).
+    import importlib
+
+    try:
+        return importlib.import_module(f"{__name__}.{name}")
+    except ImportError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+
+
 def register_family(pkg_name: str, plugins: dict) -> None:
     """Create ``sys.modules`` entries for each plugin under pkg_name.
 

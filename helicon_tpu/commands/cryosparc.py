@@ -77,12 +77,13 @@ def main(args: argparse.Namespace) -> None:
             # (path building, regexes, the .cs writer's str().encode())
             # expects str — decode like io.metadata.cs2dataframe does
             for c in df.columns:
-                if (
-                    df[c].dtype == object
-                    and len(df)
-                    and isinstance(df[c].iloc[0], bytes)
-                ):
-                    df[c] = df[c].str.decode("utf-8", errors="replace")
+                if df[c].dtype == object and len(df):
+                    # the left-merge above can leave NaN in row 0 for uids
+                    # missing from the passthrough — detect bytes on the
+                    # first NON-NULL value, not blindly on iloc[0]
+                    nonnull = df[c].dropna()
+                    if len(nonnull) and isinstance(nonnull.iloc[0], bytes):
+                        df[c] = df[c].str.decode("utf-8", errors="replace")
             frames.append(df)
             input_types.append("particle" if is_particle else "exposure")
     else:
@@ -199,7 +200,9 @@ def _dataset_to_dataframe(ds) -> pd.DataFrame:
     for n in names:
         v = np.asarray(get(n))
         if v.dtype.kind == "S":  # |S bytes -> str for path/regex consumers
-            v = np.char.decode(v, "utf-8")
+            # errors="replace" like the local --csFile decode path: a
+            # malformed byte must not abort server-mode ingestion
+            v = np.char.decode(v, "utf-8", errors="replace")
         cols[n] = list(v) if v.ndim > 1 else v
     df = pd.DataFrame(cols)
     df.attrs["convention"] = "cryosparc"

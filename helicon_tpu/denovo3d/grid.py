@@ -548,7 +548,10 @@ def reconstruct_grid(
                     # count on the UNchunked variant: XLA's static cost
                     # analysis counts a lax.map body once, not x trips
                     ca = (
-                        _vsolve_cached(geom, cfg, 0)
+                        # same 4-arg call shape as the main path so the
+                        # lru_cache entry is SHARED when inner_chunk == 0
+                        # (3-arg vs 4-arg would key — and compile — twice)
+                        _vsolve_cached(geom, cfg, 0, None)
                         .lower(*pose_args, *batch_args)
                         .compile()
                         .cost_analysis()

@@ -18,8 +18,12 @@ factor tensors come from projector_separable.build_problem_separable
 
 Scope: the separable matmul-symmetry path (tilt = psi = 0, dense sym
 matrices within budget) — exactly the vmapped grid-scoring hot path.
-Callers must check `fits_vmem(factors)` and fall back to the XLA
-closures otherwise.
+Callers must check `fits_vmem(n_copies, d2, d3sq, n_ops, l3,
+compute_dtype)` and fall back to the XLA closures otherwise. The v2
+in-kernel operator build (`full_kernel_inputs` + `score_candidate_pallas`)
+implements nearest-neighbor interpolation only; `full_kernel_inputs`
+raises on anything else — use v1 (`pallas_inputs`), which consumes the
+prebuilt factor tensors and is interpolation-agnostic.
 """
 
 from __future__ import annotations
@@ -257,13 +261,24 @@ def solve_candidate_pallas(
 
 
 def full_kernel_inputs(geom, ops, twist_degree, rise_pixel, copies_h,
-                       copies_c, copies_valid, op_hc, cdt):
+                       copies_c, copies_valid, op_hc, cdt,
+                       interpolation: str = "nn"):
     """Small per-candidate tables for the v2 kernel (all host/XLA math
     on SMALL tensors; the big Wsum/Mxy never materialize here).
 
     ops: build_problem_separable output (for factors Gz/Mz/pair_ok and
-    b/row_valid). Returns the kernel argument tuple.
+    b/row_valid) — must have been built with interpolation="nn": the
+    in-kernel W2/Mxy build rounds to the nearest cell (weight 1), so
+    feeding linear-interp factors would silently solve a DIFFERENT
+    operator. Returns the kernel argument tuple.
     """
+    if not interpolation.startswith("nn"):
+        raise NotImplementedError(
+            "the v2 in-kernel operator build supports nearest-neighbor "
+            "interpolation only; use the v1 kernel (pallas_inputs + "
+            "solve_candidate_pallas) or the XLA closures for "
+            f"interpolation={interpolation!r}"
+        )
     f = ops["factors"]
     C, d2, d3sq = f["Wsum"].shape  # Wsum is NOT materialized: only shape
     O, l3, _ = f["Mz_ops"].shape

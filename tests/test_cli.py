@@ -569,3 +569,44 @@ def test_cli_split_respects_output_directory(tmp_path):
     subs = sorted((tmp_path / "results").glob("out.subset-*.star"))
     assert len(subs) == 2, list(tmp_path.iterdir())
     assert not list(tmp_path.glob("out.subset-*.star"))  # not in CWD
+
+
+def test_cli_cryosparc_passthrough_nan_first_row_still_decodes(tmp_path):
+    """A left-merged passthrough can leave NaN at row 0 of a bytes column
+    (uid missing from the passthrough); bytes detection must key on the
+    first NON-NULL value or the column stays bytes and the .cs writer
+    emits str(b'...') artifacts."""
+    from helicon_tpu.io.cs import read_cs, write_cs
+
+    n = 4
+    arr = np.zeros(
+        n,
+        dtype=[
+            ("uid", "<u8"), ("blob/path", "S20"), ("blob/psize_A", "<f4"),
+        ],
+    )
+    arr["uid"] = [10, 11, 12, 13]
+    arr["blob/path"] = b"J1/stack.mrcs"
+    arr["blob/psize_A"] = 1.2
+    write_cs(tmp_path / "J1_particles.cs", arr)
+
+    # passthrough MISSING uid 10 (the first row) with a bytes column
+    pt = np.zeros(
+        n - 1,
+        dtype=[("uid", "<u8"), ("location/micrograph_path", "S20")],
+    )
+    pt["uid"] = [11, 12, 13]
+    pt["location/micrograph_path"] = [b"m1.mrc", b"m2.mrc", b"m3.mrc"]
+    write_cs(tmp_path / "J1_passthrough_particles.cs", pt)
+
+    r = run_cli(
+        "cryosparc", "--csFile", "J1_particles.cs",
+        "--output_csFile", "out.cs",
+        "--changePixelSize", "2.4", "--verbose", "0",
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    out = read_cs(tmp_path / "out.cs")
+    paths = [v.decode() for v in out["location/micrograph_path"]]
+    # matched rows decoded cleanly — no str(b'...') round-trip artifacts
+    assert "m1.mrc" in paths and not any(p.startswith("b'") for p in paths)

@@ -145,6 +145,38 @@ def test_nonexistent_submodule_import_fails_cleanly():
         importlib.import_module("helicon.no_such_subpackage_xyz")
 
 
+def test_bare_import_attribute_access_fresh_interpreter():
+    # Reference user code does `import helicon; helicon.lib.util.f(...)` —
+    # the reference binds `lib` via star-import side effects, so attribute
+    # access must work WITHOUT explicit deep imports.  Run in a fresh
+    # interpreter: in-process tests mask this via import-order coupling.
+    import subprocess
+
+    code = (
+        "import helicon\n"
+        "assert callable(helicon.lib.util.download_file_from_url)\n"
+        "assert hasattr(helicon.plugins.images2star, 'select')\n"
+        "from helicon.commands import proc3d\n"
+        "assert callable(proc3d.main)\n"
+        "assert 'lib' in dir(helicon) and 'plugins' in dir(helicon)\n"
+        "print('BARE_IMPORT_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr
+    assert "BARE_IMPORT_OK" in out.stdout
+
+
+def test_aliased_package_path_is_preserved():
+    core = importlib.import_module("helicon.core")
+    import helicon_tpu.core as real_core
+
+    assert core is real_core
+    assert real_core.__name__ == "helicon_tpu.core"
+    assert real_core.__path__ and list(real_core.__path__)
+
+
 def test_flat_call_through_shim():
     rng = np.random.default_rng(0)
     v = rng.standard_normal((16, 16, 16)).astype(np.float32)
