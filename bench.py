@@ -252,6 +252,12 @@ def main():
     order = np.random.default_rng(0).permutation(len(twists))[:n_cand]
     twists, rises = twists[order], rises[order]
     n_cand = len(twists)  # never report more work than was scored
+    # same random SUBSET, ordered twist-major: the twist-grouped scorer
+    # (projector_grouped.py) is order-insensitive, but the warmup slice
+    # below must contain repeated twists so it compiles/warms the same
+    # grouped path the timed run uses
+    order2 = np.lexsort((rises, twists))
+    twists, rises = twists[order2], rises[order2]
 
     kwargs = dict(
         apix=2.0,

@@ -143,6 +143,99 @@ def _candidate_tables(
     return ch, cc, cv, phc, pv, ops_hc, ops_v, pair_idx
 
 
+def _group_tables(
+    geom, twist, rises_pixel, n_copies, n_pairs, n_ops, C_u, R_pad, copy_cache
+):
+    """Canonical-copy multiplicity + canonical pair tables for one
+    twist-group (host side; see projector_grouped.py for the semantics).
+
+    Returns (rises[R_pad], m[R_pad, C_u], ch_u[C_u], cc_u[C_u],
+    pair_idx[R_pad, n_pairs, 2], pairs_valid[R_pad, n_pairs]); groups
+    smaller than R_pad repeat their last candidate (scores discarded by
+    the caller's index scatter).
+    """
+    from .geometry import _pair_table
+
+    R = len(rises_pixel)
+    csym = geom.csym
+    hmax_p = (n_ops // csym - 1) // 2
+    sels = []
+    for r in rises_pixel:
+        r = float(r)
+        if r not in copy_cache:
+            copy_cache[r] = select_copies(geom, r, n_copies)
+        sels.append(copy_cache[r])
+    # canonical union copy table, ordered by (|h|, h, c)
+    union = set()
+    for ch, cc, cv in sels:
+        union.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    keys = sorted(union, key=lambda x: (abs(x[0]), x[0], x[1]))
+    assert len(keys) <= C_u, (len(keys), C_u)
+    col = {k: i for i, k in enumerate(keys)}
+    ch_u = np.zeros(C_u, np.int32)
+    cc_u = np.zeros(C_u, np.int32)
+    for (h, c), i in col.items():
+        ch_u[i], cc_u[i] = h, c
+    m = np.zeros((R_pad, C_u), np.float32)
+    for ri, (ch, cc, cv) in enumerate(sels):
+        for h, c in zip(ch[cv].tolist(), cc[cv].tolist()):
+            m[ri, col[(h, c)]] += 1.0  # Halton repeats -> multiplicity
+    pidx = np.zeros((R_pad, n_pairs, 2), np.int32)
+    pval = np.zeros((R_pad, n_pairs), bool)
+    for ri, r in enumerate(rises_pixel):
+        t = _pair_table(float(twist), float(r), csym, geom.l3)[:n_pairs]
+        if len(t):
+            k1 = (t[:, 0] + hmax_p) * csym + t[:, 1]
+            k2 = (t[:, 2] + hmax_p) * csym + t[:, 3]
+            assert k1.min() >= 0 and k1.max() < n_ops, "op table too small"
+            assert k2.min() >= 0 and k2.max() < n_ops, "op table too small"
+            pidx[ri, : len(t), 0] = k1
+            pidx[ri, : len(t), 1] = k2
+            pval[ri, : len(t)] = True
+    for ri in range(R, R_pad):
+        m[ri] = m[R - 1]
+        pidx[ri] = pidx[R - 1]
+        pval[ri] = pval[R - 1]
+    rises_pad = np.concatenate(
+        [np.asarray(rises_pixel, np.float32),
+         np.repeat(np.asarray(rises_pixel[-1:], np.float32), R_pad - R)]
+    )
+    return rises_pad, m, ch_u, cc_u, pidx, pval
+
+
+@functools.lru_cache(maxsize=16)
+def _vgsolve_cached(geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int):
+    """Compiled twist-grouped scorer, shared across reconstruct_grid
+    calls (same caching rationale as _vsolve_cached). Runs a sequential
+    lax.map over chunks of `group_chunk` twist-groups with each group's
+    shared operators built once and its candidates vmapped inside
+    (projector_grouped.py) — the loop-interchange VMEM-residency story
+    of the chunked path, but with R-candidate-wide GEMMs."""
+    from .solver import _solve_group_impl
+
+    def one_group(region, dyv, tw, rises, m, ch, cc, pidx, pval):
+        return _solve_group_impl(
+            geom, cfg, region, tw, rises, m, ch, cc, pidx, pval,
+            n_ops_u=n_ops_u, dy_pixel=dyv,
+        )
+
+    vgroups = jax.vmap(one_group, in_axes=(None, None) + (0,) * 7)
+
+    def run(region, dyv, tws, rises, m, ch, cc, pidx, pval):
+        G = tws.shape[0]
+        g = min(group_chunk, G)
+        outer = G // g
+        assert outer * g == G, (G, g)
+        cargs = tuple(
+            a.reshape((outer, g) + a.shape[1:])
+            for a in (tws, rises, m, ch, cc, pidx, pval)
+        )
+        scores = jax.lax.map(lambda ca: vgroups(region, dyv, *ca), cargs)
+        return scores.reshape((G,) + scores.shape[2:])  # (G, R_pad)
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=16)
 def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0, devices=None):
     """Compiled vmapped scorer, shared ACROSS reconstruct_grid calls.
@@ -228,6 +321,263 @@ def _vsolve_cached(geom, cfg: SolveConfig, inner_chunk: int = 0, devices=None):
         return jax.jit(sharded)
 
     return jax.jit(chunked)
+
+
+def _percand_scoring(
+    geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
+    pose_args, copy_cache, batch_size, put, vsolve,
+    incremental_mode, progress_callback, should_abort, cost_analysis,
+):
+    """Per-candidate batch dispatch (the pre-grouping scoring loop).
+
+    Fills `scores` in place; returns (aborted, cost_stats). Tables are
+    built on a single-worker PRODUCER THREAD (all batch futures queued
+    up front, executed serially, so the producer runs ahead of the
+    dispatch loop as far as it can): building them on the main thread
+    between dispatches blocks the thread the axon tunnel needs for
+    pumping async transfers (measured: a 30% throughput loss when
+    interleaved inline). numpy releases the GIL in its C kernels, so
+    the worker overlaps both dispatch and device compute. On abort,
+    queued futures are cancelled (see executor.shutdown below).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_cand = len(twists)
+    slices = []
+    for start in range(0, n_cand, batch_size):
+        end = min(start + batch_size, n_cand)
+        slices.append(slice(start, end))
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    cost_stats = None
+    aborted = False
+    try:
+        futures = [
+            executor.submit(
+                _candidate_tables, geom, twists[sl], rise_pixels[sl],
+                n_copies, n_pairs, n_ops, copy_cache,
+            )
+            for sl in slices
+        ]
+        # incremental mode (progress_callback / should_abort, used by the
+        # web app): block per batch so completed scores stream out and an
+        # abort between batches keeps them. Otherwise keep dispatch ASYNC:
+        # enqueue all batches, then block.
+        incremental = incremental_mode
+        pending = []
+        done = 0
+        for sl, fut in zip(slices, futures):
+            if should_abort is not None and should_abort():
+                aborted = True
+                break
+            b_ch, b_cc, b_cv, b_phc, b_pv, b_oh, b_ov, b_pi = fut.result()
+            pad = batch_size - (sl.stop - sl.start)
+
+            def pad_to(x):
+                if pad:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], pad, axis=0)], axis=0
+                    )
+                return put(x)
+
+            batch_args = (
+                pad_to(twists[sl]),
+                pad_to(rise_pixels[sl]),
+                pad_to(b_ch),
+                pad_to(b_cc),
+                pad_to(b_cv),
+                pad_to(b_phc),
+                pad_to(b_pv),
+                pad_to(b_oh),
+                pad_to(b_ov),
+                pad_to(b_pi),
+            )
+            if cost_analysis and cost_stats is None:
+                try:
+                    # count on the UNchunked variant: XLA's static cost
+                    # analysis counts a lax.map body once, not x trips
+                    ca = (
+                        # same 4-arg call shape as the main path so the
+                        # lru_cache entry is SHARED when inner_chunk == 0
+                        # (3-arg vs 4-arg would key — and compile — twice)
+                        _vsolve_cached(geom, cfg, 0, None)
+                        .lower(*pose_args, *batch_args)
+                        .compile()
+                        .cost_analysis()
+                    )
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    cost_stats = dict(
+                        flops=float(ca.get("flops", 0.0)),
+                        bytes_accessed=float(ca.get("bytes accessed", 0.0)),
+                        batch_size=batch_size,
+                    )
+                except Exception:  # cost analysis is best-effort
+                    cost_stats = None
+            s = vsolve(*pose_args, *batch_args)
+            if incremental:
+                scores[sl] = np.asarray(s)[: sl.stop - sl.start]
+                done = sl.stop
+                if progress_callback is not None:
+                    progress_callback(done, n_cand, scores)
+            else:
+                pending.append((sl, sl.stop - sl.start, s))
+        for sl, n_valid, s in pending:
+            scores[sl] = np.asarray(s)[:n_valid]
+    finally:
+        # cancel queued table builds (an abort would otherwise leave the
+        # producer thread grinding through every remaining batch AND
+        # mutating copy_cache concurrently with the refine/best-volume
+        # table calls in reconstruct_grid); wait= joins the in-flight one
+        executor.shutdown(wait=True, cancel_futures=True)
+    return aborted, cost_stats
+
+
+def _grouped_scoring(
+    geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
+    pose_args, copy_cache, batch_size,
+    progress_callback, should_abort, cost_analysis,
+):
+    """Twist-grouped scoring dispatch (see projector_grouped.py).
+
+    Partitions candidates into same-twist groups, builds per-group
+    canonical copy/pair tables on a producer thread, and dispatches
+    jitted group-batches (lax.map over chunks of `group_chunk` groups,
+    R-candidate vmap inside each group). Fills `scores` in place via
+    index scatter; returns (aborted, cost_stats).
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    region, _tilt, _psi, dyv = pose_args
+    n_cand = len(twists)
+    incremental = progress_callback is not None or should_abort is not None
+
+    uniq = np.unique(twists)
+    raw_groups = [(float(t), np.where(twists == t)[0]) for t in uniq]
+    # one static R serves every sub-group: groups larger than R_pad are
+    # split, smaller ones padded (repeating their last candidate). The
+    # cap keeps a lone oversized group from inflating the padding of
+    # every other group; full Cartesian grids (all groups equal) fit
+    # exactly. HELICON_GRID_GROUP_R overrides.
+    max_size = max(len(g) for _, g in raw_groups)
+    r_env = _os.environ.get("HELICON_GRID_GROUP_R", "")
+    R_pad = max(1, int(r_env)) if r_env else min(16, max_size)
+    groups = []  # (twist, candidate indices) with len(idx) <= R_pad
+    for t, g in raw_groups:
+        for s in range(0, len(g), R_pad):
+            groups.append((t, g[s : s + R_pad]))
+    group_idx = [g for _, g in groups]
+
+    # static canonical table width: copy-set union over ALL distinct
+    # rises (selection is twist-independent -> cache per rise). A global
+    # union (vs per-group max) keeps C_u — and hence the compiled shape —
+    # identical across calls that share a rise set, e.g. a warmup slice
+    # and the full grid.
+    u_all = set()
+    for r in np.unique(rise_pixels):
+        r = float(r)
+        if r not in copy_cache:
+            copy_cache[r] = select_copies(geom, r, n_copies)
+        ch, cc, cv = copy_cache[r]
+        u_all.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    C_u = len(u_all)
+
+    chunk_env = _os.environ.get("HELICON_GRID_GROUP_CHUNK", "")
+    if chunk_env:
+        group_chunk = max(1, int(chunk_env))
+    else:
+        # ~32 candidates of live operator state per chunk step — the
+        # same VMEM-residency budget the per-candidate chunked schedule
+        # settled on (chunk=8 at ~4x the per-candidate footprint)
+        group_chunk = max(1, 32 // max(1, R_pad))
+    # groups per jitted call: amortize dispatch to ~batch_size candidates
+    g_call = max(1, batch_size // max(1, R_pad * group_chunk)) * group_chunk
+
+    run = _vgsolve_cached(geom, cfg, int(n_ops), group_chunk)
+
+    n_groups = len(groups)
+    call_slices = [
+        slice(s, min(s + g_call, n_groups))
+        for s in range(0, n_groups, g_call)
+    ]
+
+    def _build_call(sl):
+        gs = groups[sl]
+        pad = g_call - len(gs)
+        rows = [
+            _group_tables(
+                geom, t, rise_pixels[g],
+                n_copies, n_pairs, n_ops, C_u, R_pad, copy_cache,
+            )
+            for t, g in gs
+        ]
+        if pad:
+            rows.extend([rows[-1]] * pad)
+        tws = np.asarray(
+            [t for t, _ in gs] + [gs[-1][0]] * pad, np.float32
+        )
+        stack = [np.stack([r[k] for r in rows]) for k in range(6)]
+        return (tws,) + tuple(stack)
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    cost_stats = None
+    aborted = False
+    try:
+        futures = [executor.submit(_build_call, sl) for sl in call_slices]
+        pending = []
+        done = 0
+        for sl, fut in zip(call_slices, futures):
+            if should_abort is not None and should_abort():
+                aborted = True
+                break
+            tws, rises_g, m_g, ch_g, cc_g, pidx_g, pval_g = fut.result()
+            args = (
+                jnp.asarray(region), jnp.float32(dyv),
+                jnp.asarray(tws), jnp.asarray(rises_g), jnp.asarray(m_g),
+                jnp.asarray(ch_g), jnp.asarray(cc_g),
+                jnp.asarray(pidx_g), jnp.asarray(pval_g),
+            )
+            if cost_analysis and cost_stats is None:
+                try:
+                    # one-group variant: lax.map body counted once ->
+                    # flops for R_pad candidates (incl. padding, so the
+                    # per-candidate figure is conservative)
+                    one = tuple(
+                        a if i < 2 else a[:1] for i, a in enumerate(args)
+                    )
+                    ca = (
+                        _vgsolve_cached(geom, cfg, int(n_ops), 1)
+                        .lower(*one)
+                        .compile()
+                        .cost_analysis()
+                    )
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    cost_stats = dict(
+                        flops=float(ca.get("flops", 0.0)),
+                        bytes_accessed=float(ca.get("bytes accessed", 0.0)),
+                        batch_size=R_pad,
+                    )
+                except Exception:  # cost analysis is best-effort
+                    cost_stats = None
+            s = run(*args)
+            if incremental:
+                s_np = np.asarray(s)
+                for i, g in enumerate(group_idx[sl]):
+                    scores[g] = s_np[i, : len(g)]
+                    done += len(g)
+                if progress_callback is not None:
+                    progress_callback(done, n_cand, scores)
+            else:
+                pending.append((sl, s))
+        for sl, s in pending:
+            s_np = np.asarray(s)
+            for i, g in enumerate(group_idx[sl]):
+                scores[g] = s_np[i, : len(g)]
+    finally:
+        executor.shutdown(wait=True, cancel_futures=True)
+    return aborted, cost_stats
 
 
 def reconstruct_grid(
@@ -464,6 +814,25 @@ def reconstruct_grid(
         # chunk: batch % (inner_chunk * n_dev) == 0
         unit = inner_chunk * n_dev
         batch_size = max(unit, (batch_size // unit) * unit)
+
+    # Twist-grouped scoring (projector_grouped.py): same-twist candidates
+    # share the big Wsum/Mxy operator tensors and their GEMMs fuse across
+    # the group's rise axis (N = R*l3 instead of l3). Exact duplicate-row
+    # semantics hold only for plain cosine scoring; other configurations
+    # keep the per-candidate path. HELICON_GRID_GROUPED: -1 auto (on when
+    # twists repeat), 0 off, 1 force.
+    grouped_env = int(_os.environ.get("HELICON_GRID_GROUPED", "-1"))
+    use_grouped = (
+        grouped_env != 0
+        and cfg.separable
+        and cfg.score_metric == "cosine"
+        and cfg.fsc_test == 0
+        and cfg.model != "ard"
+        and n_dev == 1
+    )
+    if use_grouped and grouped_env == -1:
+        use_grouped = n_cand >= 2 * len(np.unique(twists))
+
     vsolve = _vsolve_cached(
         geom, cfg, inner_chunk,
         tuple(devices) if (n_dev > 1 and inner_chunk > 0) else None,
@@ -494,93 +863,20 @@ def reconstruct_grid(
     from concurrent.futures import ThreadPoolExecutor
 
     copy_cache: dict = {}
-    slices = []
-    for start in range(0, n_cand, batch_size):
-        end = min(start + batch_size, n_cand)
-        slices.append(slice(start, end))
 
-    executor = ThreadPoolExecutor(max_workers=1)
-    try:
-        futures = [
-            executor.submit(
-                _candidate_tables, geom, twists[sl], rise_pixels[sl],
-                n_copies, n_pairs, n_ops, copy_cache,
-            )
-            for sl in slices
-        ]
-        # incremental mode (progress_callback / should_abort, used by the
-        # web app): block per batch so completed scores stream out and an
-        # abort between batches keeps them. Otherwise keep dispatch ASYNC:
-        # enqueue all batches, then block.
-        incremental = incremental_mode
-        pending = []
-        done = 0
-        cost_stats = None
-        aborted = False
-        for sl, fut in zip(slices, futures):
-            if should_abort is not None and should_abort():
-                aborted = True
-                break
-            b_ch, b_cc, b_cv, b_phc, b_pv, b_oh, b_ov, b_pi = fut.result()
-            pad = batch_size - (sl.stop - sl.start)
-
-            def pad_to(x):
-                if pad:
-                    x = np.concatenate(
-                        [x, np.repeat(x[-1:], pad, axis=0)], axis=0
-                    )
-                return put(x)
-
-            batch_args = (
-                pad_to(twists[sl]),
-                pad_to(rise_pixels[sl]),
-                pad_to(b_ch),
-                pad_to(b_cc),
-                pad_to(b_cv),
-                pad_to(b_phc),
-                pad_to(b_pv),
-                pad_to(b_oh),
-                pad_to(b_ov),
-                pad_to(b_pi),
-            )
-            if cost_analysis and cost_stats is None:
-                try:
-                    # count on the UNchunked variant: XLA's static cost
-                    # analysis counts a lax.map body once, not x trips
-                    ca = (
-                        # same 4-arg call shape as the main path so the
-                        # lru_cache entry is SHARED when inner_chunk == 0
-                        # (3-arg vs 4-arg would key — and compile — twice)
-                        _vsolve_cached(geom, cfg, 0, None)
-                        .lower(*pose_args, *batch_args)
-                        .compile()
-                        .cost_analysis()
-                    )
-                    if isinstance(ca, (list, tuple)):
-                        ca = ca[0]
-                    cost_stats = dict(
-                        flops=float(ca.get("flops", 0.0)),
-                        bytes_accessed=float(ca.get("bytes accessed", 0.0)),
-                        batch_size=batch_size,
-                    )
-                except Exception:  # cost analysis is best-effort
-                    cost_stats = None
-            s = vsolve(*pose_args, *batch_args)
-            if incremental:
-                scores[sl] = np.asarray(s)[: sl.stop - sl.start]
-                done = sl.stop
-                if progress_callback is not None:
-                    progress_callback(done, n_cand, scores)
-            else:
-                pending.append((sl, sl.stop - sl.start, s))
-        for sl, n_valid, s in pending:
-            scores[sl] = np.asarray(s)[:n_valid]
-    finally:
-        # cancel queued table builds (an abort would otherwise leave the
-        # producer thread grinding through every remaining batch AND
-        # mutating copy_cache concurrently with the refine/best-volume
-        # table calls below); wait= joins the one in-flight build
-        executor.shutdown(wait=True, cancel_futures=True)
+    if use_grouped:
+        aborted, cost_stats = _grouped_scoring(
+            geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
+            n_ops, pose_args, copy_cache, batch_size,
+            progress_callback, should_abort, cost_analysis,
+        )
+    else:
+        aborted, cost_stats = _percand_scoring(
+            geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
+            n_ops, pose_args, copy_cache, batch_size, put, vsolve,
+            incremental_mode, progress_callback, should_abort,
+            cost_analysis,
+        )
 
     refined_params: dict | None = None
     if aborted:

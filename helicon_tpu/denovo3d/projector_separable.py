@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_problem_separable"]
+__all__ = ["build_problem_separable", "make_copy_wsum", "plane_shift_tables"]
 
 
 def _z_interp_matrix(z_pos, l3: int, linear: bool):
@@ -57,6 +57,108 @@ def _z_interp_matrix(z_pos, l3: int, linear: bool):
     zi = jnp.round(z_pos).astype(jnp.int32)[:, None]
     ok = ((zi >= 0) & (zi <= l3 - 1)).astype(jnp.float32)
     return (cols == zi).astype(jnp.float32) * ok
+
+
+def plane_shift_tables(plane_ok_2d: np.ndarray) -> dict:
+    """Statically shifted copies of the in-plane validity cross-section.
+
+    For a sample whose base cell is (gy - oy, gx - ox), the plane_ok
+    lookup becomes an elementwise read of shifted_ok[oy, ox] at the
+    RECEIVING cell — no gathers per tap (see make_copy_wsum)."""
+    d3 = plane_ok_2d.shape[0]
+    tbl = {}
+    for oy in (0, 1):
+        for ox in (0, 1):
+            sh = np.zeros((d3, d3), np.float32)
+            sh[oy:, ox:] = plane_ok_2d[: d3 - oy, : d3 - ox]
+            tbl[(oy, ox)] = jnp.asarray(sh.reshape(-1))
+    return tbl
+
+
+def make_copy_wsum(
+    d2: int,
+    d3: int,
+    s: float,
+    dy_pixel,
+    linear: bool,
+    plane_ok_flat,
+    shift_tbl: dict,
+):
+    """Scatter-free Wsum builder factored out of build_problem_separable
+    so the twist-grouped path (projector_grouped.py) can share it.
+
+    Returns ``wsum_of_theta(th) -> (d2, d3*d3)`` — the in-plane bilinear
+    deposit matrix pre-summed over the ray parameter, WITHOUT the
+    copy-validity factor (callers multiply by cv / multiplicity weights).
+
+    Receiving-cell evaluation: the samples of row j lie on the line
+    P(kc) = C_j + kc * D with D = (-s cos, s sin), |D| = s, so the ks
+    that can deposit weight into a cell g lie within a tight window of
+    kc* = (g - C_j) . D / s^2; taps beyond the bound contribute exactly
+    0 (see the derivation in build_problem_separable's original
+    comment/git history) — no scatters (TPU scatters serialize).
+    """
+    if linear:
+        n_taps = int(np.ceil(np.sqrt(2.0) / max(s, 1e-6) + 0.5))
+    else:
+        n_taps = int(np.ceil(np.sqrt(0.5) / max(s, 1e-6) + 0.5))
+    gx_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 1).reshape(-1)
+    gy_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 0).reshape(-1)
+    jc_rows = jnp.arange(d2, dtype=jnp.float32) - d2 // 2
+
+    def wsum_of_theta(th):
+        cs, sn = jnp.cos(th), jnp.sin(th)
+        dx, dy_ = -s * cs, s * sn
+        y0j = s * jc_rows - dy_pixel  # (d2,)
+        cx = y0j * sn + d3 // 2  # (d2,) X at kc=0
+        cy = y0j * cs + d3 // 2
+        # (d2, d3^2) projection of each cell onto each row's ray
+        kc_star = (
+            (gx_cell[None, :] - cx[:, None]) * dx
+            + (gy_cell[None, :] - cy[:, None]) * dy_
+        ) / (s * s)
+        k0 = jnp.round(kc_star)
+        Wsum = jnp.zeros((d2, d3 * d3), jnp.float32)
+        for delta in range(-n_taps, n_taps + 1):
+            kc = k0 + delta
+            ink = (kc >= -(d2 // 2)) & (kc <= d2 - 1 - d2 // 2)
+            X = cx[:, None] + kc * dx
+            Y = cy[:, None] + kc * dy_
+            if linear:
+                xi = jnp.floor(X).astype(jnp.int32)
+                yi = jnp.floor(Y).astype(jnp.int32)
+                inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
+                # base-cell validity via the statically shifted planes,
+                # selected by the receiving-cell offset (gx-xi, gy-yi)
+                dxi = gx_cell[None, :].astype(jnp.int32) - xi
+                dyi = gy_cell[None, :].astype(jnp.int32) - yi
+                cellok_val = jnp.zeros_like(X)
+                for oy in (0, 1):
+                    for ox in (0, 1):
+                        sel = (dxi == ox) & (dyi == oy)
+                        cellok_val = jnp.where(
+                            sel, shift_tbl[(oy, ox)][None, :], cellok_val
+                        )
+                ok = inb & (cellok_val > 0.5) & ink
+                w = (
+                    jnp.maximum(0.0, 1.0 - jnp.abs(X - gx_cell[None, :]))
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(Y - gy_cell[None, :]))
+                )
+            else:
+                xi = jnp.round(X).astype(jnp.int32)
+                yi = jnp.round(Y).astype(jnp.int32)
+                inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
+                # exact: the sample's rounded cell must BE this cell, so
+                # the mask lookup is the receiving cell's own value
+                same = (xi == gx_cell[None, :].astype(jnp.int32)) & (
+                    yi == gy_cell[None, :].astype(jnp.int32)
+                )
+                ok = inb & same & (plane_ok_flat[None, :] > 0.5) & ink
+                w = jnp.ones_like(X)
+            Wsum = Wsum + w * ok.astype(jnp.float32)
+        return Wsum
+
+    return wsum_of_theta
 
 
 def _xy_interp_matrix(X, Y, d3: int, plane_ok_flat, linear: bool):
@@ -155,91 +257,18 @@ def build_problem_separable(
     dz = copies_h.astype(jnp.float32) * rise_pixel
 
     # --- scatter-free Wsum: receiving-cell evaluation -------------------
-    # The samples of row j lie on the line P(kc) = C_j + kc * D with
-    # D = (-s cos, s sin), |D| = s, so the ks that can deposit bilinear
-    # weight into a cell g lie within ~sqrt(2)/s of the projection
-    # kc* = (g - C_j) . D / s^2. Evaluating those few taps directly per
-    # (j, cell) reorders the exact same sum as the scatter-add — with no
-    # scatter (TPU scatters serialize and dominate the precompute).
-    # Tight tap window (exact): a sample at kc deposits into cell g only
-    # if |P(kc) - g|_inf < 1 (linear hat support; <= 0.5 for nn rounding,
-    # including round-half ties). Decomposing P(kc) - g along/across the
-    # ray D (|D| = s, P(kc*) - g perpendicular to D) gives
-    # s|kc - kc*| <= |P(kc) - g|_2 < sqrt(2) (linear) / <= sqrt(1/2) (nn),
-    # and |kc - k0| <= |kc - kc*| + 1/2 with k0 = round(kc*). Taps beyond
-    # the bound contribute exactly 0 (their ok mask is provably false),
-    # so the loop below is bit-identical with ~half the taps of the old
-    # conservative ceil(sqrt(2)/s) + 2 window.
-    if linear:
-        n_taps = int(np.ceil(np.sqrt(2.0) / max(s, 1e-6) + 0.5))
-    else:
-        n_taps = int(np.ceil(np.sqrt(0.5) / max(s, 1e-6) + 0.5))
-    gx_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 1).reshape(-1)
-    gy_cell = jax.lax.broadcasted_iota(jnp.float32, (d3, d3), 0).reshape(-1)
-    jc_rows = jnp.arange(d2, dtype=jnp.float32) - d2 // 2
-
-    # Statically shifted validity planes: for a sample whose base cell is
-    # (gy - oy, gx - ox), the plane_ok lookup becomes an elementwise read
-    # of shifted_ok[oy, ox] at the RECEIVING cell — no gathers per tap.
+    # Tap-window derivation and the shifted-validity-plane trick live in
+    # make_copy_wsum / plane_shift_tables (shared with the twist-grouped
+    # path in projector_grouped.py, where one Wsum set serves every
+    # same-twist candidate).
     plane_ok_2d = np.asarray(plane_ok, bool).reshape(d3, d3)
-    _shift_tbl = {}
-    for oy in (0, 1):
-        for ox in (0, 1):
-            sh = np.zeros((d3, d3), np.float32)
-            sh[oy:, ox:] = plane_ok_2d[: d3 - oy, : d3 - ox]
-            _shift_tbl[(oy, ox)] = jnp.asarray(sh.reshape(-1))
+    _shift_tbl = plane_shift_tables(plane_ok_2d)
+    _wsum_of_theta = make_copy_wsum(
+        d2, d3, s, dy_pixel, linear, plane_ok_flat, _shift_tbl
+    )
 
     def copy_wsum_direct(th, dzc, cv):
-        cs, sn = jnp.cos(th), jnp.sin(th)
-        dx, dy_ = -s * cs, s * sn
-        y0j = s * jc_rows - dy_pixel  # (d2,)
-        cx = y0j * sn + d3 // 2  # (d2,) X at kc=0
-        cy = y0j * cs + d3 // 2
-        # (d2, d3^2) projection of each cell onto each row's ray
-        kc_star = (
-            (gx_cell[None, :] - cx[:, None]) * dx
-            + (gy_cell[None, :] - cy[:, None]) * dy_
-        ) / (s * s)
-        k0 = jnp.round(kc_star)
-        Wsum = jnp.zeros((d2, d3 * d3), jnp.float32)
-        for delta in range(-n_taps, n_taps + 1):
-            kc = k0 + delta
-            ink = (kc >= -(d2 // 2)) & (kc <= d2 - 1 - d2 // 2)
-            X = cx[:, None] + kc * dx
-            Y = cy[:, None] + kc * dy_
-            if linear:
-                xi = jnp.floor(X).astype(jnp.int32)
-                yi = jnp.floor(Y).astype(jnp.int32)
-                inb = (xi >= 0) & (xi <= d3 - 2) & (yi >= 0) & (yi <= d3 - 2)
-                # base-cell validity via the statically shifted planes,
-                # selected by the receiving-cell offset (gx-xi, gy-yi)
-                dxi = gx_cell[None, :].astype(jnp.int32) - xi
-                dyi = gy_cell[None, :].astype(jnp.int32) - yi
-                cellok_val = jnp.zeros_like(X)
-                for oy in (0, 1):
-                    for ox in (0, 1):
-                        sel = (dxi == ox) & (dyi == oy)
-                        cellok_val = jnp.where(
-                            sel, _shift_tbl[(oy, ox)][None, :], cellok_val
-                        )
-                ok = inb & (cellok_val > 0.5) & ink
-                w = (
-                    jnp.maximum(0.0, 1.0 - jnp.abs(X - gx_cell[None, :]))
-                    * jnp.maximum(0.0, 1.0 - jnp.abs(Y - gy_cell[None, :]))
-                )
-            else:
-                xi = jnp.round(X).astype(jnp.int32)
-                yi = jnp.round(Y).astype(jnp.int32)
-                inb = (xi >= 0) & (xi <= d3 - 1) & (yi >= 0) & (yi <= d3 - 1)
-                # exact: the sample's rounded cell must BE this cell, so
-                # the mask lookup is the receiving cell's own value
-                same = (xi == gx_cell[None, :].astype(jnp.int32)) & (
-                    yi == gy_cell[None, :].astype(jnp.int32)
-                )
-                ok = inb & same & (plane_ok_flat[None, :] > 0.5) & ink
-                w = jnp.ones_like(X)
-            Wsum = Wsum + w * ok.astype(jnp.float32)
-        return Wsum * cv.astype(jnp.float32)
+        return _wsum_of_theta(th) * cv.astype(jnp.float32)
 
     def copy_mats(th, dzc, cv):
         """Build (Wsum, Mz, row_valid) for one copy — fully gather-free.

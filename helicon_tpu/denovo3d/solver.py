@@ -315,13 +315,19 @@ def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
 
 def _solve_one_weighting(
     ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False,
-    key=None, reg_scale=1.0,
+    key=None, reg_scale=1.0, pred_rowv=None,
 ):
     """Solve with the given data-row weighting; return (x, score).
 
     full_rows=True (rowv is exactly the row-validity mask) lets the data
     term use the fused P^T P operator — the zero rows of the separable
     factors already encode that weighting.
+
+    pred_rowv: optional separate mask for the scored prediction. The
+    twist-grouped path passes rowv = binary * sqrt(multiplicity) (so
+    b_eff is sqrt(m)-weighted to pair with its sqrt(m)-weighted P) but
+    masks the prediction with the BINARY validity — P already carries
+    the other sqrt(m) factor (projector_grouped.py).
     """
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
@@ -377,7 +383,7 @@ def _solve_one_weighting(
             inner_cg=max(8, cfg.cg_iters // 3),
             prior=cfg.ard_prior,
         )
-        pred = P(x) * rowv
+        pred = P(x) * (rowv if pred_rowv is None else pred_rowv)
         if cfg.thresh_fraction >= 0:
             pred = jnp.clip(pred, 0.0, None)
         score = _candidate_score(pred, b_eff, ops["b"], rowv, cfg)
@@ -431,11 +437,105 @@ def _solve_one_weighting(
         )
         x = jnp.where(jnp.any(x != 0.0), x, seed)
 
-    pred = P(x) * rowv
+    pred = P(x) * (rowv if pred_rowv is None else pred_rowv)
     if cfg.thresh_fraction >= 0:
         pred = jnp.clip(pred, 0.0, None)
     score = _candidate_score(pred, b_eff, ops["b"], rowv, cfg)
     return x, score
+
+
+def _solve_group_impl(
+    geom: ReconstructionGeometry,
+    cfg: SolveConfig,
+    image_region,
+    twist_degree,
+    rises_pixel,
+    m_counts,
+    copies_h_u,
+    copies_c_u,
+    pair_idx,
+    pairs_valid,
+    n_ops_u: int = 0,
+    dy_pixel=0.0,
+):
+    """Score one twist-group: R same-twist candidates sharing operators.
+
+    rises_pixel (R,), m_counts (R, C_u) canonical copy multiplicities,
+    copies_h_u/copies_c_u (C_u,) the group's canonical copy table,
+    pair_idx (R, P, 2) canonical-op indices, pairs_valid (R, P).
+    n_ops_u (static): canonical op-table size (2*hmax+1)*csym — grid.py
+    packs pair indices for exactly this enumeration. Returns scores (R,).
+
+    Restricted to the configurations where sqrt(multiplicity) row
+    weighting is exactly the duplicated-row semantics (see
+    projector_grouped.py): cosine scoring, no fsc split, not ard.
+    grid.py gates accordingly; the asserts here are the backstop.
+    """
+    assert cfg.separable, "grouped path requires tilt = psi = 0"
+    assert cfg.score_metric == "cosine", "grouped path scores cosine only"
+    assert cfg.fsc_test == 0 and cfg.model != "ard"
+    assert n_ops_u > 0, "grid.py must pass the canonical op-table size"
+    from .projector_grouped import (
+        build_candidate_problem_grouped,
+        build_group_shared,
+    )
+
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    # canonical op enumeration: k = (h + hmax) * csym + c
+    hmax_p = (n_ops_u // geom.csym - 1) // 2
+    hs = np.repeat(np.arange(-hmax_p, hmax_p + 1), geom.csym)
+    cs = np.tile(np.arange(geom.csym), 2 * hmax_p + 1)
+    ops_h_u = jnp.asarray(hs, jnp.int32)
+    ops_c_u = jnp.asarray(cs, jnp.int32)
+
+    shared = build_group_shared(
+        geom,
+        twist_degree,
+        copies_h_u,
+        copies_c_u,
+        ops_h_u,
+        ops_c_u,
+        dy_pixel=dy_pixel,
+        interpolation=cfg.interpolation,
+        mask=mask,
+        cellok=cellok,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+    def one(rise_pixel, m_r, pidx_r, pval_r):
+        sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
+        ops, rowv_bin = build_candidate_problem_grouped(
+            shared, geom, image_region, rise_pixel, sqrt_m, pidx_r, pval_r
+        )
+        rowv_w = ops["row_valid"]
+        pitch_pixel = jnp.round(rise_pixel * 360.0 / jnp.abs(twist_degree))
+        positive = jnp.where(
+            cfg.positive_constraint > 0,
+            True,
+            jnp.where(
+                cfg.positive_constraint < 0, pitch_pixel > 2 * geom.l3, False
+            ),
+        )
+        # box upper bound from the UNweighted data rows (reference takes
+        # max over the stacked b, which duplicates cannot change)
+        ub_val = jnp.max(ops["b"][None] * rowv_bin)
+        reg_scale = (
+            jnp.float32(geom.d2 * geom.l2)
+            * jnp.maximum(1.0, jnp.sum(m_r.astype(jnp.float32)))
+            if cfg.reg_per_row
+            else 1.0
+        )
+        _, score = _solve_one_weighting(
+            ops, rowv_w, mask_f, cfg, positive, ub_val, full_rows=True,
+            key=jax.random.PRNGKey(0), reg_scale=reg_scale,
+            pred_rowv=rowv_bin,
+        )
+        return score
+
+    return jax.vmap(one)(rises_pixel, m_counts, pair_idx, pairs_valid)
 
 
 def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):

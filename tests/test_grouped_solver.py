@@ -1,0 +1,181 @@
+"""Twist-grouped grid scoring (projector_grouped.py / grid._grouped_scoring).
+
+The grouped path must reproduce the per-candidate path's scores exactly
+(up to float reassociation): same Halton copy multisets — including
+duplicates, expressed as sqrt(multiplicity) row weights — same pair
+tables, same solver flow.
+"""
+
+import numpy as np
+import pytest
+
+from helicon_tpu.denovo3d import reconstruct_grid
+from helicon_tpu.denovo3d.geometry import (
+    ReconstructionGeometry,
+    estimate_copy_pair_counts,
+    estimate_n_pair_ops,
+    select_copies,
+)
+from helicon_tpu.denovo3d.grid import _group_tables
+from helicon_tpu.helix import simulate_helical_projection
+
+
+@pytest.fixture(scope="module")
+def image():
+    return simulate_helical_projection(
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=6.0, polymer=0, planarity=1.0,
+        ny=64, nx=128, apix=2.0, rng=0,
+    )
+
+
+GRID_KW = dict(
+    apix=2.0, target_apix2d=4.0, tube_diameter=110.0,
+    reconstruct_length_rise=3.0, cg_iters=10, fista_iters=16,
+    power_iters=2, compute_dtype="float32", batch_size=16,
+    return_best_volume=False,
+)
+
+
+def _run(image, tw, ri, grouped, monkeypatch, **overrides):
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "1" if grouped else "0")
+    kw = dict(GRID_KW, **overrides)
+    return reconstruct_grid(image, twists=tw, rises=ri, **kw)
+
+
+def test_grouped_matches_percandidate_scores(image, monkeypatch):
+    # unequal group sizes: 5 + 3 + 1 candidates (padding exercised)
+    tw = np.asarray([25.0] * 5 + [29.4] * 3 + [33.0], np.float32)
+    ri = np.asarray(
+        [4.3, 4.45, 4.6, 4.75, 4.9, 4.4, 4.7, 5.0, 4.75], np.float32
+    )
+    r0 = _run(image, tw, ri, False, monkeypatch)
+    r1 = _run(image, tw, ri, True, monkeypatch)
+    assert np.all(np.isfinite(r1.scores))
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
+
+
+def test_grouped_matches_percandidate_linear_interp(image, monkeypatch):
+    tw = np.repeat([27.0, 31.0], 3).astype(np.float32)
+    ri = np.tile([4.4, 4.7, 5.0], 2).astype(np.float32)
+    r0 = _run(image, tw, ri, False, monkeypatch, interpolation="linear")
+    r1 = _run(image, tw, ri, True, monkeypatch, interpolation="linear")
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+
+
+def test_grouped_matches_percandidate_lasso(image, monkeypatch):
+    tw = np.repeat([29.4], 4).astype(np.float32)
+    ri = np.asarray([4.4, 4.6, 4.75, 4.9], np.float32)
+    algo = dict(model="lasso", alpha=1e-4)
+    r0 = _run(image, tw, ri, False, monkeypatch, algorithm=algo)
+    r1 = _run(image, tw, ri, True, monkeypatch, algorithm=algo)
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+
+
+def test_group_tables_multiset_parity_with_duplicates():
+    """Halton selection repeats entries at realistic copy counts; the
+    canonical multiplicity table must reproduce the exact multiset."""
+    geom = ReconstructionGeometry(
+        d2=28, l2=126, d3=28, l3=4, rmin=0.0, rmax=13.0,
+        scale2d_to_3d=0.858, csym=1,
+    )
+    rises = np.asarray([0.86, 1.0, 1.03], np.float32)
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(rises.min()), 32, rise_pixel_max=float(rises.max())
+    )
+    n_ops = estimate_n_pair_ops(geom, float(rises.min()))
+    cache = {}
+    rp, m, ch_u, cc_u, pidx, pval = _group_tables(
+        geom, 29.4, rises, n_copies, n_pairs, n_ops, 260, len(rises), cache
+    )
+    assert (m > 1).any(), "fixture must exercise duplicate copies"
+    for ri, r in enumerate(rises):
+        ch, cc, cv = select_copies(geom, float(r), n_copies)
+        ref = {}
+        for h, c in zip(ch[cv].tolist(), cc[cv].tolist()):
+            ref[(h, c)] = ref.get((h, c), 0) + 1
+        got = {
+            (int(ch_u[k]), int(cc_u[k])): int(m[ri, k])
+            for k in range(len(ch_u))
+            if m[ri, k] > 0
+        }
+        assert got == ref
+
+
+def test_grouped_scores_with_duplicate_copies(image, monkeypatch):
+    """End-to-end parity in a regime where multiplicities > 1 occur
+    (sym_oversample high enough that Halton repeats enter the list)."""
+    tw = np.repeat([29.4, 26.0], 3).astype(np.float32)
+    ri = np.tile([4.55, 4.75, 4.95], 2).astype(np.float32)
+    r0 = _run(image, tw, ri, False, monkeypatch, sym_oversample=32)
+    r1 = _run(image, tw, ri, True, monkeypatch, sym_oversample=32)
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
+
+
+def test_ineligible_configs_use_percandidate_path(image, monkeypatch):
+    """ssim scoring / fsc splits / ard read unweighted rows — the grid
+    must keep them on the per-candidate path even when grouping is
+    force-enabled."""
+    from helicon_tpu.denovo3d import grid as grid_mod
+
+    def _boom(*a, **k):  # pragma: no cover - failure reporter
+        raise AssertionError("grouped path must not run for this config")
+
+    monkeypatch.setattr(grid_mod, "_grouped_scoring", _boom)
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
+    tw = np.repeat([29.4], 2).astype(np.float32)
+    ri = np.asarray([4.6, 4.9], np.float32)
+    r = reconstruct_grid(
+        image, twists=tw, rises=ri, score_metric="ssim", **GRID_KW
+    )
+    assert np.all(np.isfinite(r.scores))
+    r = reconstruct_grid(image, twists=tw, rises=ri, fsc_test=2, **GRID_KW)
+    assert np.all(np.isfinite(r.scores))
+
+
+def test_auto_mode_skips_grouping_for_unique_twists(image, monkeypatch):
+    """With no twist repetition there is nothing to share; auto mode
+    must stay on the per-candidate path."""
+    from helicon_tpu.denovo3d import grid as grid_mod
+
+    called = {}
+
+    def _spy(*a, **k):  # pragma: no cover - failure reporter
+        called["grouped"] = True
+        raise AssertionError("auto mode grouped a twist-unique grid")
+
+    monkeypatch.setattr(grid_mod, "_grouped_scoring", _spy)
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "-1")
+    tw = np.asarray([25.0, 27.0, 29.0, 31.0], np.float32)
+    ri = np.asarray([4.6, 4.7, 4.8, 4.9], np.float32)
+    r = reconstruct_grid(image, twists=tw, rises=ri, **GRID_KW)
+    assert np.all(np.isfinite(r.scores))
+    assert "grouped" not in called
+
+
+def test_grouped_progress_and_abort(image, monkeypatch):
+    """Incremental mode: scores stream per group-batch; abort keeps the
+    already-scored prefix at real values and the rest at -inf."""
+    tw = np.repeat(np.linspace(20.0, 34.0, 8).astype(np.float32), 2)
+    ri = np.tile([4.6, 4.9], 8).astype(np.float32)
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
+    calls = []
+    r = reconstruct_grid(
+        image, twists=tw, rises=ri,
+        progress_callback=lambda done, n, s: calls.append(done),
+        **dict(GRID_KW, batch_size=4),
+    )
+    assert calls and calls[-1] == len(tw)
+    assert np.all(np.isfinite(r.scores))
+
+    aborts = iter([False, True, True, True, True, True, True, True])
+    r2 = reconstruct_grid(
+        image, twists=tw, rises=ri,
+        should_abort=lambda: next(aborts),
+        **dict(GRID_KW, batch_size=4),
+    )
+    assert np.isneginf(r2.scores).any()  # aborted before completion
+    scored = r2.scores[np.isfinite(r2.scores)]
+    assert len(scored) and np.all(np.abs(scored) <= 1.0 + 1e-6)
