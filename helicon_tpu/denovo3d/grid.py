@@ -204,13 +204,19 @@ def _group_tables(
 
 
 @functools.lru_cache(maxsize=16)
-def _vgsolve_cached(geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int):
+def _vgsolve_cached(
+    geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int, devices=None
+):
     """Compiled twist-grouped scorer, shared across reconstruct_grid
     calls (same caching rationale as _vsolve_cached). Runs a sequential
     lax.map over chunks of `group_chunk` twist-groups with each group's
     shared operators built once and its candidates vmapped inside
     (projector_grouped.py) — the loop-interchange VMEM-residency story
-    of the chunked path, but with R-candidate-wide GEMMs."""
+    of the chunked path, but with R-candidate-wide GEMMs.
+
+    devices (tuple, len > 1): shard the GROUPS axis over a 1D mesh with
+    jax.shard_map, each device running the chunked schedule on its local
+    group shard (mirrors _vsolve_cached's multi-device form)."""
     from .solver import _solve_group_impl
 
     def one_group(region, dyv, tw, rises, m, ch, cc, pidx, pval):
@@ -232,6 +238,21 @@ def _vgsolve_cached(geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int):
         )
         scores = jax.lax.map(lambda ca: vgroups(region, dyv, *ca), cargs)
         return scores.reshape((G,) + scores.shape[2:])  # (G, R_pad)
+
+    if devices is not None and len(devices) > 1:
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("groups",))
+        sharded = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), P()) + (P("groups"),) * 7,
+            out_specs=P("groups"),
+            # no collectives inside (scores concatenate along the
+            # sharded axis); skip pcast plumbing through the scan carries
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     return jax.jit(run)
 
@@ -436,7 +457,7 @@ def _percand_scoring(
 def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
-    progress_callback, should_abort, cost_analysis,
+    progress_callback, should_abort, cost_analysis, devices=None,
 ):
     """Twist-grouped scoring dispatch (see projector_grouped.py).
 
@@ -491,10 +512,25 @@ def _grouped_scoring(
         # same VMEM-residency budget the per-candidate chunked schedule
         # settled on (chunk=8 at ~4x the per-candidate footprint)
         group_chunk = max(1, 32 // max(1, R_pad))
-    # groups per jitted call: amortize dispatch to ~batch_size candidates
-    g_call = max(1, batch_size // max(1, R_pad * group_chunk)) * group_chunk
+    n_dev = 1 if devices is None else len(devices)
+    # groups per jitted call: amortize dispatch to ~batch_size
+    # candidates; every device's shard must divide by group_chunk
+    unit = group_chunk * n_dev
+    g_call = max(1, batch_size // max(1, R_pad * unit)) * unit
 
-    run = _vgsolve_cached(geom, cfg, int(n_ops), group_chunk)
+    run = _vgsolve_cached(
+        geom, cfg, int(n_ops), group_chunk,
+        tuple(devices) if n_dev > 1 else None,
+    )
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("groups",))
+        putg = lambda x: jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("groups"))
+        )
+    else:
+        putg = jnp.asarray
 
     n_groups = len(groups)
     call_slices = [
@@ -534,9 +570,8 @@ def _grouped_scoring(
             tws, rises_g, m_g, ch_g, cc_g, pidx_g, pval_g = fut.result()
             args = (
                 jnp.asarray(region), jnp.float32(dyv),
-                jnp.asarray(tws), jnp.asarray(rises_g), jnp.asarray(m_g),
-                jnp.asarray(ch_g), jnp.asarray(cc_g),
-                jnp.asarray(pidx_g), jnp.asarray(pval_g),
+                putg(tws), putg(rises_g), putg(m_g),
+                putg(ch_g), putg(cc_g), putg(pidx_g), putg(pval_g),
             )
             if cost_analysis and cost_stats is None:
                 try:
@@ -828,7 +863,6 @@ def reconstruct_grid(
         and cfg.score_metric == "cosine"
         and cfg.fsc_test == 0
         and cfg.model != "ard"
-        and n_dev == 1
     )
     if use_grouped and grouped_env == -1:
         use_grouped = n_cand >= 2 * len(np.unique(twists))
@@ -869,6 +903,7 @@ def reconstruct_grid(
             geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
             n_ops, pose_args, copy_cache, batch_size,
             progress_callback, should_abort, cost_analysis,
+            devices=tuple(devices) if n_dev > 1 else None,
         )
     else:
         aborted, cost_stats = _percand_scoring(

@@ -61,7 +61,10 @@ def test_grouped_matches_percandidate_linear_interp(image, monkeypatch):
     ri = np.tile([4.4, 4.7, 5.0], 2).astype(np.float32)
     r0 = _run(image, tw, ri, False, monkeypatch, interpolation="linear")
     r1 = _run(image, tw, ri, True, monkeypatch, interpolation="linear")
-    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+    # linear Wsum is denser than nn, so the grouped path's reordered
+    # f32 reductions drift more over the ~29 iterations (~1e-4 observed)
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=5e-4)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
 
 
 def test_grouped_matches_percandidate_lasso(image, monkeypatch):
@@ -160,10 +163,18 @@ def test_grouped_progress_and_abort(image, monkeypatch):
     already-scored prefix at real values and the rest at -inf."""
     tw = np.repeat(np.linspace(20.0, 34.0, 8).astype(np.float32), 2)
     ri = np.tile([4.6, 4.9], 8).astype(np.float32)
+    import jax
+
     monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
+    # deterministic dispatch granularity (abort/progress fire per
+    # dispatched batch): one device and 2 groups per call — under the
+    # conftest's 8-device mesh the auto sizing packs all 8 groups into
+    # a single call and there is nothing left to abort
+    monkeypatch.setenv("HELICON_GRID_GROUP_CHUNK", "2")
+    one_dev = jax.devices()[:1]
     calls = []
     r = reconstruct_grid(
-        image, twists=tw, rises=ri,
+        image, twists=tw, rises=ri, devices=one_dev,
         progress_callback=lambda done, n, s: calls.append(done),
         **dict(GRID_KW, batch_size=4),
     )
@@ -172,7 +183,7 @@ def test_grouped_progress_and_abort(image, monkeypatch):
 
     aborts = iter([False, True, True, True, True, True, True, True])
     r2 = reconstruct_grid(
-        image, twists=tw, rises=ri,
+        image, twists=tw, rises=ri, devices=one_dev,
         should_abort=lambda: next(aborts),
         **dict(GRID_KW, batch_size=4),
     )

@@ -150,3 +150,42 @@ def test_image_candidate_mesh_two_devices_candidate_parallel():
         pytest.skip("needs 2 devices")
     mesh = image_candidate_mesh(devices)
     assert mesh.devices.shape == (1, 2)
+
+
+def test_multi_device_grouped_matches_single_device():
+    """Twist-grouped scoring sharded over the 8-device mesh (groups
+    axis via shard_map) must match the single-device per-candidate
+    path: same scores, same winner."""
+    import os
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+    from helicon_tpu.helix.simulate import simulate_helical_projection
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=48, nx=96, apix=2.0,
+        rng=0,
+    )))
+    # 8 twist-groups x 2 rises: one group per device after sharding
+    twists = np.repeat(
+        np.linspace(20.0, 55.0, 8).astype(np.float32), 2
+    )
+    rises = np.tile(np.asarray([5.6, 6.0], np.float32), 8)
+    kw = dict(
+        apix=2.0, twists=twists, rises=rises, cg_iters=8, fista_iters=6,
+        batch_size=16, return_best_volume=False,
+        compute_dtype="float32",
+    )
+    old = os.environ.get("HELICON_GRID_GROUPED")
+    try:
+        os.environ["HELICON_GRID_GROUPED"] = "0"
+        ref = reconstruct_grid(img, devices=jax.devices()[:1], **kw)
+        os.environ["HELICON_GRID_GROUPED"] = "1"
+        got = reconstruct_grid(img, devices=jax.devices(), **kw)
+    finally:
+        if old is None:
+            os.environ.pop("HELICON_GRID_GROUPED", None)
+        else:
+            os.environ["HELICON_GRID_GROUPED"] = old
+    np.testing.assert_allclose(got.scores, ref.scores, rtol=0, atol=2e-5)
+    assert int(np.argmax(got.scores)) == int(np.argmax(ref.scores))
