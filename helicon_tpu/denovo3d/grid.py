@@ -513,10 +513,16 @@ def _grouped_scoring(
         # settled on (chunk=8 at ~4x the per-candidate footprint)
         group_chunk = max(1, 32 // max(1, R_pad))
     n_dev = 1 if devices is None else len(devices)
+    n_groups = len(groups)
+    # never let the chunk (and hence the padded call) exceed the real
+    # work: a small grid on a wide mesh would otherwise pad a handful
+    # of groups to group_chunk * n_dev many
+    group_chunk = min(group_chunk, max(1, -(-n_groups // n_dev)))
     # groups per jitted call: amortize dispatch to ~batch_size
     # candidates; every device's shard must divide by group_chunk
     unit = group_chunk * n_dev
     g_call = max(1, batch_size // max(1, R_pad * unit)) * unit
+    g_call = min(g_call, -(-n_groups // unit) * unit)  # round-up clamp
 
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
@@ -532,7 +538,6 @@ def _grouped_scoring(
     else:
         putg = jnp.asarray
 
-    n_groups = len(groups)
     call_slices = [
         slice(s, min(s + g_call, n_groups))
         for s in range(0, n_groups, g_call)
@@ -582,7 +587,9 @@ def _grouped_scoring(
                         a if i < 2 else a[:1] for i, a in enumerate(args)
                     )
                     ca = (
-                        _vgsolve_cached(geom, cfg, int(n_ops), 1)
+                        # 5-arg call shape: shares the lru entry with the
+                        # main scorer when group_chunk == 1, single device
+                        _vgsolve_cached(geom, cfg, int(n_ops), 1, None)
                         .lower(*one)
                         .compile()
                         .cost_analysis()
@@ -773,14 +780,8 @@ def reconstruct_grid(
         rise_pixel_max=float(np.max(rise_pixels)),
     )
     n_ops = estimate_n_pair_ops(geom, float(np.min(rise_pixels)))
-    # Tables are built on a single-worker PRODUCER THREAD (all batch
-    # futures queued up front, executed serially, so the producer runs
-    # ahead of the dispatch loop as far as it can): building them on the
-    # main thread between dispatches blocks the thread the axon tunnel
-    # needs for pumping async transfers (measured: a 30% throughput loss
-    # when interleaved inline). numpy releases the GIL in its C kernels,
-    # so the worker overlaps both dispatch and device compute. On abort,
-    # queued futures are cancelled (see executor.shutdown below).
+    # (both scoring paths build their tables on a single-worker producer
+    # thread — see _percand_scoring's docstring for the rationale)
 
     region = data[
         ny // 2 - geom.d2 // 2 : ny // 2 + geom.d2 // 2,
@@ -866,6 +867,13 @@ def reconstruct_grid(
     )
     if use_grouped and grouped_env == -1:
         use_grouped = n_cand >= 2 * len(np.unique(twists))
+    # same dense-symmetry-matrix budget as the per-candidate path's
+    # use_matmul_sym guard (projector_separable.py): past ~32 MB the
+    # per-candidate path routes to the gather formulation, which the
+    # grouped build does not implement — fall back rather than
+    # materialize hundreds of MB of Mxy per live group
+    if use_grouped and n_ops * (geom.d3**4) * 2 > 32 * 1024 * 1024:
+        use_grouped = False
 
     vsolve = _vsolve_cached(
         geom, cfg, inner_chunk,
@@ -894,8 +902,6 @@ def reconstruct_grid(
     scores = np.full(
         n_cand, -np.inf if incremental_mode else 0.0, np.float32
     )
-    from concurrent.futures import ThreadPoolExecutor
-
     copy_cache: dict = {}
 
     if use_grouped:

@@ -67,6 +67,21 @@ def test_grouped_matches_percandidate_linear_interp(image, monkeypatch):
     assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
 
 
+def test_grouped_bfloat16_preserves_ranking(image, monkeypatch):
+    """The production default is compute_dtype='bfloat16'; the grouped
+    path reassociates its reductions R-wide and stores sqrt(m) weights
+    in bf16, so the bf16 ranking-preservation claim must be re-checked
+    for THIS path, not only for the per-candidate one (docs/PROFILE.md).
+    Criterion (as established for bf16): identical ranking vs the f32
+    per-candidate oracle, scores within bf16 tolerance."""
+    tw = np.repeat([23.0, 27.0, 29.4, 33.0], 4).astype(np.float32)
+    ri = np.tile([4.3, 4.55, 4.75, 4.95], 4).astype(np.float32)
+    r0 = _run(image, tw, ri, False, monkeypatch, compute_dtype="float32")
+    r1 = _run(image, tw, ri, True, monkeypatch, compute_dtype="bfloat16")
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=5e-3)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
+
+
 def test_grouped_matches_percandidate_lasso(image, monkeypatch):
     tw = np.repeat([29.4], 4).astype(np.float32)
     ri = np.asarray([4.4, 4.6, 4.75, 4.9], np.float32)
