@@ -155,10 +155,12 @@ def main(args: argparse.Namespace) -> None:
     index_d = {o: 0 for o in args.all_options}
     for option_name in args.all_options:
         if option_name in args.append_options:
-            # the plugin protocol increments index_d itself (dispatch
-            # returns it), exactly like the images2star/proc3d loops —
-            # incrementing here too would double-step repeated options
+            # unlike the images2star/proc3d families (whose plugins bump
+            # index_d themselves), cryosparc handlers never touch
+            # index_d — the loop advances repeated options, exactly as
+            # the reference does (reference cryosparc.py:166-167)
             param = args.__dict__[option_name][index_d[option_name]]
+            index_d[option_name] += 1
         else:
             param = args.__dict__[option_name]
         if args.verbose:
@@ -303,21 +305,22 @@ def check_args(args, parser):
     ).split()
     args.all_options = [o for o in all_options if o not in skip]
 
-    # reference check_args (cryosparc.py:267-303): exactly one input source
-    from helicon_tpu.utils.exceptions import HeliconError
+    # reference check_args (cryosparc.py:267-306): exactly one input
+    # source; invalid combinations raise HeliconValidationError
+    from helicon_tpu.utils.exceptions import HeliconValidationError
 
     if (args.projectID or args.jobID) and args.csFile:
-        raise HeliconError(
+        raise HeliconValidationError(
             "specify either server inputs (--projectID --jobID) or local "
             "--csFile, not both"
         )
     if not ((args.projectID and args.jobID) or args.csFile):
-        raise HeliconError(
+        raise HeliconValidationError(
             "specify server inputs (--projectID --jobID) or a local --csFile"
         )
     if args.jobID:
         if len(args.groupIndex) not in (0, len(args.jobID)):
-            raise HeliconError(
+            raise HeliconValidationError(
                 f"--groupIndex must be given once per --jobID "
                 f"({len(args.jobID)}) or not at all"
             )

@@ -19,8 +19,21 @@ import pandas as pd
 
 from ..utils.cache import cache, setup_cache_dir
 from ..utils.exceptions import HeliconIOError
-from ..utils.path_utils import download_file_from_url
+from ..utils.path_utils import download_file_from_url as _download_impl
 from .mrc import read_mrc
+
+
+def download_file_from_url(url, target_file_name=None, return_filename=False):
+    """Download indirection resolved through the flat ``helicon``
+    namespace when the compat package is loaded: reference code and
+    tests patch ``helicon.download_file_from_url`` (reference
+    tests/test_emdb_mirror.py) and expect the EMDB resolution chain to
+    pick the patch up at call time."""
+    from ..utils.system import compat_hook
+
+    return compat_hook("download_file_from_url", _download_impl)(
+        url, target_file_name=target_file_name, return_filename=return_filename
+    )
 
 logger = logging.getLogger(__name__)
 

@@ -1222,12 +1222,25 @@ def dataframe_relion_to_cryosparc(data: pd.DataFrame) -> pd.DataFrame:
 
 
 def assign_beamshifts_to_cluster(
-    beamshifts, n_clusters: int | None = None, plot: bool = False
+    beamshifts,
+    n_clusters: int | None = None,
+    plot: bool = False,
+    range_n_clusters=None,
+    min_cluster_size: int = 1,
+    cpu: int = -1,
+    verbose: int = 0,
 ):
     """Cluster (x, y) beam shifts into exposure groups (io.py:279-350).
 
     Uses KMeans with auto cluster count by silhouette elbow when
     n_clusters is None. Returns integer labels starting at 1.
+
+    range_n_clusters / min_cluster_size / cpu / verbose mirror the
+    reference signature (io.py:279): candidate cluster counts for the
+    silhouette search, the smallest acceptable cluster (counts whose
+    best split produces a smaller cluster are rejected), and
+    accepted-and-ignored parallelism/verbosity knobs (XLA/sklearn own
+    the threading here).
     """
     from sklearn.cluster import KMeans
 
@@ -1236,13 +1249,21 @@ def assign_beamshifts_to_cluster(
     if n_clusters is None:
         from sklearn.metrics import silhouette_score
 
+        if range_n_clusters is None:
+            range_n_clusters = range(2, min(50, len(X)))
         best_k, best_s = 1, -1.0
-        for k in range(2, min(50, len(X))):
+        for k in range_n_clusters:
+            if k >= len(X):
+                break
             km = KMeans(n_clusters=k, n_init=3, random_state=0).fit(X)
             try:
                 s = silhouette_score(X, km.labels_)
             except ValueError:
                 continue
+            if min_cluster_size > 1:
+                sizes = np.bincount(km.labels_)
+                if sizes[sizes > 0].min() < min_cluster_size:
+                    continue
             if s > best_s:
                 best_k, best_s = k, s
             elif s < best_s - 0.1:

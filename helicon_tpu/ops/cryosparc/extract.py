@@ -271,7 +271,6 @@ def _h_extractParticles(
         output_slots.add("blob")
         output_slots.add("location")
         output_title += f"->extracted {len(data)} particles"
-        index_d["extractParticles"] += 1
     return data, output_title, output_slots, index_d
 
 

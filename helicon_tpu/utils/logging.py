@@ -122,16 +122,26 @@ class Timer:
         verbose: bool | int = True,
         logger: logging.Logger | None = None,
         trace: bool = False,
+        info: str | None = None,
     ):
-        self.name = name
+        # `info` is the reference's label kwarg (lib/logging.py:185);
+        # accept both spellings so reference call sites run unchanged
+        self.name = info if info is not None else name
+        self.info = self.name
         self.verbose = verbose
         self.logger = logger or logging.getLogger("helicon")
         self.trace = trace
         self._annotation = None
         self.elapsed = 0.0
+        # reference-compatible attributes (lib/logging.py Timer sets
+        # start/end/interval; tests assert t.interval > 0)
+        self.start = 0.0
+        self.end = 0.0
+        self.interval = 0.0
 
     def __enter__(self):
         self.t0 = time.perf_counter()
+        self.start = self.t0
         if self.trace:
             try:
                 import jax.profiler
@@ -146,6 +156,8 @@ class Timer:
         if self._annotation is not None:
             self._annotation.__exit__(*exc)
         self.elapsed = time.perf_counter() - self.t0
+        self.end = self.t0 + self.elapsed
+        self.interval = self.elapsed
         if self.verbose:
             td = datetime.timedelta(seconds=self.elapsed)
             self.logger.info("%s: %s", self.name, timedelta2string(td))

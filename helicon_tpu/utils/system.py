@@ -336,3 +336,28 @@ def import_with_auto_install(package: str, pip_name: str | None = None):
             f"package {package!r} is not available in this environment "
             f"(install {pip_name or package!r})"
         ) from e
+
+
+def compat_hook(name: str, default):
+    """Resolve a helper through the flat ``helicon`` compat namespace.
+
+    Reference code calls cross-cutting helpers as ``helicon.<name>``, so
+    downstream user code and the reference's own tests intercept them
+    with ``unittest.mock.patch("helicon.<name>", ...)``. Internals here
+    import helpers directly, which such patches cannot see — call sites
+    that the reference exposes for patching route through this hook
+    instead: if the ``helicon`` compat package is loaded AND carries a
+    real attribute override (a patch), use it; otherwise use `default`.
+
+    ``__dict__`` lookup deliberately skips the package's ``__getattr__``
+    re-export (which would just hand back `default`'s twin); only an
+    explicitly set attribute — i.e. a patch — is honored.
+    """
+    import sys
+
+    pkg = sys.modules.get("helicon")
+    if pkg is not None:
+        fn = pkg.__dict__.get(name)
+        if fn is not None and fn is not default:
+            return fn
+    return default

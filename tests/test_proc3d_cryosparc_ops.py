@@ -288,8 +288,12 @@ def test_cs_beamshift_label(cs_df):
     assert out["ctf/exp_group_id"].nunique() == 3
 
 
-def test_cs_beamshift_label_no_is_identity(cs_df):
-    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", cs_df.copy(), "no")
+def test_cs_beamshift_label_zero_is_identity(cs_df):
+    # reference gate (assignexposuregroupbybeamshiftlabel.py): param is
+    # None or "0" -> no-op; any other value triggers auto-detection
+    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", cs_df.copy(), "0")
+    assert out["ctf/exp_group_id"].nunique() == 1
+    out = cs_dispatch("assignExposureGroupByBeamShiftLabel", cs_df.copy(), None)
     assert out["ctf/exp_group_id"].nunique() == 1
 
 
@@ -303,47 +307,85 @@ def test_cs_by_time(cs_df):
 
 
 def test_cs_copy_assignments(tmp_path, cs_df):
-    from helicon_tpu.io.cs import write_cs
+    # reference copyexposuregroupassignments.py: a RELION star file maps
+    # movie-name stems -> rlnOpticsGroup; micrographs match by substring
+    from helicon_tpu.io.star import write_star
 
-    src = np.zeros(
-        12, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4")]
+    star = pd.DataFrame(
+        {
+            "rlnMicrographMovieName": [
+                "movies/m1.tiff", "movies/m2.tiff", "movies/m3.tiff"
+            ],
+            "rlnOpticsGroup": [5, 6, 7],
+        }
     )
-    src["uid"] = cs_df["uid"].values
-    src["ctf/exp_group_id"] = np.repeat([5, 6, 7], 4)
-    write_cs(tmp_path / "src.cs", src)
+    write_star(tmp_path / "src.star", star)
     out = cs_dispatch(
-        "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.cs")
+        "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.star")
     )
-    assert sorted(out["ctf/exp_group_id"].unique()) == [5, 6, 7]
+    # groups renumbered to start at 1 (reference normalizes min -> 1)
+    assert sorted(out["ctf/exp_group_id"].unique()) == [1, 2, 3]
 
 
-def test_cs_copy_assignments_missing_uid_errors(tmp_path, cs_df):
-    from helicon_tpu.io.cs import write_cs
-    from helicon_tpu.utils import HeliconError
+def test_cs_copy_assignments_unmatched_go_to_group_zero(tmp_path, cs_df):
+    # reference: micrographs with no star-file match are assigned group 0
+    # with a warning (copyexposuregroupassignments.py), not an error
+    from helicon_tpu.io.star import write_star
 
-    src = np.zeros(2, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4")])
-    src["uid"] = [1, 2]  # none of the input uids
-    write_cs(tmp_path / "src.cs", src)
-    with pytest.raises(HeliconError):
-        cs_dispatch(
-            "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.cs")
-        )
+    star = pd.DataFrame(
+        {
+            "rlnMicrographMovieName": ["movies/m1.tiff"],
+            "rlnOpticsGroup": [4],
+        }
+    )
+    write_star(tmp_path / "src.star", star)
+    out = cs_dispatch(
+        "copyExposureGroupAssignments", cs_df.copy(), str(tmp_path / "src.star")
+    )
+    got = out["ctf/exp_group_id"].values
+    assert set(got[np.asarray(cs_df["location/micrograph_path"]) == "m1.mrc"]) == {1}
+    assert set(got[np.asarray(cs_df["location/micrograph_path"]) != "m1.mrc"]) == {0}
 
 
 def test_cs_copy_parameters(tmp_path, cs_df):
+    # reference copyexposuregroupparameters.py: param mini-language with
+    # source_cs_file=, re-assignment by micrograph uid, per-group medians
+    # of ctf/tilt_A etc.
     from helicon_tpu.io.cs import write_cs
 
     src = np.zeros(
-        4, dtype=[("uid", "<u8"), ("ctf/exp_group_id", "<u4"), ("ctf/df1_A", "<f4")]
+        6,
+        dtype=[
+            ("uid", "<u8"),
+            ("location/micrograph_uid", "<u8"),
+            ("ctf/exp_group_id", "<u4"),
+            ("ctf/tilt_A", "<f4"),
+        ],
     )
-    src["uid"] = [900, 901, 902, 903]
-    src["ctf/exp_group_id"] = 1
-    src["ctf/df1_A"] = [20000.0, 21000.0, 22000.0, 23000.0]
+    src["uid"] = np.arange(6) + 900
+    src["location/micrograph_uid"] = [1, 1, 2, 2, 3, 3]
+    src["ctf/exp_group_id"] = [5, 5, 5, 5, 6, 6]
+    src["ctf/tilt_A"] = [10.0, 20.0, 30.0, 40.0, 100.0, 200.0]
     write_cs(tmp_path / "src.cs", src)
+    df = cs_df.copy()
+    df["ctf/tilt_A"] = 0.0
     out = cs_dispatch(
-        "copyExposureGroupParameters", cs_df.copy(), str(tmp_path / "src.cs")
+        "copyExposureGroupParameters", df,
+        f"source_cs_file={tmp_path / 'src.cs'}",
     )
-    assert out["ctf/df1_A"].iloc[0] == pytest.approx(21500.0)
+    # micrographs 1+2 -> group 5 (median tilt 25), micrograph 3 -> group 6
+    got = out["ctf/tilt_A"].values
+    mids = np.asarray(cs_df["location/micrograph_uid"])
+    assert np.allclose(got[mids != 3], 25.0)
+    assert np.allclose(got[mids == 3], 150.0)
+    assert sorted(out["ctf/exp_group_id"].unique()) == [5, 6]
+
+
+def test_cs_copy_parameters_requires_source(cs_df):
+    from helicon_tpu.utils import HeliconError
+
+    with pytest.raises(HeliconError):
+        cs_dispatch("copyExposureGroupParameters", cs_df.copy(), "beam_tilt=1")
 
 
 def test_cs_change_pixel_size_requires_blob(cs_df):
