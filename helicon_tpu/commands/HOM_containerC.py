@@ -264,6 +264,10 @@ def HelicalSegmentConsistency(
     fit_error_model: bool = True,
     report_prefix: str = "",
     verbose: int = 0,
+    convert_path_fn=None,
+    input_star_path: str | None = None,
+    output_star_path: str | None = None,
+    param: str | None = None,
     **kwargs,
 ):
     """Per-helix rot-progression fit + per-segment error columns.
@@ -275,9 +279,40 @@ def HelicalSegmentConsistency(
     twist-per-Angstrom slope, and the trimmed consensus slope across
     helices are returned.
 
+    Reference-compatible extras: convert_path_fn / input_star_path /
+    output_star_path are accepted for API parity (IO is the caller's
+    job here); ``param`` is the reference's JSON-or-k=v option string —
+    recognized keys (csym, rise, twist_min/max, max_error_deg, ...)
+    override the keyword defaults.
+
     Returns (data, stats) — data gains rlnAngleRotError /
-    rlnHelicalConsistencyGood columns; stats summarizes the fits.
+    rlnHelicalConsistencyGood plus the reference's diagnostic columns
+    (rlnPartNum, rlnMicrographFromImageName, rlnMicUniqId,
+    rlnHelicalTubeAndMicID, rlnHelicalTubeAndMicIDGood,
+    rlnHelicalTubeAndMicIDGoodSegValue — HOM_containerC.py:468-528,
+    873-874, 1155-1162); stats summarizes the fits.
     """
+    if param:
+        import json
+
+        from ..utils.system import parse_param_str
+
+        try:
+            pd_extra = json.loads(param)
+            if not isinstance(pd_extra, dict):
+                pd_extra = {}
+        except (ValueError, TypeError):
+            _, pd_extra = parse_param_str(param)
+        csym = int(pd_extra.get("csym", csym))
+        rise = float(pd_extra.get("rise", rise))
+        twist_range = (
+            float(pd_extra.get("twist_min", twist_range[0])),
+            float(pd_extra.get("twist_max", twist_range[1])),
+        )
+        max_error_deg = float(pd_extra.get("max_error_deg", max_error_deg))
+        refit_known_slope = bool(
+            int(pd_extra.get("refit_known_slope", refit_known_slope))
+        )
     required = (
         "rlnHelicalTubeID rlnAngleRot rlnHelicalTrackLengthAngst".split()
     )
@@ -285,12 +320,42 @@ def HelicalSegmentConsistency(
     if missing:
         raise HeliconError(f"required columns missing: {' '.join(missing)}")
     if len(data) == 0:
-        # reference behavior: empty input raises (tests/test_HOM_containerC.py
-        # test_helical_segment_consistency_empty_data_raises)
-        raise HeliconError("no segments in the input data")
-    group_cols = [
-        c for c in ("rlnMicrographName", "rlnImageName") if c in data
-    ][:1] + ["rlnHelicalTubeID"]
+        # reference behavior: empty input raises, observable as a
+        # ValueError (tests/test_HOM_containerC.py expects
+        # (KeyError, ValueError)); HeliconValueError subclasses both
+        # HeliconError and ValueError
+        from ..utils.exceptions import HeliconValueError
+
+        raise HeliconValueError("no segments in the input data")
+
+    data = data.copy()
+    # reference Sections 1-2 (HOM_containerC.py:455-528): parse
+    # rlnImageName into particle number + micrograph, build the unique
+    # (micrograph, tube) helix id used for grouping everywhere below
+    if "rlnImageName" in data:
+        split = data["rlnImageName"].astype(str).str.split("@", n=1, expand=True)
+        nums = pd.to_numeric(split[0], errors="coerce").astype("Int64")
+        if nums.notna().any() and (nums == 0).sum() == 0 and nums.min() >= 1:
+            nums = nums - 1  # looks 1-based: shift to 0-based like RELION
+        data["rlnPartNum"] = nums.fillna(0).astype(int)
+        data["rlnMicrographFromImageName"] = (
+            split[1] if split.shape[1] > 1 else ""
+        )
+        micro_to_id = {
+            name: i
+            for i, name in enumerate(data["rlnMicrographFromImageName"].unique())
+        }
+        data["rlnMicUniqId"] = data["rlnMicrographFromImageName"].map(micro_to_id)
+        data["rlnHelicalTubeAndMicID"] = data.groupby(
+            ["rlnMicUniqId", "rlnHelicalTubeID"]
+        ).ngroup().astype(int)
+
+    if "rlnHelicalTubeAndMicID" in data:
+        group_cols = ["rlnHelicalTubeAndMicID"]
+    else:
+        group_cols = [
+            c for c in ("rlnMicrographName", "rlnImageName") if c in data
+        ][:1] + ["rlnHelicalTubeID"]
     if group_cols == ["rlnHelicalTubeID"]:
         # tube IDs restart at 1 per micrograph: without a micrograph or
         # image column, same-numbered tubes from DIFFERENT micrographs
@@ -304,11 +369,14 @@ def HelicalSegmentConsistency(
     P = 360.0 / max(1, csym)
     slopes, sses, n_segments = [], [], []
     fits = []  # per-helix fit records (for the refit pass + reports)
-    data = data.copy()
     # NaN = "not evaluated": helices with < 3 segments are skipped by the
     # fit below and must not count as consistent (error 0 would pass any
     # --filterBad threshold unexamined)
     data["rlnAngleRotError"] = np.nan
+    # reference diagnostic columns (HOM_containerC.py:873-874): per-helix
+    # mean |error| and per-segment |error|
+    data["rlnHelicalTubeAndMicIDGood"] = 0.0
+    data["rlnHelicalTubeAndMicIDGoodSegValue"] = 0.0
     for label, g in data.groupby(group_cols, sort=False):
         x = g["rlnHelicalTrackLengthAngst"].astype(float).values
         o = g["rlnAngleRot"].astype(float).values % P
@@ -319,6 +387,8 @@ def HelicalSegmentConsistency(
         )
         _, abs_err = get_angular_errors(x, o, m, b, P)
         data.loc[g.index, "rlnAngleRotError"] = np.round(abs_err, 2)
+        data.loc[g.index, "rlnHelicalTubeAndMicIDGoodSegValue"] = abs_err
+        data.loc[g.index, "rlnHelicalTubeAndMicIDGood"] = float(np.mean(abs_err))
         slopes.append(m)
         sses.append(sse)
         n_segments.append(len(g))
@@ -338,6 +408,10 @@ def HelicalSegmentConsistency(
             )
             _, abs_err = get_angular_errors(fit["x"], fit["o"], m2, b2, P)
             data.loc[fit["index"], "rlnAngleRotError"] = np.round(abs_err, 2)
+            data.loc[fit["index"], "rlnHelicalTubeAndMicIDGoodSegValue"] = abs_err
+            data.loc[fit["index"], "rlnHelicalTubeAndMicIDGood"] = float(
+                np.mean(abs_err)
+            )
             fit["m"], fit["b"] = m2, b2
 
     evaluated = data["rlnAngleRotError"].notna()
@@ -379,8 +453,81 @@ def HelicalSegmentConsistency(
     return data, stats
 
 
+class _StarfileAdapter:
+    """starfile-compatible read/write facade over the native STAR codec.
+
+    The reference module imports the external ``starfile`` package and
+    downstream code intercepts its IO by patching the module attribute
+    (reference tests/test_HOM_containerC.py patches
+    ``helicon.commands.HOM_containerC.starfile``). This adapter keeps
+    that seam: same read (dict of "data_*"-keyed tables, bare DataFrame
+    for single-table files) and write (dict or DataFrame) surface,
+    backed by helicon_tpu.io.star.
+    """
+
+    @staticmethod
+    def read(path):
+        from ..io.star import read_star
+
+        blocks = read_star(path)
+        out = {f"data_{k}" if k else "data_": v for k, v in blocks.items()}
+        if len(out) == 1:
+            return next(iter(out.values()))
+        return out
+
+    @staticmethod
+    def write(obj, path, overwrite=True):
+        from ..io.star import write_star
+
+        if isinstance(obj, dict):
+            blocks = {
+                (k[5:] if k.startswith("data_") else k): v
+                for k, v in obj.items()
+            }
+            write_star(path, blocks)
+        else:
+            write_star(path, {"particles": obj})
+
+
+starfile = _StarfileAdapter()
+
+
+def _read_star(path: str) -> pd.DataFrame:
+    """Read a RELION STAR file into the particles DataFrame
+    (reference HOM_containerC.py:1419-1446 semantics)."""
+    if starfile is None:
+        raise RuntimeError(
+            "Reading .star requires the 'starfile' package for robustness.\n"
+            "Install with: pip install starfile"
+        )
+    tables = starfile.read(path)
+    if isinstance(tables, dict):
+        for key in ("data_particles", "particles", "data_"):
+            if key in tables:
+                return tables[key]
+        return next(iter(tables.values()))
+    return tables
+
+
+def _write_star(df: pd.DataFrame, path: str, like: str | None = None):
+    """Write the particles DataFrame, preserving the source file's optics
+    table when ``like`` is given (reference HOM_containerC.py:1449-1476)."""
+    if starfile is None:
+        raise RuntimeError(
+            "Writing .star requires the 'starfile' package.\n"
+            "Install with: pip install starfile"
+        )
+    if like and Path(like).exists():
+        src = starfile.read(like)
+        if isinstance(src, dict) and "data_optics" in src:
+            out = dict(src)
+            out["data_particles"] = df
+            starfile.write(out, path, overwrite=True)
+            return
+    starfile.write(df, path, overwrite=True)
+
+
 def main(args):
-    from helicon_tpu.io.metadata import dataframe2file, images2dataframe
     from helicon_tpu.utils.logging import log_command_line
 
     log_command_line()
@@ -388,23 +535,41 @@ def main(args):
         level=logging.INFO if args.verbose else logging.ERROR,
         format="%(message)s", stream=sys.stdout,
     )
-    data = images2dataframe(args.input_star, target_convention="relion")
+    data = _read_star(args.input_star)
+    # reference call shape (HOM_containerC.py:1536-1543) — our extra CLI
+    # knobs ride along ONLY when changed from their defaults, so tools
+    # that introspect/intercept the call see the reference signature
+    extras = {}
+    for key, arg, default in (
+        ("csym", "csym", 1),
+        ("rise", "rise", 4.75),
+        ("max_error_deg", "maxError", 30.0),
+        ("report_prefix", "reportPrefix", ""),
+    ):
+        v = getattr(args, arg, default)
+        if v != default:
+            extras[key] = v
+    tw = (getattr(args, "twistMin", -5.0), getattr(args, "twistMax", 5.0))
+    if tw != (-5.0, 5.0):
+        extras["twist_range"] = tw
+    if getattr(args, "refitKnownSlope", 0):
+        extras["refit_known_slope"] = True
     data, stats = HelicalSegmentConsistency(
         data,
-        csym=args.csym,
-        rise=args.rise,
-        twist_range=(args.twistMin, args.twistMax),
-        max_error_deg=args.maxError,
-        refit_known_slope=bool(args.refitKnownSlope),
-        report_prefix=args.reportPrefix,
+        convert_path_fn=None,
         verbose=args.verbose,
+        input_star_path=args.input_star,
+        output_star_path=args.output_star,
+        param=getattr(args, "param", None) or None,
+        **extras,
     )
-    if args.filterBad:
+    if getattr(args, "filterBad", 0):
         n0 = len(data)
         data = data[data["rlnHelicalConsistencyGood"] == 1].reset_index(drop=True)
         logger.info("filtered %d -> %d segments", n0, len(data))
-    dataframe2file(data, args.output_star)
-    print(stats)
+    _write_star(data, args.output_star, like=args.input_star)
+    if args.verbose:
+        print(stats)
 
 
 def add_args(parser):
