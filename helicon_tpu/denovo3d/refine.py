@@ -95,11 +95,20 @@ def refine_tilt_psi_dy(
     from .solver import solve_candidate
 
     max_iter = int(r_range.get("max_iter", 5))
-    bt = float(r_range.get("tilt", 30.0))
-    bp = float(r_range.get("psi", 45.0))
-    bd = float(r_range.get("dy", 5.0))
-    lo = np.array([-bt, -bp, -bd], np.float32)
-    hi = np.array([bt, bp, bd], np.float32)
+
+    def _bounds(v, default):
+        # scalar half-width (our grid callers) OR explicit (lo, hi)
+        # tuple (the reference's bounds_tilt/psi/dy form)
+        if isinstance(v, (tuple, list, np.ndarray)):
+            return float(v[0]), float(v[1])
+        b = float(default if v is None else v)
+        return -b, b
+
+    lo_t, hi_t = _bounds(r_range.get("tilt", 30.0), 30.0)
+    lo_p, hi_p = _bounds(r_range.get("psi", 45.0), 45.0)
+    lo_d, hi_d = _bounds(r_range.get("dy", 5.0), 5.0)
+    lo = np.array([lo_t, lo_p, lo_d], np.float32)
+    hi = np.array([hi_t, hi_p, hi_d], np.float32)
 
     params = np.array([tilt0, psi0, dy0], np.float32)
     region = jnp.asarray(image_region, jnp.float32)

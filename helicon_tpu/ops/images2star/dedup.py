@@ -39,7 +39,6 @@ def _h_removeDuplicates(data, args, index_d, param):
             attrs = dict(data.attrs)
             data = data.drop_duplicates(vars).reset_index(drop=True)
             data.attrs.update(attrs)
-        index_d["removeDuplicates"] += 1
     return data, index_d
 
 
@@ -67,7 +66,6 @@ def _h_minDuplicates(data, args, index_d, param):
         attrs = dict(data.attrs)
         data = data2.drop_duplicates([attr]).reset_index(drop=True)
         data.attrs.update(attrs)
-        index_d["minDuplicates"] += 1
     return data, index_d
 
 
@@ -108,7 +106,6 @@ def _h_keepOnePerTube(data, args, index_d, param):
         if "rlnHelicalTubeID" not in data:
             raise HeliconError("rlnHelicalTubeID is not available")
         data = _keep_one_per(data, "rlnHelicalTubeID")
-        index_d["keepOneParticlePerHelicalTube"] += 1
     return data, index_d
 
 
@@ -122,7 +119,6 @@ def _add_keepOnePerMicrograph(parser):
 def _h_keepOnePerMicrograph(data, args, index_d, param):
     if param:
         data = _keep_one_per(data)
-        index_d["keepOneParticlePerMicrograph"] += 1
     return data, index_d
 
 

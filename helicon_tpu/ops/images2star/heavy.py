@@ -645,29 +645,71 @@ def _h_maskGold(data, args, index_d, param):
 def _add_denoiseCurvelet(parser):
     parser.add_argument(
         "--denoiseCurvelet", type=str, action="append", default=[],
-        metavar="[transform=<udct|mct>][:threshold_sigma=<n>][:outdir=<dir>]",
-        help="curvelet-denoise particle images or micrographs",
+        nargs="?", const="",
+        metavar="[transform=<mct|udct|fdct>][:sigma=<n>][:numScales=<n>]"
+        "[:tileSize=<n>][:overlap=<n>][:outdir=<dir>]",
+        help="curvelet-denoise particle images or micrographs "
+        "(bare flag = MCT defaults, like the reference)",
     )
 
 
 def _h_denoiseCurvelet(data, args, index_d, param):
-    from ...core.curvelet import denoise_curvelet_2d
+    from ...core.curvelet import denoise_curvelet_2d as _dn2d
+    from ...core.curvelet import denoise_curvelet_2d_tiled
     from ...io.mrc import mrc_header, read_image_2d, write_mrc
 
-    if param:
-        _, pd_ = parse_param_str(param)
-        transform = str(pd_.get("transform", "udct"))
-        threshold_sigma = float(pd_.get("threshold_sigma", 3.0))
-        outdir = Path(
-            pd_.get(
-                "outdir",
-                Path(getattr(args, "output_starFile", "denoised")).stem,
+    # reference denoisecurvelet.py: a bare flag (param == "") runs with
+    # defaults; only param=None (option absent) is a no-op
+    if param is not None:
+        _, pd_ = parse_param_str(param) if param else (None, {})
+        transform = str(pd_.get("transform", "mct"))
+        if transform not in ("mct", "udct", "fdct"):
+            raise HeliconError(
+                f"\tERROR: unknown transform '{transform}' for "
+                "--denoiseCurvelet. Choose from: mct, udct, fdct"
             )
+        # reference knob is sigma= (<= 0 selects the elbow threshold);
+        # threshold_sigma= accepted as the historical alias
+        threshold_sigma = float(
+            pd_.get("sigma", pd_.get("threshold_sigma", 3.0))
         )
+        num_scales = pd_.get("numScales", None)
+        n_scales = int(num_scales) if num_scales is not None else None
+        if n_scales is not None and n_scales < 2:
+            n_scales = None  # reference: values < 2 trigger auto-decide
+        tile_size = pd_.get("tileSize", None)
+        tile_size = int(tile_size) if tile_size is not None else None
+        overlap = int(pd_.get("overlap", 32))
+        outdir = Path(pd_.get("outdir", None) or "./denoised/")
+
+        extra = dict(n_scales=n_scales) if n_scales is not None else {}
+        if tile_size is not None:
+            def denoise_curvelet_2d(img, transform, threshold_sigma):
+                return denoise_curvelet_2d_tiled(
+                    img, tile_size=tile_size, overlap=overlap,
+                    transform=transform, threshold_sigma=threshold_sigma,
+                    **extra,
+                )
+        else:
+            def denoise_curvelet_2d(img, transform, threshold_sigma):
+                return _dn2d(
+                    img, transform=transform,
+                    threshold_sigma=threshold_sigma, **extra,
+                )
+
+        has_img = "rlnImageName" in data
+        has_mic = "rlnMicrographName" in data
+        if not has_img and not has_mic:
+            # reference: skip with a note — downstream options still run
+            if getattr(args, "verbose", 0):
+                logger.info(
+                    "\tdenoiseCurvelet: no rlnImageName or "
+                    "rlnMicrographName column in data, skipping"
+                )
+            index_d["denoiseCurvelet"] += 1
+            return data, index_d
         outdir.mkdir(parents=True, exist_ok=True)
-        attrSrc = first_matched_attr(data, ["rlnImageName", "rlnMicrographName"])
-        if attrSrc is None:
-            raise HeliconError("rlnImageName or rlnMicrographName required")
+        attrSrc = "rlnImageName" if has_img else "rlnMicrographName"
         tmp = data[attrSrc].str.split("@", expand=True)
         names = tmp.iloc[:, -1]
         pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)

@@ -54,28 +54,28 @@ def _h_breakFilaments(data, args, index_d, param):
             group_var = var
         if "rlnHelicalTubeIDOriginal" not in data:
             data["rlnHelicalTubeIDOriginal"] = data["rlnHelicalTubeID"]
-        # vectorized chunking: order segments by track length within each
-        # (micrograph, tube) group, then new id = (group, position //
-        # maxSegments) enumerated — identical equivalence classes to the
-        # per-group loop, ~50x faster on 100k-row frames
-        sort_keys = [group_var, "rlnHelicalTubeID"]
-        if "rlnHelicalTrackLengthAngst" in data:
-            sort_keys.append("rlnHelicalTrackLengthAngst")
-        ordered = data.sort_values(sort_keys, kind="stable")
-        gids = ordered.groupby(
-            [group_var, "rlnHelicalTubeID"], sort=False
-        ).ngroup()
-        pos = ordered.groupby(
-            [group_var, "rlnHelicalTubeID"], sort=False
-        ).cumcount()
-        chunk_key = gids.to_numpy() * (
-            int(pos.max()) // max_segments + 2
-        ) + (pos.to_numpy() // max_segments)
-        # +1: RELION helical tube IDs are 1-based; factorize's 0 would
-        # read as unset downstream (the reference's enumerate shares the
-        # 0-base flaw — deviation documented)
-        new_ids = pd.factorize(chunk_key)[0] + 1
-        data.loc[ordered.index, "rlnHelicalTubeID"] = new_ids
+        # reference breakfilaments.py semantics exactly: filaments within
+        # the limit keep their original row order; oversized filaments
+        # are ordered by track length before chunking; new tube IDs are
+        # 0-based in group-encounter order (reference's enumerate)
+        groups = data.groupby([group_var, "rlnHelicalTubeID"], sort=False)
+        new_filaments = []
+        for _, group in groups:
+            n = len(group)
+            if n <= max_segments:
+                new_filaments.append(list(group.index))
+                continue
+            indices = list(group.index)
+            if "rlnHelicalTrackLengthAngst" in data:
+                indices = (
+                    data.loc[indices]
+                    .sort_values("rlnHelicalTrackLengthAngst")
+                    .index.tolist()
+                )
+            for i in range(0, n, max_segments):
+                new_filaments.append(indices[i : i + max_segments])
+        for new_id, idx in enumerate(new_filaments):
+            data.loc[idx, "rlnHelicalTubeID"] = new_id
         if group_var != var:
             data.drop(columns=[group_var], inplace=True)
         index_d["breakFilaments"] += 1
@@ -116,7 +116,6 @@ def _h_resetInterSegmentDistance(data, args, index_d, param):
             apix_micrograph=apix_micrograph,
             verbose=getattr(args, "verbose", 0),
         )
-        index_d["resetInterSegmentDistance"] += 1
     return data, index_d
 
 
@@ -139,7 +138,6 @@ def _h_estimateHelicalTubeLength(data, args, index_d, param):
         data = estimate_helicalTube_length(
             data, verbose=getattr(args, "verbose", 0)
         )
-        index_d["estimateHelicalTubeLength"] += 1
     return data, index_d
 
 

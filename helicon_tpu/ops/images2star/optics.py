@@ -109,7 +109,6 @@ def _h_resetOpticGroup(data, args, index_d, param):
         optics_orig = _require_optics(data)
         data["rlnOpticsGroup"] = 1
         data.attrs["optics"] = _rebuild_optics_rows(optics_orig, 1)
-        index_d["resetOpticGroup"] += 1
     return data, index_d
 
 
@@ -139,7 +138,6 @@ def _h_assignPerMicrograph(data, args, index_d, param):
                 old_groups, data["rlnOpticsGroup"], len(unique_names)
             ),
         )
-        index_d["assignOpticGroupPerMicrograph"] += 1
     return data, index_d
 
 
@@ -194,7 +192,6 @@ def _h_assignByBeamShiftLabel(data, args, index_d, param):
             optics_orig, n_new,
             _modal_source_groups(old_groups, data["rlnOpticsGroup"], n_new),
         )
-        index_d["assignOpticGroupByBeamShiftLabel"] += 1
     return data, index_d
 
 
@@ -213,27 +210,47 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
         check_foilhole_xml_files,
     )
     from ...io.metadata import assign_beamshifts_to_cluster
-    from ...utils.system import parse_param_str
+    from ...utils.collections import first_matched_attr
+    from ...utils.system import compat_hook, parse_param_str
 
-    if param:
-        _, pd_ = parse_param_str(param)
+    # reference assignopticgroupbybeamshiftxy.py: "0" disables; the param
+    # mini-language carries xml_folder / min_micrographs_per_group;
+    # helpers resolve through the flat helicon namespace (patchable)
+    if param is not None and param != "0":
+        _, pd_ = parse_param_str(str(param))
+        xml_folder = str(pd_.get("xml_folder", pd_.get("xmlFolder", "")))
+        min_cluster_size = int(pd_.get("min_micrographs_per_group", 4))
         n_clusters = int(pd_["nClusters"]) if "nClusters" in pd_ else None
-        xml_folder = str(pd_.get("xmlFolder", ""))
         optics_orig = _require_optics(data)
-        image_name = _image_name_col(data)
-        names = data[image_name].str.split("@", expand=True).iloc[:, -1]
-        unique_names = names.unique()
-        check_foilhole_xml_files(list(unique_names), xml_folder)
+        image_name = first_matched_attr(
+            data,
+            "rlnMicrographMovieName rlnMicrographName rlnImageName".split(),
+        )
+        if image_name is None:
+            raise HeliconError(
+                "\trlnMicrographMovieName, rlnMicrographName or "
+                "rlnImageName must be available"
+            )
+        names = data[image_name].astype(str).str.split("@", expand=True).iloc[:, -1]
+        unique_names = np.sort(names.unique())
+        compat_hook("check_foilhole_xml_files", check_foilhole_xml_files)(
+            unique_names, xml_folder
+        )
+        to_xml = compat_hook(
+            "EPU_micrograph_path_2_movie_xml_path",
+            EPU_micrograph_path_2_movie_xml_path,
+        )
+        to_shift = compat_hook("EPU_xml_2_beamshift", EPU_xml_2_beamshift)
         shifts = np.array(
             [
-                EPU_xml_2_beamshift(
-                    EPU_micrograph_path_2_movie_xml_path(m, xml_folder)
-                )
+                to_shift(to_xml(micrograph_path=m, xml_folder=xml_folder))
                 for m in unique_names
             ]
         )
-        labels = assign_beamshifts_to_cluster(shifts, n_clusters=n_clusters)
-        mapping = dict(zip(unique_names, labels))
+        labels = compat_hook(
+            "assign_beamshifts_to_cluster", assign_beamshifts_to_cluster
+        )(shifts, n_clusters=n_clusters, min_cluster_size=min_cluster_size)
+        mapping = dict(zip(unique_names, np.asarray(labels)))
         old_groups = (
             data["rlnOpticsGroup"].astype(int).to_numpy()
             if "rlnOpticsGroup" in data else None
@@ -244,7 +261,6 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
             optics_orig, n_new,
             _modal_source_groups(old_groups, data["rlnOpticsGroup"], n_new),
         )
-        index_d["assignOpticGroupByBeamShiftXY"] += 1
     return data, index_d
 
 
@@ -256,16 +272,37 @@ def _add_assignByTime(parser):
 
 
 def _h_assignByTime(data, args, index_d, param):
+    from ...io.epu import guess_data_collection_software
     from ...io.groups import assign_time_groups
+    from ...utils.collections import first_matched_attr
+    from ...utils.system import compat_hook
 
     if param > 0:
         optics_orig = _require_optics(data)
-        image_name = _image_name_col(data)
+        # reference assignopticgroupbytime.py: movie name preferred;
+        # non-EPU data falls back to rlnMicrographMovieName's file
+        # mtime when present
+        image_name = first_matched_attr(
+            data,
+            "rlnMicrographMovieName rlnMicrographName rlnImageName".split(),
+        )
+        if image_name is None:
+            raise HeliconError(
+                "\tERROR: rlnMicrographMovieName, rlnMicrographName or "
+                "rlnImageName must be available"
+            )
         if "rlnOpticsGroup" not in data:
             raise HeliconError("rlnOpticsGroup must be available")
+        software = compat_hook(
+            "guess_data_collection_software", guess_data_collection_software
+        )(filename=data[image_name].iloc[0])
+        if software not in ("EPU", "EPU_old") and "rlnMicrographMovieName" in data:
+            image_name = "rlnMicrographMovieName"
         movies = data[image_name].values
         source_group_ids = np.sort(data["rlnOpticsGroup"].unique())
-        new_ids, m2t, m2ts = assign_time_groups(
+        new_ids, m2t, m2ts = compat_hook(
+            "assign_time_groups", assign_time_groups
+        )(
             micrographs=movies,
             source_group_ids=source_group_ids,
             group_id_lookup=data["rlnOpticsGroup"].values,
@@ -281,7 +318,6 @@ def _h_assignByTime(data, args, index_d, param):
             optics_orig, int(np.max(new_ids)),
             _modal_source_groups(old_groups, new_ids, int(np.max(new_ids))),
         )
-        index_d["assignOpticGroupByTime"] += 1
     return data, index_d
 
 
@@ -468,7 +504,6 @@ def _h_copyCtf(data, args, index_d, param):
                 "--copyCtf: %d particles matched no source micrograph "
                 "(their defocus stays NaN)", unmatched,
             )
-        index_d["copyCtf"] += 1
     return data, index_d
 
 

@@ -103,7 +103,6 @@ def _h_showTime(data, args, index_d, param):
                 t = float("nan")
             data.loc[fileParticles.index, timeCol] = t
         data.drop(columns=[tmpCol], inplace=True)
-        index_d["showTime"] += 1
     return data, index_d
 
 

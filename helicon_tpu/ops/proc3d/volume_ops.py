@@ -71,7 +71,6 @@ def _h_clip(data, args, index_d, param, apix, nx, ny, nz):
             nz=new_nz, ny=new_ny, nx=new_nx,
         )
         nx, ny, nz = new_nx, new_ny, new_nz
-        index_d["clip"] += 1
     return data, apix, nx, ny, nz
 
 
@@ -123,7 +122,6 @@ def _h_fft_resample(data, args, index_d, param, apix, nx, ny, nz):
         data *= new_nx * new_ny * new_nz / (nx * ny * nz)
         apix = round(apix * nx / new_nx, 4)
         nx, ny, nz = new_nx, new_ny, new_nz
-        index_d["fft_resample"] += 1
     return data, apix, nx, ny, nz
 
 
@@ -142,7 +140,6 @@ def _h_flip_hand(data, args, index_d, param, apix, nx, ny, nz):
         if axis not in ("x", "y", "z"):
             raise HeliconError(f"invalid axis: {axis}")
         data = np.asarray(flip_hand(data, axis=axis))
-        index_d["flip_hand"] += 1
     return data, apix, nx, ny, nz
 
 
@@ -206,7 +203,6 @@ def _h_helical_sym(data, args, index_d, param, apix, nx, ny, nz):
         )
         apix = new_apix
         nz, ny, nx = data.shape
-        index_d["helical_sym"] += 1
     return data, apix, nx, ny, nz
 
 

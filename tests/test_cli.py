@@ -493,7 +493,8 @@ def test_cli_repeated_append_options_each_apply(tmp_path, relion_df):
     out = star2dataframe(tmp_path / "out.star")
     # the SECOND occurrence (maxSegments=2) must have applied last
     assert out.groupby("rlnHelicalTubeID").size().max() <= 2
-    assert int(out["rlnHelicalTubeID"].min()) >= 1
+    # reference breakfilaments.py enumerates new tube IDs from 0
+    assert int(out["rlnHelicalTubeID"].min()) == 0
 
 
 def test_cli_split_after_filtering_op(tmp_path, relion_df):

@@ -357,12 +357,15 @@ def test_abort_skips_best_volume_and_refine(helix_image):
     assert s[0] > 0 and np.isneginf(s[2:]).all()
 
 
-def test_grid_batch_rounds_up_to_device_multiple(helix_image):
+def test_grid_batch_rounds_up_to_device_multiple(helix_image, monkeypatch):
     """batch_size rounds UP to a multiple of the device count (the code
     previously rounded down, shrinking user batches and doubling the
-    dispatch count)."""
+    dispatch count). Per-candidate-path behavior: the all-same-twist
+    grid would otherwise auto-route to the twist-grouped scorer, whose
+    dispatch granularity is groups, not candidate batches."""
     from helicon_tpu.denovo3d import reconstruct_grid
 
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "0")
     img = np.squeeze(np.asarray(helix_image))
     seen = []
     reconstruct_grid(

@@ -766,9 +766,13 @@ class TestReviewFixes3:
         assert (out["rlnCtfScalefactor"] == 1.0).all()
         assert out["rlnDefocusU"].iloc[0] == pytest.approx(21000.0, rel=1e-3)
 
-    def test_breakfilaments_ids_one_based(self, relion_df):
+    def test_breakfilaments_ids_reference_zero_based(self, relion_df):
+        # reference breakfilaments.py enumerates new tube IDs from 0;
+        # the pre-break IDs survive in rlnHelicalTubeIDOriginal
         out = dispatch("breakFilaments", relion_df.copy(), "maxSegments=2")
-        assert int(out["rlnHelicalTubeID"].min()) >= 1
+        assert int(out["rlnHelicalTubeID"].min()) == 0
+        assert "rlnHelicalTubeIDOriginal" in out
+        assert int(out["rlnHelicalTubeIDOriginal"].min()) >= 1
 
 
 class TestReviewFixes4:
