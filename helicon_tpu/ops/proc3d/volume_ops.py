@@ -251,14 +251,27 @@ def _add_denoiseCurvelet(parser):
 
 def _h_denoiseCurvelet(data, args, index_d, param, apix, nx, ny, nz):
     from ...core.curvelet import denoise_curvelet_3d
+    from ...utils.system import parse_param_str
 
-    if param:
-        pd_ = _params(param, dict(threshold_sigma=3.0, n_scales=4))
+    if param is not None:
+        _, pd_ = parse_param_str(param) if param else (None, {})
+        # reference proc3d/denoiseCurvelet.py:81-111: sigma= / numScales=
+        # mini-language, transform default mct, and ONLY udct|mct are
+        # accepted for 3D maps (fdct is 2D-only in the reference)
+        transform = str(pd_.get("transform", "mct"))
+        if transform not in ("udct", "mct"):
+            raise HeliconError(
+                f"\tERROR: unknown transform '{transform}' for "
+                "--denoiseCurvelet. Use 'udct' or 'mct'."
+            )
+        sigma = float(pd_.get("sigma", pd_.get("threshold_sigma", 3.0)))
+        num_scales = pd_.get("numScales", pd_.get("n_scales", None))
+        n_scales = int(num_scales) if num_scales is not None else 4
         data = np.asarray(
             denoise_curvelet_3d(
                 np.asarray(data, np.float32),
-                threshold_sigma=float(pd_["threshold_sigma"]),
-                n_scales=int(pd_["n_scales"]),
+                threshold_sigma=sigma,
+                n_scales=n_scales,
             )
         )
         index_d["denoiseCurvelet"] += 1
