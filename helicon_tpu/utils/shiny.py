@@ -138,12 +138,18 @@ def get_client_url_query_params(input, keep_list: bool = True):
     single-element lists."""
     from urllib.parse import parse_qs
 
-    try:
-        search = input[".clientdata_url_search"]()
-    except (TypeError, KeyError):
-        # a session was passed instead of its input object
-        search = input.input[".clientdata_url_search"]()
-    d = parse_qs(search.lstrip("?"))
+    # the reference reads through input._map (lib/shiny.py:576-577) —
+    # downstream code/tests stub that attribute, so try it first
+    imap = getattr(input, "_map", None)
+    if isinstance(imap, dict) and ".clientdata_url_search" in imap:
+        search = imap[".clientdata_url_search"]()
+    else:
+        try:
+            search = input[".clientdata_url_search"]()
+        except (TypeError, KeyError):
+            # a session was passed instead of its input object
+            search = input.input[".clientdata_url_search"]()
+    d = parse_qs(str(search).lstrip("?"))
     if not keep_list:
         d = {k: (v[0] if len(v) == 1 else v) for k, v in d.items()}
     return d

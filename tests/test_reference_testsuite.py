@@ -51,6 +51,7 @@ FILES = [
     "test_integration_relion5.py",
     "test_point_group.py",
     "test_proc3d.py",
+    "test_shiny.py",
     "test_symmetry_mismatch.py",
     "test_transforms.py",
     "test_util.py",
