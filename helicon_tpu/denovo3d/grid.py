@@ -480,10 +480,13 @@ def _grouped_scoring(
     # split, smaller ones padded (repeating their last candidate). The
     # cap keeps a lone oversized group from inflating the padding of
     # every other group; full Cartesian grids (all groups equal) fit
-    # exactly. HELICON_GRID_GROUP_R overrides.
+    # exactly. batch_size also caps it: an explicit small batch_size is
+    # the caller's dispatch/abort granularity (run_grid_incremental), and
+    # one call dispatches at least R_pad candidates. HELICON_GRID_GROUP_R
+    # overrides.
     max_size = max(len(g) for _, g in raw_groups)
     r_env = _os.environ.get("HELICON_GRID_GROUP_R", "")
-    R_pad = max(1, int(r_env)) if r_env else min(16, max_size)
+    R_pad = max(1, int(r_env)) if r_env else min(16, max_size, batch_size)
     groups = []  # (twist, candidate indices) with len(idx) <= R_pad
     for t, g in raw_groups:
         for s in range(0, len(g), R_pad):
@@ -510,8 +513,9 @@ def _grouped_scoring(
     else:
         # ~32 candidates of live operator state per chunk step — the
         # same VMEM-residency budget the per-candidate chunked schedule
-        # settled on (chunk=8 at ~4x the per-candidate footprint)
-        group_chunk = max(1, 32 // max(1, R_pad))
+        # settled on (chunk=8 at ~4x the per-candidate footprint); an
+        # explicit smaller batch_size bounds the per-call candidate count
+        group_chunk = max(1, min(32, batch_size) // max(1, R_pad))
     n_dev = 1 if devices is None else len(devices)
     n_groups = len(groups)
     # never let the chunk (and hence the padded call) exceed the real
