@@ -150,9 +150,15 @@ def _group_tables(
     twist-group (host side; see projector_grouped.py for the semantics).
 
     Returns (rises[R_pad], m[R_pad, C_u], ch_u[C_u], cc_u[C_u],
-    pair_idx[R_pad, n_pairs, 2], pairs_valid[R_pad, n_pairs]); groups
-    smaller than R_pad repeat their last candidate (scores discarded by
-    the caller's index scatter).
+    pair_idx[R_pad, n_pairs, 2], pairs_valid[R_pad, n_pairs],
+    rank[R_pad, C_u]); groups smaller than R_pad repeat their last
+    candidate (scores discarded by the caller's index scatter).
+
+    rank[ri, k] is canonical copy k's LAST position in candidate ri's
+    Halton-ordered copy list (-1 = unselected): the 2D score metrics
+    scatter reprojection rows last-copy-wins in that order (reference
+    solver:507-516), which the sorted canonical table alone cannot
+    reproduce.
     """
     from .geometry import _pair_table
 
@@ -177,9 +183,11 @@ def _group_tables(
     for (h, c), i in col.items():
         ch_u[i], cc_u[i] = h, c
     m = np.zeros((R_pad, C_u), np.float32)
+    rank = np.full((R_pad, C_u), -1, np.int32)
     for ri, (ch, cc, cv) in enumerate(sels):
-        for h, c in zip(ch[cv].tolist(), cc[cv].tolist()):
+        for pos, (h, c) in enumerate(zip(ch[cv].tolist(), cc[cv].tolist())):
             m[ri, col[(h, c)]] += 1.0  # Halton repeats -> multiplicity
+            rank[ri, col[(h, c)]] = pos  # overwritten -> LAST position
     pidx = np.zeros((R_pad, n_pairs, 2), np.int32)
     pval = np.zeros((R_pad, n_pairs), bool)
     for ri, r in enumerate(rises_pixel):
@@ -196,11 +204,12 @@ def _group_tables(
         m[ri] = m[R - 1]
         pidx[ri] = pidx[R - 1]
         pval[ri] = pval[R - 1]
+        rank[ri] = rank[R - 1]
     rises_pad = np.concatenate(
         [np.asarray(rises_pixel, np.float32),
          np.repeat(np.asarray(rises_pixel[-1:], np.float32), R_pad - R)]
     )
-    return rises_pad, m, ch_u, cc_u, pidx, pval
+    return rises_pad, m, ch_u, cc_u, pidx, pval, rank
 
 
 @functools.lru_cache(maxsize=16)
@@ -219,22 +228,22 @@ def _vgsolve_cached(
     group shard (mirrors _vsolve_cached's multi-device form)."""
     from .solver import _solve_group_impl
 
-    def one_group(region, dyv, tw, rises, m, ch, cc, pidx, pval):
+    def one_group(region, dyv, tw, rises, m, ch, cc, pidx, pval, rank):
         return _solve_group_impl(
-            geom, cfg, region, tw, rises, m, ch, cc, pidx, pval,
+            geom, cfg, region, tw, rises, m, ch, cc, pidx, pval, rank,
             n_ops_u=n_ops_u, dy_pixel=dyv,
         )
 
-    vgroups = jax.vmap(one_group, in_axes=(None, None) + (0,) * 7)
+    vgroups = jax.vmap(one_group, in_axes=(None, None) + (0,) * 8)
 
-    def run(region, dyv, tws, rises, m, ch, cc, pidx, pval):
+    def run(region, dyv, tws, rises, m, ch, cc, pidx, pval, rank):
         G = tws.shape[0]
         g = min(group_chunk, G)
         outer = G // g
         assert outer * g == G, (G, g)
         cargs = tuple(
             a.reshape((outer, g) + a.shape[1:])
-            for a in (tws, rises, m, ch, cc, pidx, pval)
+            for a in (tws, rises, m, ch, cc, pidx, pval, rank)
         )
         scores = jax.lax.map(lambda ca: vgroups(region, dyv, *ca), cargs)
         return scores.reshape((G,) + scores.shape[2:])  # (G, R_pad)
@@ -246,7 +255,7 @@ def _vgsolve_cached(
         sharded = jax.shard_map(
             run,
             mesh=mesh,
-            in_specs=(P(), P()) + (P("groups"),) * 7,
+            in_specs=(P(), P()) + (P("groups"),) * 8,
             out_specs=P("groups"),
             # no collectives inside (scores concatenate along the
             # sharded axis); skip pcast plumbing through the scan carries
@@ -562,7 +571,7 @@ def _grouped_scoring(
         tws = np.asarray(
             [t for t, _ in gs] + [gs[-1][0]] * pad, np.float32
         )
-        stack = [np.stack([r[k] for r in rows]) for k in range(6)]
+        stack = [np.stack([r[k] for r in rows]) for k in range(7)]
         return (tws,) + tuple(stack)
 
     executor = ThreadPoolExecutor(max_workers=1)
@@ -576,11 +585,14 @@ def _grouped_scoring(
             if should_abort is not None and should_abort():
                 aborted = True
                 break
-            tws, rises_g, m_g, ch_g, cc_g, pidx_g, pval_g = fut.result()
+            tws, rises_g, m_g, ch_g, cc_g, pidx_g, pval_g, rank_g = (
+                fut.result()
+            )
             args = (
                 jnp.asarray(region), jnp.float32(dyv),
                 putg(tws), putg(rises_g), putg(m_g),
                 putg(ch_g), putg(cc_g), putg(pidx_g), putg(pval_g),
+                putg(rank_g),
             )
             if cost_analysis and cost_stats is None:
                 try:
@@ -857,15 +869,16 @@ def reconstruct_grid(
 
     # Twist-grouped scoring (projector_grouped.py): same-twist candidates
     # share the big Wsum/Mxy operator tensors and their GEMMs fuse across
-    # the group's rise axis (N = R*l3 instead of l3). Exact duplicate-row
-    # semantics hold only for plain cosine scoring; other configurations
-    # keep the per-candidate path. HELICON_GRID_GROUPED: -1 auto (on when
-    # twists repeat), 0 off, 1 force.
+    # the group's rise axis (N = R*l3 instead of l3). All score metrics
+    # run grouped (the 2D metrics unweight rows and scatter by Halton
+    # rank — see _candidate_score); fsc splits re-weight rows by pixel id
+    # and ard counts unweighted equations, so those keep the
+    # per-candidate path. HELICON_GRID_GROUPED: -1 auto (on when twists
+    # repeat), 0 off, 1 force.
     grouped_env = int(_os.environ.get("HELICON_GRID_GROUPED", "-1"))
     use_grouped = (
         grouped_env != 0
         and cfg.separable
-        and cfg.score_metric == "cosine"
         and cfg.fsc_test == 0
         and cfg.model != "ard"
     )

@@ -28,10 +28,13 @@ sqrt(m) reproduces it exactly:
     A' = diag(sqrt(m_row)) A,  b' = diag(sqrt(m_row)) b
     => A'^T A' = A^T M A,  A'^T b' = A^T M b,  cos(A'x, b') = dup-row cos
 
-Scope: the vmapped grid-scoring hot path with cosine scoring (the 2D
-score metrics read unweighted reprojection VALUES and the fsc/ard paths
-re-weight rows themselves; grid.py gates those to the per-candidate
-path).
+Scope: the vmapped grid-scoring hot path, all score metrics. cosine
+consumes the sqrt(m)-weighted rows directly (= duplicated-row cosine);
+the 2D metrics (ssim/ms_ssim/mutual_information/composite) read raw
+reprojection VALUES, so the scorer divides the weighting back out and
+scatters last-copy-wins by each candidate's Halton rank table
+(solver._candidate_score). The fsc/ard paths re-weight rows themselves;
+grid.py gates those to the per-candidate path.
 """
 
 from __future__ import annotations

@@ -110,7 +110,9 @@ def _cosine(a, b):
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
 
 
-def _candidate_score(pred, b_eff, b2d, rowv, cfg: SolveConfig):
+def _candidate_score(
+    pred, b_eff, b2d, rowv, cfg: SolveConfig, copy_rank=None, inv_w=None
+):
     """Score the reprojection per cfg.score_metric (solver:484-525).
 
     cosine compares the full row stack A.x vs b. The 2D metrics
@@ -120,6 +122,16 @@ def _candidate_score(pred, b_eff, b2d, rowv, cfg: SolveConfig):
     (solver:507-516). select_copies reproduces that exact order, so the
     per-pixel value from the LAST valid copy covering the pixel is the
     same quantity. composite = mean(cosine, ssim, ms_ssim, mi).
+
+    The twist-grouped path stores copies in a CANONICAL (sorted) table
+    with sqrt(multiplicity) row weights, so it supplies
+      copy_rank (C,): each canonical copy's last position in the
+        candidate's Halton-ordered list (-1 = unselected) — restores the
+        reference's last-copy-wins choice despite the reordering;
+      inv_w (C,): 1/sqrt(m) to undo the row weighting, since the 2D
+        metrics read raw reprojection VALUES (duplicates must not scale
+        them). cosine still uses the weighted rows: that IS the
+        duplicated-row cosine.
     """
     metric = cfg.score_metric
     cos = _cosine(pred.ravel(), b_eff.ravel())
@@ -131,9 +143,14 @@ def _candidate_score(pred, b_eff, b2d, rowv, cfg: SolveConfig):
         ssim_score_traced,
     )
 
-    c_last = (rowv.shape[0] - 1) - jnp.argmax(rowv[::-1] > 0, axis=0)
+    if copy_rank is None:
+        c_last = (rowv.shape[0] - 1) - jnp.argmax(rowv[::-1] > 0, axis=0)
+    else:
+        eff = jnp.where(rowv > 0, copy_rank[:, None, None], jnp.int32(-1))
+        c_last = jnp.argmax(eff, axis=0)
+    pred_src = pred if inv_w is None else pred * inv_w[:, None, None]
     pred2d = jnp.take_along_axis(
-        pred.astype(jnp.float32), c_last[None], axis=0
+        pred_src.astype(jnp.float32), c_last[None], axis=0
     )[0] * (jnp.max(rowv, axis=0) > 0)
     ref2d = b2d.astype(jnp.float32)
     if metric == "ssim":
@@ -315,7 +332,7 @@ def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
 
 def _solve_one_weighting(
     ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False,
-    key=None, reg_scale=1.0, pred_rowv=None,
+    key=None, reg_scale=1.0, pred_rowv=None, copy_rank=None, inv_w=None,
 ):
     """Solve with the given data-row weighting; return (x, score).
 
@@ -328,6 +345,9 @@ def _solve_one_weighting(
     b_eff is sqrt(m)-weighted to pair with its sqrt(m)-weighted P) but
     masks the prediction with the BINARY validity — P already carries
     the other sqrt(m) factor (projector_grouped.py).
+
+    copy_rank / inv_w: grouped-path scoring context for the 2D metrics
+    (see _candidate_score).
     """
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
@@ -386,7 +406,9 @@ def _solve_one_weighting(
         pred = P(x) * (rowv if pred_rowv is None else pred_rowv)
         if cfg.thresh_fraction >= 0:
             pred = jnp.clip(pred, 0.0, None)
-        score = _candidate_score(pred, b_eff, ops["b"], rowv, cfg)
+        score = _candidate_score(
+            pred, b_eff, ops["b"], rowv, cfg, copy_rank, inv_w
+        )
         return x, score
 
     # note: Jacobi-PCG (diag(PTP) is computable elementwise) was tried
@@ -440,7 +462,9 @@ def _solve_one_weighting(
     pred = P(x) * (rowv if pred_rowv is None else pred_rowv)
     if cfg.thresh_fraction >= 0:
         pred = jnp.clip(pred, 0.0, None)
-    score = _candidate_score(pred, b_eff, ops["b"], rowv, cfg)
+    score = _candidate_score(
+        pred, b_eff, ops["b"], rowv, cfg, copy_rank, inv_w
+    )
     return x, score
 
 
@@ -455,6 +479,7 @@ def _solve_group_impl(
     copies_c_u,
     pair_idx,
     pairs_valid,
+    copy_rank=None,
     n_ops_u: int = 0,
     dy_pixel=0.0,
 ):
@@ -462,17 +487,21 @@ def _solve_group_impl(
 
     rises_pixel (R,), m_counts (R, C_u) canonical copy multiplicities,
     copies_h_u/copies_c_u (C_u,) the group's canonical copy table,
-    pair_idx (R, P, 2) canonical-op indices, pairs_valid (R, P).
+    pair_idx (R, P, 2) canonical-op indices, pairs_valid (R, P),
+    copy_rank (R, C_u) each copy's last Halton position per candidate
+    (-1 unselected; consumed by the 2D score metrics' last-copy-wins
+    scatter — cosine ignores it).
     n_ops_u (static): canonical op-table size (2*hmax+1)*csym — grid.py
     packs pair indices for exactly this enumeration. Returns scores (R,).
 
     Restricted to the configurations where sqrt(multiplicity) row
     weighting is exactly the duplicated-row semantics (see
-    projector_grouped.py): cosine scoring, no fsc split, not ard.
-    grid.py gates accordingly; the asserts here are the backstop.
+    projector_grouped.py): any score metric, but no fsc split (it
+    re-weights rows by pixel id) and not ard (its row count reads
+    unweighted equations). grid.py gates accordingly; the asserts here
+    are the backstop.
     """
     assert cfg.separable, "grouped path requires tilt = psi = 0"
-    assert cfg.score_metric == "cosine", "grouped path scores cosine only"
     assert cfg.fsc_test == 0 and cfg.model != "ard"
     assert n_ops_u > 0, "grid.py must pass the canonical op-table size"
     from .projector_grouped import (
@@ -505,7 +534,7 @@ def _solve_group_impl(
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
 
-    def one(rise_pixel, m_r, pidx_r, pval_r):
+    def one(rise_pixel, m_r, pidx_r, pval_r, rank_r):
         sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
         ops, rowv_bin = build_candidate_problem_grouped(
             shared, geom, image_region, rise_pixel, sqrt_m, pidx_r, pval_r
@@ -528,14 +557,26 @@ def _solve_group_impl(
             if cfg.reg_per_row
             else 1.0
         )
+        inv_w = jnp.where(
+            sqrt_m > 0, 1.0 / jnp.maximum(sqrt_m, 1e-30), 0.0
+        )
         _, score = _solve_one_weighting(
             ops, rowv_w, mask_f, cfg, positive, ub_val, full_rows=True,
             key=jax.random.PRNGKey(0), reg_scale=reg_scale,
-            pred_rowv=rowv_bin,
+            pred_rowv=rowv_bin, copy_rank=rank_r, inv_w=inv_w,
         )
         return score
 
-    return jax.vmap(one)(rises_pixel, m_counts, pair_idx, pairs_valid)
+    if copy_rank is None:
+        # cosine never reads ranks; the 2D metrics need the true Halton
+        # ordering (a zero table would scatter first-copy-wins)
+        assert cfg.score_metric == "cosine", (
+            "2D score metrics on the grouped path require copy_rank"
+        )
+        copy_rank = jnp.zeros(m_counts.shape, jnp.int32)
+    return jax.vmap(one)(
+        rises_pixel, m_counts, pair_idx, pairs_valid, copy_rank
+    )
 
 
 def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):

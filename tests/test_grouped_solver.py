@@ -104,10 +104,23 @@ def test_group_tables_multiset_parity_with_duplicates():
     )
     n_ops = estimate_n_pair_ops(geom, float(rises.min()))
     cache = {}
-    rp, m, ch_u, cc_u, pidx, pval = _group_tables(
+    rp, m, ch_u, cc_u, pidx, pval, rank = _group_tables(
         geom, 29.4, rises, n_copies, n_pairs, n_ops, 260, len(rises), cache
     )
     assert (m > 1).any(), "fixture must exercise duplicate copies"
+    # rank table invariants: selected <=> rank >= 0, and rank is the LAST
+    # Halton position of that copy (duplicates keep the later index)
+    for ri, r in enumerate(rises):
+        ch, cc, cv = select_copies(geom, float(r), n_copies)
+        last = {}
+        for pos, (h, c) in enumerate(zip(ch[cv].tolist(), cc[cv].tolist())):
+            last[(h, c)] = pos
+        for k in range(len(ch_u)):
+            key = (int(ch_u[k]), int(cc_u[k]))
+            if m[ri, k] > 0:
+                assert rank[ri, k] == last[key]
+            else:
+                assert rank[ri, k] == -1
     for ri, r in enumerate(rises):
         ch, cc, cv = select_copies(geom, float(r), n_copies)
         ref = {}
@@ -132,10 +145,28 @@ def test_grouped_scores_with_duplicate_copies(image, monkeypatch):
     assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
 
 
+@pytest.mark.parametrize(
+    "metric", ["ssim", "ms_ssim", "mutual_information", "composite"]
+)
+def test_grouped_matches_percandidate_2d_metrics(image, metric, monkeypatch):
+    """The 2D metrics read raw reprojection values scattered
+    last-copy-wins in Halton order; the grouped path reconstructs both
+    (inv-weighting + rank table) and must agree with the per-candidate
+    oracle. Duplicate multiplicities are exercised via sym_oversample."""
+    tw = np.repeat([29.4, 26.0], 3).astype(np.float32)
+    ri = np.tile([4.55, 4.75, 4.95], 2).astype(np.float32)
+    kw = dict(score_metric=metric, sym_oversample=32)
+    r0 = _run(image, tw, ri, False, monkeypatch, **kw)
+    r1 = _run(image, tw, ri, True, monkeypatch, **kw)
+    assert np.all(np.isfinite(r1.scores))
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
+
+
 def test_ineligible_configs_use_percandidate_path(image, monkeypatch):
-    """ssim scoring / fsc splits / ard read unweighted rows — the grid
-    must keep them on the per-candidate path even when grouping is
-    force-enabled."""
+    """fsc splits re-weight rows by pixel id and ard counts unweighted
+    equations — the grid must keep them on the per-candidate path even
+    when grouping is force-enabled."""
     from helicon_tpu.denovo3d import grid as grid_mod
 
     def _boom(*a, **k):  # pragma: no cover - failure reporter
@@ -145,11 +176,12 @@ def test_ineligible_configs_use_percandidate_path(image, monkeypatch):
     monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
     tw = np.repeat([29.4], 2).astype(np.float32)
     ri = np.asarray([4.6, 4.9], np.float32)
-    r = reconstruct_grid(
-        image, twists=tw, rises=ri, score_metric="ssim", **GRID_KW
-    )
-    assert np.all(np.isfinite(r.scores))
     r = reconstruct_grid(image, twists=tw, rises=ri, fsc_test=2, **GRID_KW)
+    assert np.all(np.isfinite(r.scores))
+    r = reconstruct_grid(
+        image, twists=tw, rises=ri,
+        algorithm=dict(model="ard"), **GRID_KW,
+    )
     assert np.all(np.isfinite(r.scores))
 
 
