@@ -99,8 +99,18 @@ def test_reference_suite_passes_against_compat_package(tmp_path):
     ]
     for d in DESELECT:
         cmd += ["--deselect", d]
+    # the compat ``helicon`` package is imported from the repo root (it
+    # is not pip-installed); the subprocess runs from tmp_path, so the
+    # root must be on PYTHONPATH explicitly
+    import os
+
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH", "")) if p
+    )
     proc = subprocess.run(
-        cmd, cwd=work, capture_output=True, text=True, timeout=1500
+        cmd, cwd=work, env=env, capture_output=True, text=True, timeout=1500
     )
     tail = "\n".join(proc.stdout.splitlines()[-30:])
     assert proc.returncode == 0, f"reference tests failed:\n{tail}\n{proc.stderr[-2000:]}"
