@@ -24,6 +24,12 @@ from ._shim import install_alias_finder, reexport
 
 __version__ = getattr(_impl, "__version__", "2026.08")
 
+# Sentinel for helicon_tpu's monkeypatch seams: production code resolves
+# user-patchable symbols through ``sys.modules["helicon"]`` ONLY when
+# that module is this compat package (a different distribution may own
+# the name in the same process, e.g. side-by-side parity testing).
+_HELICON_TPU_COMPAT = True
+
 _flat_getattr, _flat_dir = reexport(__name__, "helicon_tpu")
 
 

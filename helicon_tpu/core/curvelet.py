@@ -349,6 +349,13 @@ curvelet_denoise_mct_tiled = _tiled("mct")
 
 def _batch(fn):
     def wrapper(stack, **kwargs):
+        if isinstance(stack, (list, tuple)):
+            # e.g. micrographs of differing sizes: denoise each and
+            # stack only when the shapes agree
+            outs = [fn(jnp.asarray(img), **kwargs) for img in stack]
+            if len({o.shape for o in outs}) == 1:
+                return jnp.stack(outs)
+            return outs
         return jnp.stack([fn(img, **kwargs) for img in jnp.asarray(stack)])
 
     return wrapper

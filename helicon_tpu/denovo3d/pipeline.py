@@ -214,9 +214,16 @@ def process_one_task(
     Returns (score, return_data, metadata) with the reference layout.
     """
     if data is None:
+        # resolve the loader through the public ``helicon`` namespace
+        # when the compat package is loaded: the reference calls
+        # ``helicon.read_image_2d`` (pipeline.py:116), so user code that
+        # monkeypatches that documented seam must intercept this load
         from ..io import read_image_2d
+        from ..utils.system import compat_hook
 
-        data = read_image_2d(imageFile, imageIndex - 1)
+        data = compat_hook("read_image_2d", read_image_2d)(
+            imageFile, imageIndex - 1
+        )
 
     data = np.asarray(data, np.float32)
     if not np.std(data):

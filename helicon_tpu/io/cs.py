@@ -21,17 +21,31 @@ _CSDAT_MAGIC = b"\x94CSDAT"
 
 
 def read_cs(path) -> np.ndarray:
-    """Load a .cs structured array."""
-    with open(path, "rb") as f:
-        magic = f.read(6)
-    if magic == _NUMPY_MAGIC:
+    """Load a .cs structured array.
+
+    ``np.load`` is the load seam (reference compute.py:229 does
+    ``np.load(cs_file)`` and its tests patch ``numpy.load``); the magic
+    bytes are sniffed only on failure, to turn an opaque numpy error
+    into the CSDAT-container diagnosis.
+    """
+    try:
         return np.load(path, allow_pickle=False)
-    if magic == _CSDAT_MAGIC:
-        raise NotImplementedError(
-            f"{path}: CSDAT-format .cs container; export as .npy from "
-            "cryoSPARC (Dataset.save with NUMPY format) first"
-        )
-    raise ValueError(f"{path}: not a recognized .cs file (magic {magic!r})")
+    except Exception as exc:
+        try:
+            with open(path, "rb") as f:
+                magic = f.read(6)
+        except OSError:
+            raise exc
+        if magic == _CSDAT_MAGIC:
+            raise NotImplementedError(
+                f"{path}: CSDAT-format .cs container; export as .npy from "
+                "cryoSPARC (Dataset.save with NUMPY format) first"
+            ) from None
+        if magic != _NUMPY_MAGIC:
+            raise ValueError(
+                f"{path}: not a recognized .cs file (magic {magic!r})"
+            ) from None
+        raise
 
 
 def find_passthrough_file(cs_path, prefer=("particles", "exposures")):

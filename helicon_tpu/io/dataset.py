@@ -152,6 +152,21 @@ class EMDB:
         cache on first read (dataset.py:265-289)."""
         emd_id = self._validate_emd_id(emd_id)
         f = self.get_emdb_map_file(emd_id)
+        from ..utils.system import optional_loader
+
+        mrcfile = optional_loader("mrcfile", "open")
+        if mrcfile is not None:
+            # the reference's seam (dataset.py:280-288): mrcfile reads
+            # .map.gz transparently and supplies the header for the
+            # axis-order normalization
+            from .mrc import change_map_axes_order
+
+            with mrcfile.open(f) as mrc:
+                apix = float(mrc.voxel_size.x)
+                data, _ = change_map_axes_order(
+                    mrc.data, mrc.header, new_axes=["x", "y", "z"]
+                )
+            return np.asarray(data), apix
         f = Path(f)
         if f.suffix == ".gz":
             raw = f.with_suffix("")

@@ -587,6 +587,20 @@ def image2dataframe(
     return p
 
 
+def _seam_image2dataframe():
+    """Resolve the per-file loader through the compat ``helicon.lib.io``
+    namespace when user code has replaced it there (the reference's
+    images2dataframe late-binds ``image2dataframe`` via its module
+    globals, io.py:365-462, so patching that seam must intercept)."""
+    from ..utils.system import compat_namespace
+
+    shim = compat_namespace("helicon.lib.io")
+    fn = getattr(shim, "image2dataframe", None) if shim is not None else None
+    if fn is not None and fn is not image2dataframe:
+        return fn
+    return image2dataframe
+
+
 def images2dataframe(
     inputFiles,
     csparc_passthrough_files=(),
@@ -599,7 +613,7 @@ def images2dataframe(
     """Multi-file ingest with optional convention conversion
     (io.py:365-462)."""
     if isinstance(inputFiles, (str, Path)):
-        data = image2dataframe(
+        data = _seam_image2dataframe()(
             inputFiles, csparc_passthrough_files, alternative_folders,
             ignore_bad_particle_path, ignore_bad_micrograph_path, warn_missing_ctf,
         )
@@ -609,7 +623,7 @@ def images2dataframe(
     datalist, opticslist = [], []
     group_offset = 0
     for f in inputFiles:
-        p = image2dataframe(
+        p = _seam_image2dataframe()(
             f, csparc_passthrough_files, alternative_folders,
             ignore_bad_particle_path, ignore_bad_micrograph_path, warn_missing_ctf,
         )

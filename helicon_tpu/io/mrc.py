@@ -300,9 +300,15 @@ def change_map_axes_order(data, header_or_order="zyx", new_axes=None):
     data2 = np.moveaxis(np.asarray(data), [0, 1, 2], dest)
     import dataclasses
 
-    header2 = dataclasses.replace(
-        header, mapc=target[0] + 1, mapr=target[1] + 1, maps=target[2] + 1
-    )
+    if dataclasses.is_dataclass(header):
+        header2 = dataclasses.replace(
+            header, mapc=target[0] + 1, mapr=target[1] + 1, maps=target[2] + 1
+        )
+    else:
+        # foreign header object (e.g. an mrcfile header passed through
+        # the compat seam): hand it back untouched — callers use only
+        # the permuted data
+        header2 = header
     return data2, header2
 
 

@@ -668,6 +668,16 @@ def _h_denoiseCurvelet(data, args, index_d, param):
                 f"\tERROR: unknown transform '{transform}' for "
                 "--denoiseCurvelet. Choose from: mct, udct, fdct"
             )
+        # gpu= is validated before any file IO (reference
+        # denoisecurvelet.py:287-290); on TPU the accelerator choice is
+        # the backend's, so a truthy gpu flag is only meaningful as the
+        # reference's mct incompatibility check
+        gpu_flag = str(pd_.get("gpu", "")).lower() in ("1", "true", "yes")
+        if transform == "mct" and gpu_flag:
+            raise HeliconError(
+                "\tERROR: MCT does not support GPU. Use transform=udct "
+                "for GPU."
+            )
         # reference knob is sigma= (<= 0 selects the elbow threshold);
         # threshold_sigma= accepted as the historical alias
         threshold_sigma = float(
@@ -680,7 +690,9 @@ def _h_denoiseCurvelet(data, args, index_d, param):
         tile_size = pd_.get("tileSize", None)
         tile_size = int(tile_size) if tile_size is not None else None
         overlap = int(pd_.get("overlap", 32))
-        outdir = Path(pd_.get("outdir", None) or "./denoised/")
+        # absolute output paths in the rewritten table (reference
+        # denoisecurvelet.py:76,177 resolves outdir)
+        outdir = Path(pd_.get("outdir", None) or "./denoised/").resolve()
 
         extra = dict(n_scales=n_scales) if n_scales is not None else {}
         if tile_size is not None:
@@ -714,49 +726,75 @@ def _h_denoiseCurvelet(data, args, index_d, param):
         names = tmp.iloc[:, -1]
         pids = tmp.iloc[:, 0] if tmp.shape[1] > 1 else pd.Series(1, index=data.index)
         used_out: dict = {}
+        if attrSrc == "rlnMicrographName":
+            # micrograph fallback (reference denoisecurvelet.py:173-252):
+            # each unique path denoised ONCE however many rows reference
+            # it, all paths in one call through the flat-namespace seam
+            # helicon.curvelet_denoise_batch_<transform> — user code
+            # that swaps that symbol intercepts the whole batch
+            unique = list(dict.fromkeys(names))
+            imgs, apixes = [], {}
+            for name in unique:
+                hdr = mrc_header(name)
+                if hdr.nz > 1:
+                    raise HeliconError(
+                        "\tERROR: --denoiseCurvelet micrograph fallback "
+                        f"expects 2D MRC files in rlnMicrographName. {name} "
+                        "has 3 dimensions. Use helicon proc3d "
+                        "--denoiseCurvelet for 3D maps."
+                    )
+                imgs.append(np.asarray(read_image_2d(name, 0)))
+                apixes[name] = hdr.apix
+            if tile_size is not None:
+                denoised = [
+                    np.asarray(
+                        denoise_curvelet_2d(
+                            img, transform=transform,
+                            threshold_sigma=threshold_sigma,
+                        )
+                    )
+                    for img in imgs
+                ]
+            else:
+                from ...core import curvelet as _cv
+                from ...utils.system import compat_hook
+
+                batch = compat_hook(
+                    f"curvelet_denoise_batch_{transform}",
+                    getattr(_cv, f"curvelet_denoise_batch_{transform}"),
+                )
+                denoised = batch(imgs, threshold_sigma=threshold_sigma, **extra)
+            new_map = {}
+            for name, den in zip(unique, denoised):
+                out = _unique_out_path(outdir, name, used_out)
+                write_mrc(out, np.asarray(den, np.float32), apix=apixes[name])
+                new_map[name] = str(out)
+            data[attrSrc] = names.map(new_map).values
+            index_d["denoiseCurvelet"] += 1
+            return data, index_d
         for name, particles in names.groupby(names, sort=False):
             apix = mrc_header(name).apix
             out = _unique_out_path(outdir, name, used_out)
-            if attrSrc == "rlnImageName":
-                imgs = []
-                for pid in pids.loc[particles.index].astype(int):
-                    img = read_image_2d(name, int(pid) - 1)
-                    imgs.append(
-                        np.asarray(
-                            denoise_curvelet_2d(
-                                img, transform=transform,
-                                threshold_sigma=threshold_sigma,
-                            )
+            imgs = []
+            for pid in pids.loc[particles.index].astype(int):
+                img = read_image_2d(name, int(pid) - 1)
+                imgs.append(
+                    np.asarray(
+                        denoise_curvelet_2d(
+                            img, transform=transform,
+                            threshold_sigma=threshold_sigma,
                         )
                     )
-                write_mrc(out, np.stack(imgs), apix=apix)
-                new_names = (
-                    pd.Series(
-                        range(1, len(imgs) + 1), index=particles.index
-                    ).map("{:06d}".format)
-                    + "@"
-                    + str(out)
                 )
-                data.loc[particles.index, attrSrc] = new_names.values
-            else:
-                # micrograph fallback: denoise each unique path ONCE
-                # regardless of how many rows reference it (reference
-                # denoisecurvelet.py micrograph path)
-                if mrc_header(name).nz > 1:
-                    raise HeliconError(
-                        f"{name}: 3D maps are not supported by "
-                        "--denoiseCurvelet on micrographs; use "
-                        "helicon proc3d --denoiseCurvelet"
-                    )
-                img = read_image_2d(name, 0)
-                den = np.asarray(
-                    denoise_curvelet_2d(
-                        img, transform=transform,
-                        threshold_sigma=threshold_sigma,
-                    )
-                )
-                write_mrc(out, den, apix=apix)
-                data.loc[particles.index, attrSrc] = str(out)
+            write_mrc(out, np.stack(imgs), apix=apix)
+            new_names = (
+                pd.Series(
+                    range(1, len(imgs) + 1), index=particles.index
+                ).map("{:06d}".format)
+                + "@"
+                + str(out)
+            )
+            data.loc[particles.index, attrSrc] = new_names.values
         index_d["denoiseCurvelet"] += 1
     return data, index_d
 

@@ -162,6 +162,43 @@ def available_devices() -> int:
     return jax.device_count()
 
 
+def optional_loader(module_name: str, attr: str):
+    """Import an OPTIONAL external IO package (``mrcfile``/``starfile``)
+    only if it actually provides the needed callable.
+
+    The compat seams prefer these packages when present (so user code
+    that patches e.g. ``mrcfile.open`` intercepts loads exactly as with
+    the reference) but must fall back to the native codecs when the
+    module is absent OR is a bare placeholder without the entry point
+    (some tools register empty stub modules in ``sys.modules``).
+    Returns the module, or None to select the native path."""
+    import importlib
+
+    try:
+        mod = importlib.import_module(module_name)
+    except ImportError:
+        return None
+    return mod if callable(getattr(mod, attr, None)) else None
+
+
+def compat_namespace(module_name: str = "helicon"):
+    """The loaded drop-in ``helicon`` compat module (or a submodule of
+    it), or None.
+
+    Monkeypatch seams resolve user-patchable symbols through the public
+    compat namespace so code written against the reference's seams
+    (e.g. patching ``helicon.read_image_2d``) intercepts the native
+    pipeline too — but ONLY when ``sys.modules['helicon']`` really is
+    our compat package: another distribution may own that name in this
+    process (side-by-side reference parity tests do exactly that)."""
+    import sys
+
+    root = sys.modules.get("helicon")
+    if root is None or not getattr(root, "_HELICON_TPU_COMPAT", False):
+        return None
+    return sys.modules.get(module_name) if module_name != "helicon" else root
+
+
 def has_shiny() -> bool:
     try:
         import shiny  # noqa: F401
@@ -353,9 +390,7 @@ def compat_hook(name: str, default):
     re-export (which would just hand back `default`'s twin); only an
     explicitly set attribute — i.e. a patch — is honored.
     """
-    import sys
-
-    pkg = sys.modules.get("helicon")
+    pkg = compat_namespace()
     if pkg is not None:
         fn = pkg.__dict__.get(name)
         if fn is not None and fn is not default:

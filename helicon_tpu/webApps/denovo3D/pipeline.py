@@ -11,6 +11,28 @@ from ...utils.path_utils import download_file_from_url
 _cache_dir = setup_cache_dir()
 
 
+def get_images_from_file(imageFile):
+    """(stack, apix) from a local MRC file (reference pipeline.py:37-43).
+
+    ``mrcfile.open`` is the load seam when that package is importable
+    (the reference binds to it and its tests patch it); native MRC IO
+    serves the same contract otherwise."""
+    import numpy as np
+
+    from ...utils.system import optional_loader
+
+    mrcfile = optional_loader("mrcfile", "open")
+    if mrcfile is not None:
+        with mrcfile.open(imageFile) as mrc:
+            apix = float(mrc.voxel_size.x)
+            data = np.asarray(mrc.data)
+        return data, round(apix, 4)
+    from ...io.mrc import read_mrc
+
+    data, apix = read_mrc(imageFile)
+    return np.asarray(data), round(float(apix), 4)
+
+
 @cache(cache_dir=str(_cache_dir / "denovo3D"), expires_after=7, verbose=0)
 def get_images_from_url(url: str):
     """Download an image stack from a URL (reference pipeline.py:9-27)."""

@@ -232,10 +232,20 @@ def get_class3d_projections_from_files(classFiles):
 
 def star_to_dataframe(starFile):
     """RELION v3 star -> particles DataFrame with the optics table in
-    .attrs (reference compute.py:214-225). Requires both blocks."""
-    from ...io.star import read_star
+    .attrs (reference compute.py:214-225). Requires both blocks.
 
-    blocks = read_star(starFile)
+    ``starfile.read`` is the load seam when that package is importable
+    (the reference binds to it and user code patches it); the native
+    STAR reader serves the same dict-of-blocks contract otherwise."""
+    from ...utils.system import optional_loader
+
+    starfile = optional_loader("starfile", "read")
+    if starfile is not None:
+        blocks = starfile.read(starFile, always_dict=True)
+    else:
+        from ...io.star import read_star
+
+        blocks = read_star(starFile)
     if "optics" not in blocks or "particles" not in blocks:
         raise AssertionError(
             f"{starFile} has {' '.join(blocks.keys())} but optics and "
@@ -317,7 +327,18 @@ def cs_to_dataframe(cs_file):
 
 
 def get_class2d_from_file(classFile):
-    """(class averages ndarray, apix) from a 2D class .mrc(s) stack."""
+    """(class averages ndarray, apix) from a 2D class .mrc(s) stack.
+
+    ``mrcfile.open`` is the load seam when that package is importable
+    (reference compute.py:188-194); native MRC IO otherwise."""
+    from ...utils.system import optional_loader
+
+    mrcfile = optional_loader("mrcfile", "open")
+    if mrcfile is not None:
+        with mrcfile.open(classFile) as mrc:
+            apix = round(float(mrc.voxel_size.x), 4)
+            data = np.asarray(mrc.data)
+        return data, apix
     data, apix = read_mrc(classFile)
     return np.asarray(data), apix
 
