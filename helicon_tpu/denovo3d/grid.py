@@ -861,12 +861,6 @@ def reconstruct_grid(
     inner_chunk = int(
         _os.environ.get("HELICON_GRID_INNER", str(default_chunk))
     )
-    if inner_chunk > 0:
-        # chunked mode needs every device's shard divisible by the
-        # chunk: batch % (inner_chunk * n_dev) == 0
-        unit = inner_chunk * n_dev
-        batch_size = max(unit, (batch_size // unit) * unit)
-
     # Twist-grouped scoring (projector_grouped.py): same-twist candidates
     # share the big Wsum/Mxy operator tensors and their GEMMs fuse across
     # the group's rise axis (N = R*l3 instead of l3). All score metrics
@@ -891,6 +885,15 @@ def reconstruct_grid(
     # materialize hundreds of MB of Mxy per live group
     if use_grouped and n_ops * (geom.d3**4) * 2 > 32 * 1024 * 1024:
         use_grouped = False
+
+    if inner_chunk > 0 and not use_grouped:
+        # chunked mode needs every device's shard divisible by the
+        # chunk: batch % (inner_chunk * n_dev) == 0. The grouped path
+        # has its own R_pad/group-chunk scheduling and honors an
+        # explicit batch_size as the caller's dispatch/abort
+        # granularity, so it must NOT be inflated here.
+        unit = inner_chunk * n_dev
+        batch_size = max(unit, (batch_size // unit) * unit)
 
     vsolve = _vsolve_cached(
         geom, cfg, inner_chunk,

@@ -29,7 +29,7 @@ def read_cs(path) -> np.ndarray:
     into the CSDAT-container diagnosis.
     """
     try:
-        return np.load(path, allow_pickle=False)
+        out = np.load(path, allow_pickle=False)
     except Exception as exc:
         try:
             with open(path, "rb") as f:
@@ -46,6 +46,18 @@ def read_cs(path) -> np.ndarray:
                 f"{path}: not a recognized .cs file (magic {magic!r})"
             ) from None
         raise
+    if not isinstance(out, np.ndarray):
+        # np.load also accepts zip archives (.npz) and returns a
+        # lazily-opened NpzFile; a .cs must be a single structured
+        # array, so reject rather than hand back a wrong-typed object
+        # with an open file handle.
+        if hasattr(out, "close"):
+            out.close()
+        raise ValueError(
+            f"{path}: not a recognized .cs file (zip/.npz archive, "
+            "expected a single structured .npy array)"
+        )
+    return out
 
 
 def find_passthrough_file(cs_path, prefer=("particles", "exposures")):

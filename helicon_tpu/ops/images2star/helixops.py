@@ -54,28 +54,43 @@ def _h_breakFilaments(data, args, index_d, param):
             group_var = var
         if "rlnHelicalTubeIDOriginal" not in data:
             data["rlnHelicalTubeIDOriginal"] = data["rlnHelicalTubeID"]
-        # reference breakfilaments.py semantics exactly: filaments within
-        # the limit keep their original row order; oversized filaments
-        # are ordered by track length before chunking; new tube IDs are
-        # 0-based in group-encounter order (reference's enumerate)
-        groups = data.groupby([group_var, "rlnHelicalTubeID"], sort=False)
-        new_filaments = []
-        for _, group in groups:
-            n = len(group)
-            if n <= max_segments:
-                new_filaments.append(list(group.index))
-                continue
-            indices = list(group.index)
-            if "rlnHelicalTrackLengthAngst" in data:
-                indices = (
-                    data.loc[indices]
-                    .sort_values("rlnHelicalTrackLengthAngst")
-                    .index.tolist()
-                )
-            for i in range(0, n, max_segments):
-                new_filaments.append(indices[i : i + max_segments])
-        for new_id, idx in enumerate(new_filaments):
-            data.loc[idx, "rlnHelicalTubeID"] = new_id
+        # reference breakfilaments.py semantics exactly, vectorized:
+        # filaments within the limit keep their original row order;
+        # oversized filaments are ordered by track length before
+        # chunking; new tube IDs are 0-based in group-encounter order
+        # (reference's enumerate). ngroup(sort=False) IS encounter
+        # order, and a stable lexsort by (gid, track, original row)
+        # reproduces the per-group track-length sort without a Python
+        # loop over groups (~100k-row frames).
+        gid = (
+            data.groupby([group_var, "rlnHelicalTubeID"], sort=False)
+            .ngroup()
+            .to_numpy()
+        )
+        n_rows = len(data)
+        if "rlnHelicalTrackLengthAngst" in data:
+            trk = data["rlnHelicalTrackLengthAngst"].to_numpy(np.float64)
+        else:
+            trk = np.zeros(n_rows)  # stable sort keeps original order
+        order = np.lexsort((np.arange(n_rows), trk, gid))
+        gs = gid[order]
+        group_start = np.zeros(n_rows, bool)
+        group_start[0] = True
+        group_start[1:] = gs[1:] != gs[:-1]
+        start_pos = np.maximum.accumulate(
+            np.where(group_start, np.arange(n_rows), 0)
+        )
+        pos_in_group = np.arange(n_rows) - start_pos
+        # track-length order only matters for oversized groups; within
+        # the limit every row lands in chunk 0 regardless of ordering,
+        # matching the reference's "no sort for small filaments" path
+        chunk = pos_in_group // max_segments
+        boundary = group_start.copy()
+        boundary[1:] |= chunk[1:] != chunk[:-1]
+        new_id_sorted = np.cumsum(boundary) - 1
+        new_ids = np.empty(n_rows, np.int64)
+        new_ids[order] = new_id_sorted
+        data["rlnHelicalTubeID"] = new_ids
         if group_var != var:
             data.drop(columns=[group_var], inplace=True)
         index_d["breakFilaments"] += 1

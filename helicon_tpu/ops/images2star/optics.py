@@ -210,7 +210,6 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
         check_foilhole_xml_files,
     )
     from ...io.metadata import assign_beamshifts_to_cluster
-    from ...utils.collections import first_matched_attr
     from ...utils.system import compat_hook, parse_param_str
 
     # reference assignopticgroupbybeamshiftxy.py: "0" disables; the param
@@ -222,15 +221,7 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
         min_cluster_size = int(pd_.get("min_micrographs_per_group", 4))
         n_clusters = int(pd_["nClusters"]) if "nClusters" in pd_ else None
         optics_orig = _require_optics(data)
-        image_name = first_matched_attr(
-            data,
-            "rlnMicrographMovieName rlnMicrographName rlnImageName".split(),
-        )
-        if image_name is None:
-            raise HeliconError(
-                "\trlnMicrographMovieName, rlnMicrographName or "
-                "rlnImageName must be available"
-            )
+        image_name = _image_name_col(data)
         names = data[image_name].astype(str).str.split("@", expand=True).iloc[:, -1]
         unique_names = np.sort(names.unique())
         compat_hook("check_foilhole_xml_files", check_foilhole_xml_files)(
@@ -256,7 +247,7 @@ def _h_assignByBeamShiftXY(data, args, index_d, param):
             if "rlnOpticsGroup" in data else None
         )
         data["rlnOpticsGroup"] = names.map(mapping)
-        n_new = int(labels.max())
+        n_new = int(np.max(labels))
         data.attrs["optics"] = _rebuild_optics_rows(
             optics_orig, n_new,
             _modal_source_groups(old_groups, data["rlnOpticsGroup"], n_new),
@@ -274,7 +265,6 @@ def _add_assignByTime(parser):
 def _h_assignByTime(data, args, index_d, param):
     from ...io.epu import guess_data_collection_software
     from ...io.groups import assign_time_groups
-    from ...utils.collections import first_matched_attr
     from ...utils.system import compat_hook
 
     if param > 0:
@@ -282,15 +272,7 @@ def _h_assignByTime(data, args, index_d, param):
         # reference assignopticgroupbytime.py: movie name preferred;
         # non-EPU data falls back to rlnMicrographMovieName's file
         # mtime when present
-        image_name = first_matched_attr(
-            data,
-            "rlnMicrographMovieName rlnMicrographName rlnImageName".split(),
-        )
-        if image_name is None:
-            raise HeliconError(
-                "\tERROR: rlnMicrographMovieName, rlnMicrographName or "
-                "rlnImageName must be available"
-            )
+        image_name = _image_name_col(data)
         if "rlnOpticsGroup" not in data:
             raise HeliconError("rlnOpticsGroup must be available")
         software = compat_hook(

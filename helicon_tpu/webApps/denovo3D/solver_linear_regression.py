@@ -289,34 +289,80 @@ def build_A_helical_sym_matrix(
             for dy_ in (0, 1):
                 for dx in (0, 1):
                     cols8.append(midx[zc + dz, yc + dy_, xc + dx])
-                    w8.append(
-                        (zf if dz else 1 - zf)
-                        * (yf if dy_ else 1 - yf)
-                        * (xf if dx else 1 - xf)
-                    )
-        return ok, cols8, w8
+                    if (dz, dy_, dx) == (1, 1, 0):
+                        # reference's own 110-tap expression, kept
+                        # bug-for-bug (solver_linear_regression.py:1089,1125)
+                        w8.append(xf * yf * (1 - xf))
+                    else:
+                        w8.append(
+                            (zf if dz else 1 - zf)
+                            * (yf if dy_ else 1 - yf)
+                            * (xf if dx else 1 - xf)
+                        )
+        # rounded-voxel index used by the reference for pair dedup
+        # (solver_linear_regression.py:1046-1053); where ok, the rounded
+        # corner is one of the 8 mask-checked taps, so midx is valid.
+        rz = np.clip(np.round(Z).astype(np.int64), 0, nz - 1)
+        ry = np.clip(np.round(Y).astype(np.int64), 0, ny - 1)
+        rx = np.clip(np.round(X).astype(np.int64), 0, nx - 1)
+        rnd = midx[rz, ry, rx]
+        return ok, cols8, w8, (zc, yc, xc), rnd
+
+    def dedup_first(key, seen_keys):
+        """First-occurrence indices of ``key`` values not yet in
+        ``seen_keys`` (vectorized form of the reference's per-sample
+        ``pair_ids`` set, solver_linear_regression.py:1197-1202).
+        Storing both orientations in the reference set makes ordered
+        membership equal unordered membership, so callers pass the
+        canonical min(i*n+j, j*n+i) key. Returns (fresh unique keys,
+        selection indices in original sample order)."""
+        uniq, first = np.unique(key, return_index=True)
+        if seen_keys.size:
+            fresh = ~np.isin(uniq, seen_keys)
+            uniq, first = uniq[fresh], first[fresh]
+        return uniq, np.sort(first)
 
     blocks = []
     row_count = 0
-    seen = set()
-    for p in pairs:
+    seen_keys = np.zeros(0, np.int64)
+
+    def build_block(p):
+        nonlocal seen_keys
         (hi, ci), (hj, cj) = p[-1]
         Xi, Yi, Zi = op_samples(hi, ci)
         Xj, Yj, Zj = op_samples(hj, cj)
         if linear:
-            oki, cols_i, w_i = lin_taps(Xi, Yi, Zi)
-            okj, cols_j, w_j = lin_taps(Xj, Yj, Zj)
+            oki, cols_i, w_i, flo_i, rnd_i = lin_taps(Xi, Yi, Zi)
+            okj, cols_j, w_j, flo_j, rnd_j = lin_taps(Xj, Yj, Zj)
             ok = oki & okj
-            n_rows = int(ok.sum())
-            if n_rows == 0:
-                continue
+            # reference separation filter: both sample points must be
+            # >=3 voxels apart on every axis (solver_linear_regression.py:1043)
+            ok &= (
+                (np.abs(flo_i[0] - flo_j[0]) >= 3)
+                & (np.abs(flo_i[1] - flo_j[1]) >= 3)
+                & (np.abs(flo_i[2] - flo_j[2]) >= 3)
+            )
+            idxs = np.nonzero(ok)[0]
+            if idxs.size == 0:
+                return None
+            # rounded-voxel pair dedup across both orientations, global
+            # over the pair sequence (solver_linear_regression.py:1046-1059)
+            ir = rnd_i[idxs].astype(np.int64)
+            jr = rnd_j[idxs].astype(np.int64)
+            key = np.minimum(ir * n_x + jr, jr * n_x + ir)
+            uniq, first = dedup_first(key, seen_keys)
+            if first.size == 0:
+                return None
+            seen_keys = np.concatenate([seen_keys, uniq])
+            sel = idxs[first]
+            n_rows = int(sel.size)
             rows = np.arange(n_rows)
             r16, c16, d16 = [], [], []
             for cols, w, sign in ((cols_i, w_i, 1.0), (cols_j, w_j, -1.0)):
                 for c8, w8 in zip(cols, w):
                     r16.append(rows)
-                    c16.append(c8[ok])
-                    d16.append(sign * w8[ok].astype(np.float32))
+                    c16.append(c8[sel])
+                    d16.append(sign * w8[sel].astype(np.float32))
             A_blk = csr_matrix(
                 (
                     np.concatenate(d16),
@@ -330,20 +376,15 @@ def build_A_helical_sym_matrix(
             jj = nn_index(Xj, Yj, Zj)
             ok = (ii >= 0) & (jj >= 0)
             if not ok.any():
-                continue
-            ii, jj = ii[ok], jj[ok]
+                return None
+            ii, jj = ii[ok].astype(np.int64), jj[ok].astype(np.int64)
             # first-occurrence dedup across BOTH orientations, global
             # over the pair sequence (reference nn kernel pair_ids set)
-            key = ii * n_x + jj
-            order_new = []
-            for t, k in enumerate(key):
-                if k not in seen:
-                    seen.add(int(k))
-                    seen.add(int(jj[t] * n_x + ii[t]))
-                    order_new.append(t)
-            if not order_new:
-                continue
-            sel = np.asarray(order_new)
+            key = np.minimum(ii * n_x + jj, jj * n_x + ii)
+            uniq, sel = dedup_first(key, seen_keys)
+            if sel.size == 0:
+                return None
+            seen_keys = np.concatenate([seen_keys, uniq])
             ii, jj = ii[sel], jj[sel]
             n_rows = len(ii)
             rows = np.arange(n_rows)
@@ -357,9 +398,17 @@ def build_A_helical_sym_matrix(
                 shape=(n_rows, n_x),
                 dtype=np.float32,
             )
-        blocks.append(A_blk)
-        row_count += A_blk.shape[0]
-        if min_sym_pairs > 0 and row_count > min_sym_pairs:
+        return A_blk
+
+    for p in pairs:
+        A_blk = build_block(p)
+        if A_blk is not None:
+            blocks.append(A_blk)
+            row_count += A_blk.shape[0]
+        # reference stops once the accumulated rows reach the target,
+        # regardless of sign, and checks after EVERY pair — including
+        # zero-row ones (solver_linear_regression.py:1286)
+        if row_count >= min_sym_pairs:
             break
 
     if not blocks:

@@ -338,9 +338,15 @@ def get_class2d_from_file(classFile):
         with mrcfile.open(classFile) as mrc:
             apix = round(float(mrc.voxel_size.x), 4)
             data = np.asarray(mrc.data)
-        return data, apix
-    data, apix = read_mrc(classFile)
-    return np.asarray(data), apix
+    else:
+        data, apix = read_mrc(classFile)
+        data = np.asarray(data)
+    # mrcfile returns 2D for single-section files while the native reader
+    # is always 3D; the app iterates the result as a class stack, so
+    # normalize to (n_classes, ny, nx) regardless of the load seam.
+    if data.ndim == 2:
+        data = data[np.newaxis]
+    return data, apix
 
 
 def get_class2d_params_from_file(params_file):

@@ -24,13 +24,13 @@ class _VoxelSize:
 
 
 class _MrcShim:
-    def __init__(self, path, writable: bool = False):
+    def __init__(self, path, writable: bool = False, load: bool = True):
         self._path = str(path)
         self._writable = writable
         self._data = None
         self._apix = 1.0
         self.header = None
-        if not writable:
+        if load:
             real = self._path
             if real.endswith(".gz"):  # mrcfile reads .map.gz transparently
                 tmp = Path(tempfile.mkdtemp()) / Path(real).stem
@@ -86,11 +86,13 @@ class _MrcShim:
 
 
 def open(name, mode: str = "r", permissive: bool = False, **kwargs):  # noqa: A001
-    return _MrcShim(name, writable=mode in ("r+", "w+"))
+    # r+ keeps the existing data and voxel size loaded AND writable;
+    # w+ starts from an empty in-memory state like the real package
+    return _MrcShim(name, writable=mode in ("r+", "w+"), load=mode != "w+")
 
 
 def new(name, data=None, overwrite: bool = False, **kwargs):
-    m = _MrcShim(name, writable=True)
+    m = _MrcShim(name, writable=True, load=False)
     if data is not None:
         m.set_data(data)
     return m

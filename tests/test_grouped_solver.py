@@ -237,3 +237,30 @@ def test_grouped_progress_and_abort(image, monkeypatch):
     assert np.isneginf(r2.scores).any()  # aborted before completion
     scored = r2.scores[np.isfinite(r2.scores)]
     assert len(scored) and np.all(np.abs(scored) <= 1.0 + 1e-6)
+
+
+def test_grouped_explicit_batch_size_not_inflated_by_inner_chunk(
+    image, monkeypatch
+):
+    """HELICON_GRID_INNER (the accelerator default) must not inflate an
+    explicit batch_size on the grouped path: inner_chunk divisibility is
+    a per-candidate-path constraint, and batch_size is the caller's
+    dispatch/abort granularity contract."""
+    tw = np.repeat(np.linspace(20.0, 34.0, 8).astype(np.float32), 2)
+    ri = np.tile([4.6, 4.9], 8).astype(np.float32)
+    import jax
+
+    monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
+    monkeypatch.setenv("HELICON_GRID_GROUP_CHUNK", "2")
+    monkeypatch.setenv("HELICON_GRID_INNER", "8")  # accelerator default
+    one_dev = jax.devices()[:1]
+    calls = []
+    r = reconstruct_grid(
+        image, twists=tw, rises=ri, devices=one_dev,
+        progress_callback=lambda done, n, s: calls.append(done),
+        **dict(GRID_KW, batch_size=4),
+    )
+    assert calls and calls[-1] == len(tw)
+    increments = np.diff([0] + calls)
+    assert increments.max() <= 4, calls
+    assert np.all(np.isfinite(r.scores))

@@ -775,6 +775,54 @@ class TestReviewFixes3:
         assert int(out["rlnHelicalTubeIDOriginal"].min()) >= 1
 
 
+
+    def test_breakfilaments_vectorized_matches_loop_oracle(self):
+        """The vectorized chunking must reproduce the reference loop
+        exactly: encounter-order IDs, track-length sort only for
+        oversized filaments, original order within small ones."""
+        rng = np.random.default_rng(7)
+        rows = []
+        for m in ("m2.mrc", "m1.mrc"):          # encounter order != sorted
+            for tube in (3, 1, 2):
+                n = int(rng.integers(1, 9))
+                trks = rng.permutation(n) * 10.0
+                for t in trks:
+                    rows.append((m, tube, float(t)))
+        df = pd.DataFrame(
+            rows,
+            columns=[
+                "rlnMicrographName", "rlnHelicalTubeID",
+                "rlnHelicalTrackLengthAngst",
+            ],
+        )
+        df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        max_segments = 3
+
+        # oracle: the reference's own loop (breakfilaments.py)
+        oracle = df.copy()
+        new_filaments = []
+        for _, group in oracle.groupby(
+            ["rlnMicrographName", "rlnHelicalTubeID"], sort=False
+        ):
+            idx = list(group.index)
+            if len(idx) > max_segments:
+                idx = (
+                    oracle.loc[idx]
+                    .sort_values("rlnHelicalTrackLengthAngst", kind="stable")
+                    .index.tolist()
+                )
+            for i in range(0, len(idx), max_segments):
+                new_filaments.append(idx[i : i + max_segments])
+        expected = pd.Series(0, index=oracle.index)
+        for new_id, idx in enumerate(new_filaments):
+            expected.loc[idx] = new_id
+
+        out = dispatch(
+            "breakFilaments", df.copy(), f"maxSegments={max_segments}"
+        )
+        assert list(out["rlnHelicalTubeID"]) == list(expected)
+
+
 class TestReviewFixes4:
     """Batch-seven regressions: proc3d flag crash, streaming createStack,
     minStack collisions, selectRatioRange guards."""

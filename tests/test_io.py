@@ -199,6 +199,23 @@ def test_cs_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["uid"], arr["uid"])
 
 
+def test_read_cs_rejects_npz_archive(tmp_path):
+    """np.load happily opens zip archives (.npz) — read_cs must reject
+    them instead of returning a lazily-opened NpzFile."""
+    path = tmp_path / "zipped.cs"
+    np.savez(path.with_suffix(".npz"), a=np.arange(3))
+    path.with_suffix(".npz").rename(path)
+    with pytest.raises(ValueError, match="npz"):
+        read_cs(path)
+
+
+def test_read_cs_rejects_garbage(tmp_path):
+    path = tmp_path / "bad.cs"
+    path.write_bytes(b"not numpy at all")
+    with pytest.raises(ValueError, match="not a recognized"):
+        read_cs(path)
+
+
 def test_cs2dataframe_and_convert(tmp_path):
     arr = make_cs_array()
     path = tmp_path / "particles_sel.cs"

@@ -420,3 +420,48 @@ def test_ard_model_end_to_end():
     )
     assert score > 0.99  # measured 0.9992
     assert np.isfinite(rec).all() and np.max(rec) > 0
+
+
+@pytest.mark.parametrize("interp", ["nn", "linear"])
+def test_sym_matrix_matches_reference_exactly(ref_solver, interp):
+    """build_A_helical_sym_matrix oracle parity: identical CSR systems
+    (values AND row order) against the actual reference builder
+    (solver_linear_regression.py:847-1303) for both kernels — pins the
+    separation filter, the rounded-pair dedup, the 110-tap weight quirk,
+    and the unconditional row_count >= min_sym_pairs break."""
+    from helicon_tpu.webApps.denovo3D.solver_linear_regression import (
+        build_A_helical_sym_matrix as mine,
+    )
+
+    kw = dict(
+        nz=16, ny=16, nx=16, twist_degree=91.3, rise_pixel=4.0, csym=1,
+        rmin=0.0, rmax=6.0, min_sym_pairs=4000, interpolation=interp,
+        verbose=0,
+    )
+    A_ref, b_ref = ref_solver.build_A_helical_sym_matrix(**kw)
+    A_my, b_my = mine(**kw)
+    assert (A_ref is None) == (A_my is None)
+    assert A_ref is not None, "parameters produced an empty system"
+    assert A_ref.shape == A_my.shape
+    d = (A_ref - A_my)
+    assert abs(d).max() < 1e-6 if d.nnz else True
+    np.testing.assert_allclose(b_my, b_ref)
+
+
+def test_sym_matrix_nonpositive_min_pairs_stops_after_first_pair(ref_solver):
+    """min_sym_pairs <= 0: the reference's break fires after the very
+    first pair regardless of rows (solver_linear_regression.py:1286)."""
+    from helicon_tpu.webApps.denovo3D.solver_linear_regression import (
+        build_A_helical_sym_matrix as mine,
+    )
+
+    kw = dict(
+        nz=16, ny=16, nx=16, twist_degree=91.3, rise_pixel=4.0, csym=1,
+        rmin=0.0, rmax=6.0, min_sym_pairs=0, interpolation="nn", verbose=0,
+    )
+    A_ref, _ = ref_solver.build_A_helical_sym_matrix(**kw)
+    A_my, _ = mine(**kw)
+    assert (A_ref is None) == (A_my is None)
+    if A_ref is not None:
+        assert A_ref.shape == A_my.shape
+        assert abs(A_ref - A_my).max() < 1e-6 if (A_ref - A_my).nnz else True
