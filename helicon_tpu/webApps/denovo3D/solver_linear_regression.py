@@ -89,12 +89,41 @@ def build_A_data_matrix(
     from scipy.sparse import csr_matrix, vstack
     from scipy.spatial.transform import Rotation as R
 
-    (X0, Y0, Z0), pixel_vals = back_project_2d_coords_to_3d_coords(
-        image=image,
-        scale2d_to_3d=scale2d_to_3d,
-        reconstruct_diameter_2d_pixel=reconstruct_diameter_2d_pixel,
-        reconstruct_length_2d_pixel=reconstruct_length_2d_pixel,
+    # Reference-identical back projection (solver_linear_regression.py:
+    # 1694-1746): the reference applies a NUMERIC R_y(90 deg) rotation
+    # matrix, whose cos(90) ~ 6e-17 leaves ~1e-15 noise on the integer
+    # coordinate grid. The library's exact axis-swap version
+    # (denovo3d.geometry.back_project_2d_coords_to_3d_coords) is cleaner
+    # but flips round()/int() at half-integer boundaries relative to the
+    # reference, so this host-side oracle reproduces the noisy path.
+    image = np.asarray(image)
+    img_ny, img_nx = image.shape
+    d2 = (
+        int(np.rint(reconstruct_diameter_2d_pixel))
+        if reconstruct_diameter_2d_pixel > 0
+        else img_ny
     )
+    l2 = (
+        int(np.rint(reconstruct_length_2d_pixel))
+        if reconstruct_length_2d_pixel > 0
+        else img_nx
+    )
+    kk = np.arange(d2, dtype=np.int32) - d2 // 2
+    jj_ = np.arange(d2, dtype=np.int32) - d2 // 2
+    ii_ = np.arange(l2, dtype=np.int32) - l2 // 2
+    pixel_vals = image[np.ix_(jj_ + img_ny // 2, ii_ + img_nx // 2)]
+    Zg, Yg, Xg = np.meshgrid(
+        kk.astype(np.float32), jj_.astype(np.float32), ii_.astype(np.float32),
+        indexing="ij",
+    )
+    cg = R.from_euler("y", 90, degrees=True).apply(
+        np.vstack((Xg.ravel(), Yg.ravel(), Zg.ravel())).T, inverse=True
+    )
+    if scale2d_to_3d != 1.0:
+        cg *= scale2d_to_3d
+    X0 = np.swapaxes(cg[:, 0].reshape((d2, d2, l2)), 0, 2)
+    Y0 = np.swapaxes(cg[:, 1].reshape((d2, d2, l2)), 0, 2)
+    Z0 = np.swapaxes(cg[:, 2].reshape((d2, d2, l2)), 0, 2)
     nz, ny, nx = X0.shape  # helical axis first, like the reference
     l3 = int(reconstruct_length_3d_pixel) if reconstruct_length_3d_pixel > 0 else nz
     rmin = reconstruct_diameter_3d_inner_pixel / 2
@@ -131,9 +160,13 @@ def build_A_data_matrix(
         Z = (c[:, 2] - hi * rise_pixel) + l3 // 2
 
         if linear:
-            zi = np.floor(Z).astype(np.int64)
-            yi = np.floor(Y).astype(np.int64)
-            xi = np.floor(X).astype(np.int64)
+            # reference loop_kji uses int(Z) — truncation toward zero,
+            # not floor (solver_linear_regression.py:1421-1423): samples
+            # in (-1, 0) land on voxel 0 with a NEGATIVE fraction and
+            # pass the bounds check. Kept bug-for-bug.
+            zi = np.trunc(Z).astype(np.int64)
+            yi = np.trunc(Y).astype(np.int64)
+            xi = np.trunc(X).astype(np.int64)
             inb = (
                 (zi >= 0) & (zi <= l3 - 2)
                 & (yi >= 0) & (yi <= ny - 2)
@@ -181,19 +214,20 @@ def build_A_data_matrix(
 
         has_data = np.zeros(nz * ny, bool)
         has_data[np.unique(line_id[ok_any])] = True
-        if not has_data.any():
-            continue
-        # compress kept lines to consecutive row numbers (k-major order)
-        row_of_line = np.cumsum(has_data) - 1
-        A_blk = csr_matrix(
-            (vals, (row_of_line[rows], cols)),
-            shape=(int(has_data.sum()), n_x),
-            dtype=np.float32,
-        )
-        blocks.append(A_blk)
-        bs.append(b_line[has_data])
-        pids.append(pid_line[has_data])
-        n_b += int(has_data.sum())
+        if has_data.any():
+            # compress kept lines to consecutive row numbers (k-major)
+            row_of_line = np.cumsum(has_data) - 1
+            A_blk = csr_matrix(
+                (vals, (row_of_line[rows], cols)),
+                shape=(int(has_data.sum()), n_x),
+                dtype=np.float32,
+            )
+            blocks.append(A_blk)
+            bs.append(b_line[has_data])
+            pids.append(pid_line[has_data])
+            n_b += int(has_data.sum())
+        # reference checks the line target after EVERY copy, including
+        # zero-row ones (solver_linear_regression.py:1644-1645)
         if min_projection_lines > 0 and n_b > min_projection_lines:
             break
 

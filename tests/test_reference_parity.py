@@ -465,3 +465,75 @@ def test_sym_matrix_nonpositive_min_pairs_stops_after_first_pair(ref_solver):
     if A_ref is not None:
         assert A_ref.shape == A_my.shape
         assert abs(A_ref - A_my).max() < 1e-6 if (A_ref - A_my).nnz else True
+
+
+@pytest.mark.parametrize(
+    "interp,tilt,psi,dy",
+    [
+        ("nn", 0.0, 0.0, 0.0),
+        ("nn", 2.5, -3.0, 0.7),
+        ("linear", 0.0, 0.0, 0.0),
+        ("linear", 2.5, -3.0, 0.7),
+    ],
+)
+def test_data_matrix_matches_reference_exactly(ref_solver, interp, tilt, psi, dy):
+    """build_A_data_matrix oracle parity: identical CSR systems, b vectors
+    and pixel ids against the actual reference builder
+    (solver_linear_regression.py:1304-1656) for both kernels — pins the
+    numeric R_y(90) back-projection noise, int() truncation (not floor)
+    in the linear kernel, Halton copy order, and the after-every-copy
+    n_b > min_projection_lines break."""
+    from helicon_tpu.webApps.denovo3D.solver_linear_regression import (
+        build_A_data_matrix as mine,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((32, 48)).astype(np.float32)
+    kw = dict(
+        image=img, scale2d_to_3d=1.0, twist_degree=91.3, rise_pixel=4.0,
+        csym=1, tilt_degree=tilt, psi_degree=psi, dy_pixel=dy,
+        reconstruct_diameter_2d_pixel=24, reconstruct_length_2d_pixel=40,
+        reconstruct_diameter_3d_pixel=24,
+        reconstruct_diameter_3d_inner_pixel=0,
+        reconstruct_length_3d_pixel=16, min_projection_lines=2000,
+        interpolation=interp, verbose=0,
+    )
+    A_ref, b_ref, pid_ref = ref_solver.build_A_data_matrix(**kw)
+    A_my, b_my, pid_my = mine(**kw)
+    assert A_ref.shape == A_my.shape
+    d = A_ref - A_my
+    # one f32 ulp of slack: scipy sums duplicate (row, col) taps in
+    # insertion order, which differs between the two builders
+    assert (abs(d).max() if d.nnz else 0.0) < 5e-7
+    np.testing.assert_allclose(b_my, b_ref)
+    np.testing.assert_array_equal(np.asarray(pid_my), pid_ref)
+
+
+def test_data_matrix_csym_scale_matches_reference(ref_solver):
+    """csym=2 + anisotropic scale + inner mask radius: the Halton copy
+    ordering and scaled back-projection still match the reference
+    bit-for-bit (solver_linear_regression.py:1560-1575, 1694-1746)."""
+    from helicon_tpu.webApps.denovo3D.solver_linear_regression import (
+        build_A_data_matrix as mine,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((32, 48)).astype(np.float32)
+    for interp in ("nn", "linear"):
+        kw = dict(
+            image=img, scale2d_to_3d=0.75, twist_degree=-36.9,
+            rise_pixel=2.5, csym=2, tilt_degree=1.0, psi_degree=0.5,
+            dy_pixel=-0.3, reconstruct_diameter_2d_pixel=28,
+            reconstruct_length_2d_pixel=44,
+            reconstruct_diameter_3d_pixel=20,
+            reconstruct_diameter_3d_inner_pixel=4,
+            reconstruct_length_3d_pixel=18, min_projection_lines=3000,
+            interpolation=interp, verbose=0,
+        )
+        A_ref, b_ref, pid_ref = ref_solver.build_A_data_matrix(**kw)
+        A_my, b_my, pid_my = mine(**kw)
+        assert A_ref.shape == A_my.shape, interp
+        d = A_ref - A_my
+        assert (abs(d).max() if d.nnz else 0.0) < 5e-7, interp
+        np.testing.assert_allclose(b_my, b_ref)
+        np.testing.assert_array_equal(np.asarray(pid_my), pid_ref)
