@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 
 from ...denovo3d.geometry import (  # noqa: F401
-    back_project_2d_coords_to_3d_coords,
     select_copies,
     select_pairs,
 )
@@ -44,6 +43,54 @@ def sorted_hsym_csym_pairs(twist, rise, csym, nz):
     """Reference-named wrapper (solver_linear_regression.py:1749):
     ``rise`` is the rise in pixels."""
     return _sorted_pairs_impl(twist, rise, csym, nz)
+
+
+def back_project_2d_coords_to_3d_coords(
+    image,
+    scale2d_to_3d,
+    reconstruct_diameter_2d_pixel=-1,
+    reconstruct_length_2d_pixel=-1,
+):
+    """Reference-identical back projection (solver_linear_regression.py:
+    1659-1746): the reference applies a NUMERIC R_y(90 deg) rotation
+    matrix, whose cos(90) ~ 6e-17 leaves ~1e-15 noise on the integer
+    coordinate grid. The library's exact axis-swap version
+    (denovo3d.geometry.back_project_2d_coords_to_3d_coords) is cleaner,
+    but downstream int()/round() flips at half-integer boundaries
+    relative to the reference, so this compat surface reproduces the
+    noisy path bit-for-bit. Returns ((X, Y, Z) with the helical axis
+    first, pixel values of the extracted region)."""
+    from scipy.spatial.transform import Rotation as R
+
+    image = np.asarray(image)
+    img_ny, img_nx = image.shape
+    d2 = (
+        int(np.rint(reconstruct_diameter_2d_pixel))
+        if reconstruct_diameter_2d_pixel > 0
+        else img_ny
+    )
+    l2 = (
+        int(np.rint(reconstruct_length_2d_pixel))
+        if reconstruct_length_2d_pixel > 0
+        else img_nx
+    )
+    kk = np.arange(d2, dtype=np.int32) - d2 // 2
+    jj_ = np.arange(d2, dtype=np.int32) - d2 // 2
+    ii_ = np.arange(l2, dtype=np.int32) - l2 // 2
+    pixel_vals = image[np.ix_(jj_ + img_ny // 2, ii_ + img_nx // 2)]
+    Zg, Yg, Xg = np.meshgrid(
+        kk.astype(np.float32), jj_.astype(np.float32), ii_.astype(np.float32),
+        indexing="ij",
+    )
+    cg = R.from_euler("y", 90, degrees=True).apply(
+        np.vstack((Xg.ravel(), Yg.ravel(), Zg.ravel())).T, inverse=True
+    )
+    if scale2d_to_3d != 1.0:
+        cg *= scale2d_to_3d
+    X0 = np.swapaxes(cg[:, 0].reshape((d2, d2, l2)), 0, 2)
+    Y0 = np.swapaxes(cg[:, 1].reshape((d2, d2, l2)), 0, 2)
+    Z0 = np.swapaxes(cg[:, 2].reshape((d2, d2, l2)), 0, 2)
+    return (X0, Y0, Z0), pixel_vals
 
 
 def _cyl_mask_and_index(nz, ny, nx, rmin, rmax):
@@ -89,41 +136,12 @@ def build_A_data_matrix(
     from scipy.sparse import csr_matrix, vstack
     from scipy.spatial.transform import Rotation as R
 
-    # Reference-identical back projection (solver_linear_regression.py:
-    # 1694-1746): the reference applies a NUMERIC R_y(90 deg) rotation
-    # matrix, whose cos(90) ~ 6e-17 leaves ~1e-15 noise on the integer
-    # coordinate grid. The library's exact axis-swap version
-    # (denovo3d.geometry.back_project_2d_coords_to_3d_coords) is cleaner
-    # but flips round()/int() at half-integer boundaries relative to the
-    # reference, so this host-side oracle reproduces the noisy path.
-    image = np.asarray(image)
-    img_ny, img_nx = image.shape
-    d2 = (
-        int(np.rint(reconstruct_diameter_2d_pixel))
-        if reconstruct_diameter_2d_pixel > 0
-        else img_ny
+    (X0, Y0, Z0), pixel_vals = back_project_2d_coords_to_3d_coords(
+        image=image,
+        scale2d_to_3d=scale2d_to_3d,
+        reconstruct_diameter_2d_pixel=reconstruct_diameter_2d_pixel,
+        reconstruct_length_2d_pixel=reconstruct_length_2d_pixel,
     )
-    l2 = (
-        int(np.rint(reconstruct_length_2d_pixel))
-        if reconstruct_length_2d_pixel > 0
-        else img_nx
-    )
-    kk = np.arange(d2, dtype=np.int32) - d2 // 2
-    jj_ = np.arange(d2, dtype=np.int32) - d2 // 2
-    ii_ = np.arange(l2, dtype=np.int32) - l2 // 2
-    pixel_vals = image[np.ix_(jj_ + img_ny // 2, ii_ + img_nx // 2)]
-    Zg, Yg, Xg = np.meshgrid(
-        kk.astype(np.float32), jj_.astype(np.float32), ii_.astype(np.float32),
-        indexing="ij",
-    )
-    cg = R.from_euler("y", 90, degrees=True).apply(
-        np.vstack((Xg.ravel(), Yg.ravel(), Zg.ravel())).T, inverse=True
-    )
-    if scale2d_to_3d != 1.0:
-        cg *= scale2d_to_3d
-    X0 = np.swapaxes(cg[:, 0].reshape((d2, d2, l2)), 0, 2)
-    Y0 = np.swapaxes(cg[:, 1].reshape((d2, d2, l2)), 0, 2)
-    Z0 = np.swapaxes(cg[:, 2].reshape((d2, d2, l2)), 0, 2)
     nz, ny, nx = X0.shape  # helical axis first, like the reference
     l3 = int(reconstruct_length_3d_pixel) if reconstruct_length_3d_pixel > 0 else nz
     rmin = reconstruct_diameter_3d_inner_pixel / 2

@@ -537,3 +537,31 @@ def test_data_matrix_csym_scale_matches_reference(ref_solver):
         assert (abs(d).max() if d.nnz else 0.0) < 5e-7, interp
         np.testing.assert_allclose(b_my, b_ref)
         np.testing.assert_array_equal(np.asarray(pid_my), pid_ref)
+
+
+def test_back_project_facade_matches_reference_bitwise(ref_solver):
+    """The facade's back_project_2d_coords_to_3d_coords reproduces the
+    reference's numeric-R_y(90) coordinates BIT-for-bit (including the
+    ~1e-15 rotation noise that downstream int()/round() depends on),
+    unlike the library's exact axis-swap version."""
+    from helicon_tpu.webApps.denovo3D.solver_linear_regression import (
+        back_project_2d_coords_to_3d_coords as mine,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((30, 40)).astype(np.float32)
+    for scale, d2, l2 in [(1.0, -1, -1), (0.75, 24, 36), (1.25, 21, 33)]:
+        (Xr, Yr, Zr), pv_r = ref_solver.back_project_2d_coords_to_3d_coords(
+            image=img, scale2d_to_3d=scale,
+            reconstruct_diameter_2d_pixel=d2,
+            reconstruct_length_2d_pixel=l2,
+        )
+        (Xm, Ym, Zm), pv_m = mine(
+            image=img, scale2d_to_3d=scale,
+            reconstruct_diameter_2d_pixel=d2,
+            reconstruct_length_2d_pixel=l2,
+        )
+        np.testing.assert_array_equal(Xm, Xr)
+        np.testing.assert_array_equal(Ym, Yr)
+        np.testing.assert_array_equal(Zm, Zr)
+        np.testing.assert_array_equal(pv_m, pv_r)
