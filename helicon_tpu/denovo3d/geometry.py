@@ -162,13 +162,19 @@ def _pair_combinatorics(hmax: int, csym: int):
     return h1, c1, h2, c2, np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2)
 
 
-@functools.lru_cache(maxsize=256)
 def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
     """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
     as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
     |h2|) (stable, ties keep combinations order) then Halton-permuted.
-    Memoized on the scalar args; the returned array is read-only."""
+    The returned array is read-only. Rise and nz enter only through
+    hmax (the angles are twist-only), so memoization lives on
+    (twist, hmax, csym): every rise in a twist-group hits one entry."""
     hmax = max(1, int(np.ceil(nz / (2 * rise_pixel))))
+    return _pair_table_hm(twist, hmax, csym)
+
+
+@functools.lru_cache(maxsize=4096)
+def _pair_table_hm(twist: float, hmax: int, csym: int) -> np.ndarray:
     h1, c1, h2, c2, ah2, ah1, ahd, ahs = _pair_combinatorics(hmax, csym)
     a1 = twist * h1 + c1 * 360.0 / csym
     a2 = twist * h2 + c2 * 360.0 / csym

@@ -165,9 +165,59 @@ def _group_tables(
     R = len(rises_pixel)
     csym = geom.csym
     hmax_p = (n_ops // csym - 1) // 2
+    rises_pad, m, ch_u, cc_u, rank = _copy_block(
+        geom, tuple(float(r) for r in rises_pixel),
+        n_copies, C_u, R_pad, copy_cache,
+    )
+    pidx = np.zeros((R_pad, n_pairs, 2), np.int32)
+    pval = np.zeros((R_pad, n_pairs), bool)
+    prev_hm = None
+    for ri, r in enumerate(rises_pixel):
+        # the pair table depends on rise only through hmax; consecutive
+        # rises in a group almost always share it — copy the row instead
+        # of recomputing (the host producer thread is the grid search's
+        # bottleneck; see _copy_block)
+        hm = max(1, int(np.ceil(geom.l3 / (2 * float(r)))))
+        if hm == prev_hm:
+            pidx[ri] = pidx[ri - 1]
+            pval[ri] = pval[ri - 1]
+            continue
+        prev_hm = hm
+        t = _pair_table(float(twist), float(r), csym, geom.l3)[:n_pairs]
+        if len(t):
+            k1 = (t[:, 0] + hmax_p) * csym + t[:, 1]
+            k2 = (t[:, 2] + hmax_p) * csym + t[:, 3]
+            assert k1.min() >= 0 and k1.max() < n_ops, "op table too small"
+            assert k2.min() >= 0 and k2.max() < n_ops, "op table too small"
+            pidx[ri, : len(t), 0] = k1
+            pidx[ri, : len(t), 1] = k2
+            pval[ri, : len(t)] = True
+    for ri in range(R, R_pad):
+        pidx[ri] = pidx[R - 1]
+        pval[ri] = pval[R - 1]
+    return rises_pad, m, ch_u, cc_u, pidx, pval, rank
+
+
+_COPY_BLOCK_CACHE: dict = {}
+
+
+def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
+    """Rise-only half of the group tables, cached on the rise tuple.
+
+    Copy selection is twist-INdependent (select_copies), so every
+    twist-group over the same rises — all of them, on a Cartesian
+    (twist, rise) grid — shares one (m, rank, ch_u, cc_u, rises_pad)
+    block. Without this cache the per-(copy, rise) Python loop below ran
+    once per GROUP and dominated the grid search's host producer thread
+    (~110 us/candidate — the device starved on it; see PROFILE.md).
+    Returned arrays are read-only and must not be mutated."""
+    key = (geom, rises_key, n_copies, C_u, R_pad)
+    hit = _COPY_BLOCK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    R = len(rises_key)
     sels = []
-    for r in rises_pixel:
-        r = float(r)
+    for r in rises_key:
         if r not in copy_cache:
             copy_cache[r] = select_copies(geom, r, n_copies)
         sels.append(copy_cache[r])
@@ -188,28 +238,20 @@ def _group_tables(
         for pos, (h, c) in enumerate(zip(ch[cv].tolist(), cc[cv].tolist())):
             m[ri, col[(h, c)]] += 1.0  # Halton repeats -> multiplicity
             rank[ri, col[(h, c)]] = pos  # overwritten -> LAST position
-    pidx = np.zeros((R_pad, n_pairs, 2), np.int32)
-    pval = np.zeros((R_pad, n_pairs), bool)
-    for ri, r in enumerate(rises_pixel):
-        t = _pair_table(float(twist), float(r), csym, geom.l3)[:n_pairs]
-        if len(t):
-            k1 = (t[:, 0] + hmax_p) * csym + t[:, 1]
-            k2 = (t[:, 2] + hmax_p) * csym + t[:, 3]
-            assert k1.min() >= 0 and k1.max() < n_ops, "op table too small"
-            assert k2.min() >= 0 and k2.max() < n_ops, "op table too small"
-            pidx[ri, : len(t), 0] = k1
-            pidx[ri, : len(t), 1] = k2
-            pval[ri, : len(t)] = True
     for ri in range(R, R_pad):
         m[ri] = m[R - 1]
-        pidx[ri] = pidx[R - 1]
-        pval[ri] = pval[R - 1]
         rank[ri] = rank[R - 1]
     rises_pad = np.concatenate(
-        [np.asarray(rises_pixel, np.float32),
-         np.repeat(np.asarray(rises_pixel[-1:], np.float32), R_pad - R)]
+        [np.asarray(rises_key, np.float32),
+         np.full(R_pad - R, rises_key[-1], np.float32)]
     )
-    return rises_pad, m, ch_u, cc_u, pidx, pval, rank
+    out = (rises_pad, m, ch_u, cc_u, rank)
+    for a in out:
+        a.flags.writeable = False
+    if len(_COPY_BLOCK_CACHE) >= 256:
+        _COPY_BLOCK_CACHE.clear()
+    _COPY_BLOCK_CACHE[key] = out
+    return out
 
 
 @functools.lru_cache(maxsize=16)
@@ -463,6 +505,20 @@ def _percand_scoring(
     return aborted, cost_stats
 
 
+def _host_default_device():
+    """Context manager routing JAX ops to the host CPU backend.
+
+    Falls back to a no-op when no CPU backend exists (then the default
+    device handles everything, as before)."""
+    import contextlib
+
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu0)
+
+
 def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
@@ -536,6 +592,12 @@ def _grouped_scoring(
     unit = group_chunk * n_dev
     g_call = max(1, batch_size // max(1, R_pad * unit)) * unit
     g_call = min(g_call, -(-n_groups // unit) * unit)  # round-up clamp
+    # NOTE: do NOT balance g_call against n_groups beyond this clamp —
+    # the jitted scorer's shape is (g_call, ...), and a warmup slice
+    # with fewer groups must produce the SAME g_call as the full grid
+    # or the timed run recompiles (measured: a "balanced" tail saved
+    # ~2 % of device work but put a ~1.9 s compile inside every first
+    # full-grid call; the tail padding is the cheaper evil)
 
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
@@ -572,12 +634,20 @@ def _grouped_scoring(
             [t for t, _ in gs] + [gs[-1][0]] * pad, np.float32
         )
         stack = [np.stack([r[k] for r in rows]) for k in range(7)]
-        return (tws,) + tuple(stack)
+        # device_put HERE, on the producer thread: the host->device
+        # transfer of call N+1's tables then overlaps call N's device
+        # compute. Issuing it on the consumer loop serialized a
+        # per-call transfer+dispatch stall behind every executable run
+        # (~38 % of wall on the tunneled chip: pure-exec 4.8k cand/s
+        # vs 3.5k end to end before this move).
+        return tuple(putg(a) for a in ((tws,) + tuple(stack)))
 
     executor = ThreadPoolExecutor(max_workers=1)
     cost_stats = None
     aborted = False
     try:
+        region_dev = jnp.asarray(region)
+        dyv_dev = jnp.float32(dyv)
         futures = [executor.submit(_build_call, sl) for sl in call_slices]
         pending = []
         done = 0
@@ -585,15 +655,7 @@ def _grouped_scoring(
             if should_abort is not None and should_abort():
                 aborted = True
                 break
-            tws, rises_g, m_g, ch_g, cc_g, pidx_g, pval_g, rank_g = (
-                fut.result()
-            )
-            args = (
-                jnp.asarray(region), jnp.float32(dyv),
-                putg(tws), putg(rises_g), putg(m_g),
-                putg(ch_g), putg(cc_g), putg(pidx_g), putg(pval_g),
-                putg(rank_g),
-            )
+            args = (region_dev, dyv_dev) + fut.result()
             if cost_analysis and cost_stats is None:
                 try:
                     # one-group variant: lax.map body counted once ->
@@ -746,14 +808,24 @@ def reconstruct_grid(
             return_best_volume, progress_callback, should_abort,
         )
 
-    data = prepare_data(image, apix, denoise, low_pass, transpose, horizontalize)
-    ny0, nx0 = data.shape
+    # Image prep is a chain of ~20 SMALL ops (filter, blur, cubic
+    # resample) with host syncs between them; on the tunneled TPU each
+    # sync is a full round trip and the chain cost ~0.4 s of an ~2.9 s
+    # 10k-candidate search. Run it on the host CPU backend — the
+    # scoring path (and its parity guarantees) is untouched.
+    with _host_default_device():
+        data = prepare_data(
+            image, apix, denoise, low_pass, transpose, horizontalize
+        )
+        ny0, nx0 = data.shape
 
-    estimated_diameter = None
-    if tube_diameter < 0:
-        from ..core.analysis import estimate_helix_rotation_center_diameter
+        estimated_diameter = None
+        if tube_diameter < 0:
+            from ..core.analysis import estimate_helix_rotation_center_diameter
 
-        _, _, estimated_diameter = estimate_helix_rotation_center_diameter(data)
+            _, _, estimated_diameter = estimate_helix_rotation_center_diameter(
+                data
+            )
 
     rise_ref = float(np.max(rises))
     g = derive_task_geometry(
@@ -771,7 +843,8 @@ def reconstruct_grid(
         estimated_diameter,
     )
     target_apix2d = g["target_apix2d"]
-    data = np.asarray(down_scale(data, target_apix2d, apix))
+    with _host_default_device():
+        data = np.asarray(down_scale(data, target_apix2d, apix))
     ny, nx = data.shape
     pg = _pixel_geometry(g, (ny, nx), rise_ref)
     target_apix3d = pg["target_apix3d"]

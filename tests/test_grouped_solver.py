@@ -264,3 +264,34 @@ def test_grouped_explicit_batch_size_not_inflated_by_inner_chunk(
     increments = np.diff([0] + calls)
     assert increments.max() <= 4, calls
     assert np.all(np.isfinite(r.scores))
+
+
+def test_copy_block_cache_keys_do_not_collide():
+    """_copy_block memoizes the rise-only table half on the rise tuple:
+    same rises -> one shared (read-only) block regardless of twist;
+    different rises / R_pad -> distinct entries with correct content."""
+    from helicon_tpu.denovo3d.geometry import ReconstructionGeometry
+    from helicon_tpu.denovo3d.grid import _group_tables
+
+    geom = ReconstructionGeometry(
+        d2=12, l2=24, d3=12, l3=4, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    cache = {}
+    r_a = np.array([1.0, 1.25], np.float32)
+    r_b = np.array([1.0, 1.5], np.float32)
+    out1 = _group_tables(geom, 30.0, r_a, 8, 4, 5, 20, 2, cache)
+    out2 = _group_tables(geom, 31.0, r_a, 8, 4, 5, 20, 2, cache)
+    out3 = _group_tables(geom, 30.0, r_b, 8, 4, 5, 20, 2, cache)
+    # same rises, different twist: the rise-only arrays are THE SAME
+    # cached (read-only) objects; pair tables may differ
+    for k in (0, 1, 6):  # rises_pad, m, rank
+        assert out1[k] is out2[k]
+        assert not out1[k].flags.writeable
+    # different rises: fresh content, not a collision
+    assert not np.array_equal(out1[0], out3[0])
+    # padding path (R < R_pad) also cached consistently
+    p1 = _group_tables(geom, 30.0, r_a[:1], 8, 4, 5, 20, 3, cache)
+    p2 = _group_tables(geom, 77.0, r_a[:1], 8, 4, 5, 20, 3, cache)
+    assert p1[1] is p2[1]
+    np.testing.assert_array_equal(p1[1][0], p1[1][2])  # padded rows repeat
