@@ -136,7 +136,33 @@ def map_coordinates(
     coordinates: array-like of shape (ndim, ...). Supported orders: 0
     (nearest), 1 (linear), 3 (cubic B-spline). Modes: constant, nearest,
     mirror, reflect, wrap.
+
+    Jit-compiled (cached on shapes + the static kwargs): eagerly, the
+    order-3 prefilter's lax.scan dispatches per step — on the tunneled
+    TPU each step is a full host round trip (measured ~0.5 s for one
+    128x256 resample; see docs/PROFILE.md "Host-pipeline fixes").
+    Calling this inside an enclosing jit is unchanged (nested jit is
+    inlined into the outer trace).
     """
+    return _map_coordinates_jit(
+        jnp.asarray(input),
+        tuple(jnp.asarray(c, jnp.float32) for c in coordinates),
+        order=int(order),
+        mode=str(mode),
+        cval=float(cval),
+        prefilter=bool(prefilter),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("order", "mode", "prefilter"))
+def _map_coordinates_jit(
+    input: jnp.ndarray,
+    coordinates,
+    order: int = 1,
+    mode: str = "constant",
+    cval: float = 0.0,
+    prefilter: bool = True,
+) -> jnp.ndarray:
     x = jnp.asarray(input)
     coords = [jnp.asarray(c, jnp.float32) for c in coordinates]
     assert len(coords) == x.ndim, "need one coordinate array per input dim"
