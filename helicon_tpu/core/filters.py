@@ -199,9 +199,6 @@ def down_scale(data, target_apix: float, apix_orig: float):
     ``(1/scale - 1)/2``) followed by cubic resampling, then zero-padded to
     even dimensions (reference filters.py:375-412).
     """
-    from .interp import map_coordinates
-    from .transforms import pad_to_size
-
     if target_apix == apix_orig:
         return jnp.asarray(data)
     if target_apix < apix_orig:

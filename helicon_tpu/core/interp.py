@@ -149,7 +149,9 @@ def map_coordinates(
         tuple(jnp.asarray(c, jnp.float32) for c in coordinates),
         order=int(order),
         mode=str(mode),
-        cval=float(cval),
+        # cval stays uncoerced: it is a DYNAMIC jit argument, so traced
+        # fill values (vmap over per-sample cval) keep working
+        cval=cval,
         prefilter=bool(prefilter),
     )
 

@@ -117,7 +117,7 @@ class ReconstructionGeometry:
     def hsym_max_pairs(self, rise_pixel: float) -> int:
         """Reference sorted_hsym_csym_pairs: max(1, ceil(l3/(2*rise)))
         (solver:955)."""
-        return max(1, int(np.ceil(self.l3 / (2 * rise_pixel))))
+        return pair_hmax(self.l3, rise_pixel)
 
 
 def select_copies(
@@ -162,6 +162,13 @@ def _pair_combinatorics(hmax: int, csym: int):
     return h1, c1, h2, c2, np.abs(h2), np.abs(h1), np.abs(h1 - h2), np.abs(h1 + h2)
 
 
+def pair_hmax(nz: int, rise_pixel: float) -> int:
+    """The pair table's hmax: max(1, ceil(nz/(2*rise))) (solver:955).
+    THE single definition — hsym_max_pairs, _pair_table, and the
+    grid's same-hmax row dedup (grid._group_tables) all call it."""
+    return max(1, int(np.ceil(nz / (2 * rise_pixel))))
+
+
 def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarray:
     """Vectorized sorted_hsym_csym_pairs (solver:933-1000): all op pairs
     as rows [h1, c1, h2, c2], sorted by (angle, |h1+h2|, |h1-h2|, |h1|,
@@ -169,11 +176,10 @@ def _pair_table(twist: float, rise_pixel: float, csym: int, nz: int) -> np.ndarr
     The returned array is read-only. Rise and nz enter only through
     hmax (the angles are twist-only), so memoization lives on
     (twist, hmax, csym): every rise in a twist-group hits one entry."""
-    hmax = max(1, int(np.ceil(nz / (2 * rise_pixel))))
-    return _pair_table_hm(twist, hmax, csym)
+    return _pair_table_hm(twist, pair_hmax(nz, rise_pixel), csym)
 
 
-@functools.lru_cache(maxsize=4096)
+@functools.lru_cache(maxsize=512)
 def _pair_table_hm(twist: float, hmax: int, csym: int) -> np.ndarray:
     h1, c1, h2, c2, ah2, ah1, ahd, ahs = _pair_combinatorics(hmax, csym)
     a1 = twist * h1 + c1 * 360.0 / csym

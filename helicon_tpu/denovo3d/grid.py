@@ -19,6 +19,7 @@ whose rises already fit one bucket compiles exactly once, as before.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import math
@@ -177,7 +178,7 @@ def _group_tables(
         # rises in a group almost always share it — copy the row instead
         # of recomputing (the host producer thread is the grid search's
         # bottleneck; see _copy_block)
-        hm = max(1, int(np.ceil(geom.l3 / (2 * float(r)))))
+        hm = geom.hsym_max_pairs(float(r))
         if hm == prev_hm:
             pidx[ri] = pidx[ri - 1]
             pval[ri] = pval[ri - 1]
@@ -198,7 +199,7 @@ def _group_tables(
     return rises_pad, m, ch_u, cc_u, pidx, pval, rank
 
 
-_COPY_BLOCK_CACHE: dict = {}
+_COPY_BLOCK_CACHE: collections.OrderedDict = collections.OrderedDict()
 
 
 def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
@@ -214,6 +215,7 @@ def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
     key = (geom, rises_key, n_copies, C_u, R_pad)
     hit = _COPY_BLOCK_CACHE.get(key)
     if hit is not None:
+        _COPY_BLOCK_CACHE.move_to_end(key)  # LRU refresh
         return hit
     R = len(rises_key)
     sels = []
@@ -248,8 +250,10 @@ def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
     out = (rises_pad, m, ch_u, cc_u, rank)
     for a in out:
         a.flags.writeable = False
-    if len(_COPY_BLOCK_CACHE) >= 256:
-        _COPY_BLOCK_CACHE.clear()
+    while len(_COPY_BLOCK_CACHE) >= 256:
+        # LRU eviction: a full clear() mid-search would drop the hot
+        # rise-tuple and reintroduce the host-producer bottleneck
+        _COPY_BLOCK_CACHE.popitem(last=False)
     _COPY_BLOCK_CACHE[key] = out
     return out
 
@@ -648,14 +652,32 @@ def _grouped_scoring(
     try:
         region_dev = jnp.asarray(region)
         dyv_dev = jnp.float32(dyv)
-        futures = [executor.submit(_build_call, sl) for sl in call_slices]
+        # bounded prefetch: _build_call device_puts its tables, so an
+        # unbounded submit-all would make EVERY call's tables
+        # HBM-resident at once on a large grid. A window of 3 keeps
+        # transfer/compute overlap with ~constant table residency.
+        from collections import deque as _deque
+
+        slices_iter = iter(call_slices)
+        fut_q: _deque = _deque()
+
+        def _refill():
+            while len(fut_q) < 3:
+                sl_n = next(slices_iter, None)
+                if sl_n is None:
+                    return
+                fut_q.append((sl_n, executor.submit(_build_call, sl_n)))
+
+        _refill()
         pending = []
         done = 0
-        for sl, fut in zip(call_slices, futures):
+        while fut_q:
+            sl, fut = fut_q.popleft()
             if should_abort is not None and should_abort():
                 aborted = True
                 break
             args = (region_dev, dyv_dev) + fut.result()
+            _refill()
             if cost_analysis and cost_stats is None:
                 try:
                     # one-group variant: lax.map body counted once ->

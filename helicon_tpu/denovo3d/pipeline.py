@@ -230,13 +230,24 @@ def process_one_task(
         logger.warning("input image %s:%s is blank", imageFile, imageIndex)
         return None
 
-    data = prepare_data(data, apix2d_orig, denoise, low_pass, transpose, horizontalize)
-    ny, nx = data.shape
-    ny_orig, nx_orig = ny, nx
+    # same host-CPU routing as reconstruct_grid: the prep chain is many
+    # SMALL eager ops with host syncs — on a tunneled TPU each sync is a
+    # round trip (see grid._host_default_device). Also keeps prep
+    # bitwise-identical between the two entry points.
+    from .grid import _host_default_device
 
-    estimated_diameter = None
-    if tube_diameter < 0:
-        _, _, estimated_diameter = estimate_helix_rotation_center_diameter(data)
+    with _host_default_device():
+        data = prepare_data(
+            data, apix2d_orig, denoise, low_pass, transpose, horizontalize
+        )
+        ny, nx = data.shape
+        ny_orig, nx_orig = ny, nx
+
+        estimated_diameter = None
+        if tube_diameter < 0:
+            _, _, estimated_diameter = estimate_helix_rotation_center_diameter(
+                data
+            )
 
     g = derive_task_geometry(
         (ny, nx),
@@ -254,7 +265,8 @@ def process_one_task(
     )
     target_apix2d = g["target_apix2d"]
 
-    data = np.asarray(down_scale(data, target_apix2d, apix2d_orig))
+    with _host_default_device():
+        data = np.asarray(down_scale(data, target_apix2d, apix2d_orig))
     ny, nx = data.shape
 
     if thresh_fraction >= 0:

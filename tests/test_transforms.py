@@ -317,3 +317,25 @@ def test_map_coordinates_order0_scipy_half_pixel_convention():
         np.asarray(map_coordinates(x, c, order=0)),
         ndimage.map_coordinates(x, c, order=0),
     )
+
+
+def test_map_coordinates_traced_cval_and_vmap():
+    """cval is a DYNAMIC jit argument: traced fill values (jit over
+    cval, vmap over per-sample cval) must work — the jitted wrapper
+    must not coerce it with float()."""
+    import jax
+
+    from helicon_tpu.core.interp import map_coordinates
+
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    coords = (np.array([-1.0, 1.0]), np.array([0.0, 2.0]))
+
+    f = jax.jit(
+        lambda im, cv: map_coordinates(im, coords, order=1, cval=cv)
+    )
+    out = np.asarray(f(img, 7.0))
+    assert out[0] == 7.0 and out[1] == img[1, 2]
+
+    vf = jax.vmap(lambda cv: map_coordinates(img, coords, order=1, cval=cv))
+    outs = np.asarray(vf(jnp.asarray([3.0, 9.0])))
+    np.testing.assert_array_equal(outs[:, 0], [3.0, 9.0])
