@@ -42,6 +42,7 @@ from .pipeline import _pixel_geometry, auto_sym_oversample, derive_task_geometry
 from .solver import (
     SolveConfig,
     _solve_candidate_impl,
+    _use_fused_ntn,
     regularization_from_algorithm,
     solve_candidate,
 )
@@ -260,7 +261,8 @@ def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
 
 @functools.lru_cache(maxsize=16)
 def _vgsolve_cached(
-    geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int, devices=None
+    geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int, devices=None,
+    fused_ntn: bool = True,
 ):
     """Compiled twist-grouped scorer, shared across reconstruct_grid
     calls (same caching rationale as _vsolve_cached). Runs a sequential
@@ -606,6 +608,7 @@ def _grouped_scoring(
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
         tuple(devices) if n_dev > 1 else None,
+        fused_ntn=_use_fused_ntn(),
     )
     if n_dev > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

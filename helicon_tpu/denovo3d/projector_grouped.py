@@ -122,8 +122,24 @@ def build_group_shared(
 
     Mxy_u, xy_ok_u = jax.vmap(_op_xy)(ops_h_u, ops_c_u)
 
+    # Fused normal-operator operand: the data rows (Wsum, C_u*d2 of them)
+    # and the symmetry rows (Mxy, O_u*d3^2) stacked into ONE (rows, d3^2)
+    # matrix, so the per-iteration matvec contracts x against both terms
+    # in a single GEMM (and the transpose side in a second one) instead
+    # of 8-10 separate dot_generals — the matvec is dispatch-latency
+    # bound at these shapes (docs/PROFILE.md). x-independent, shared by
+    # the whole group.
+    A_top = jnp.concatenate(
+        [
+            Wsum_u.astype(cdt).reshape(-1, d3 * d3),
+            Mxy_u.astype(cdt).reshape(-1, d3 * d3),
+        ],
+        axis=0,
+    )
+
     return dict(
         Wsum=Wsum_u.astype(cdt),
+        A_top=A_top,
         xy_any=xy_any_u,
         Mxy_ops=Mxy_u.astype(cdt),
         xy_ok_ops=xy_ok_u,  # (O_u, d3^2) bool
@@ -247,6 +263,70 @@ def build_candidate_problem_grouped(
         v2 = vals[pair_idx[:, 1]]
         return ((v1 - v2) * pair_ok_f).reshape(-1, l3, d3, d3)
 
+    # --- fused normal operator (the matvec hot path) ---------------------
+    # N0(x) = PTP(x) + ST(S(x)) computed with TWO large GEMMs against the
+    # group-shared stacked operand A_top = [Wsum; Mxy] plus small-tensor
+    # glue, instead of ~8 separate dot_generals and a pair gather/scatter.
+    # The pair difference + its transpose collapse into an exact op-axis
+    # graph Laplacian: pair_ok factorizes as a_i * a_j * mask * pv (all
+    # binary), so
+    #   (S^T S x)_vals[o] = mask * a_o * (vals_o * (Cn a)_o - (Cn (a*vals))_o)
+    # with Cn[o,o'] = #valid pairs connecting ops o and o' (duplicated
+    # pairs count twice, matching duplicated rows of S; self-pairs cancel
+    # identically on both sides). Same sums as the gather/scatter vjp,
+    # reassociated.
+    A_top = shared["A_top"]
+    C_u = Wsum_c.shape[0]
+    O_u = Mxy_c.shape[0]
+    a_f = (z_ok_ops[:, :, None] & shared["xy_ok_ops"][:, None, :]).astype(
+        jnp.float32
+    )  # (O_u, l3, d3^2)
+    pv_f = pairs_valid.astype(jnp.float32)
+    oi = jax.nn.one_hot(pair_idx[:, 0], O_u, dtype=jnp.float32)
+    oj = jax.nn.one_hot(pair_idx[:, 1], O_u, dtype=jnp.float32)
+    Cn = oi.T @ (pv_f[:, None] * oj)
+    Cn = Cn + Cn.T  # symmetric pair-count matrix (O_u, O_u)
+    deg = (Cn @ a_f.reshape(O_u, -1)).reshape(O_u, l3, d3 * d3)
+    m2 = shared["mask_f"].reshape(l3, d3 * d3)
+
+    def NTN(x_vol):
+        X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
+        t = jax.lax.dot_general(
+            A_top, X2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # (C_u*d2 + O_u*d3^2, l3)
+        t_d = t[: C_u * d2].reshape(C_u, d2, l3)
+        t_s = t[C_u * d2 :].reshape(O_u, d3 * d3, l3)
+        # data term: multiplicity weight lives in Gz (as in PTP)
+        u = jax.lax.dot_general(
+            t_d, Gz, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # (C_u, d2, l3)
+        # symmetry term: vals -> op-axis Laplacian -> transpose factors
+        vals = jax.lax.dot_general(
+            Mz_ops_c, t_s, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (O_u, l3, d3^2) f32
+        av = a_f * vals
+        Cav = (Cn @ av.reshape(O_u, -1)).reshape(O_u, l3, d3 * d3)
+        L = m2[None] * (deg * av - a_f * Cav)
+        tmp2 = jax.lax.dot_general(
+            Mz_ops_c, L, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (O_u, l3', d3^2): Mz^T applied over the copy's l axis
+        g = jnp.concatenate(
+            [
+                u.reshape(C_u * d2, l3),
+                tmp2.transpose(0, 2, 1).reshape(O_u * d3 * d3, l3).astype(cdt),
+            ],
+            axis=0,
+        )
+        out = jax.lax.dot_general(
+            A_top, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d3^2, l3)
+        return out.T.reshape(l3, d3, d3)
+
     vol_shape = geom.volume_shape
     _, PT_vjp = jax.vjp(P, jnp.zeros(vol_shape, jnp.float32))
     _, ST_vjp = jax.vjp(S, jnp.zeros(vol_shape, jnp.float32))
@@ -256,6 +336,7 @@ def build_candidate_problem_grouped(
         P=P,
         PT=lambda r: PT_vjp(r)[0],
         PTP=PTP,
+        NTN=NTN,
         S=S,
         ST=lambda r: ST_vjp(r)[0],
         b=b,

@@ -33,6 +33,7 @@ combined score s0/2 + (s1+s2)/4 (solver:527-530).
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from typing import NamedTuple
 
@@ -330,6 +331,13 @@ def _fista(N, rhs, x0, lb, ub, l1, iters: int, lipschitz):
     return x
 
 
+def _use_fused_ntn() -> bool:
+    """Fused normal-operator matvec (projector_grouped.NTN). Read at
+    trace time; HELICON_FUSED_NTN=0 falls back to the separate
+    PTP + ST(S(.)) closures (comparison / debugging)."""
+    return os.environ.get("HELICON_FUSED_NTN", "1") != "0"
+
+
 def _solve_one_weighting(
     ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False,
     key=None, reg_scale=1.0, pred_rowv=None, copy_rank=None, inv_w=None,
@@ -352,7 +360,13 @@ def _solve_one_weighting(
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
 
-    if full_rows and "PTP" in ops:
+    if full_rows and "NTN" in ops and _use_fused_ntn():
+        NTN = ops["NTN"]
+
+        def N0(v):
+            return NTN(v) * mask_f
+
+    elif full_rows and "PTP" in ops:
         PTP = ops["PTP"]
 
         def N0(v):

@@ -295,3 +295,89 @@ def test_copy_block_cache_keys_do_not_collide():
     p2 = _group_tables(geom, 77.0, r_a[:1], 8, 4, 5, 20, 3, cache)
     assert p1[1] is p2[1]
     np.testing.assert_array_equal(p1[1][0], p1[1][2])  # padded rows repeat
+
+
+def _tiny_grouped_ops(pair_idx, pairs_valid, sqrt_m=None):
+    """Eagerly build a small grouped problem (no jit/vmap) so the
+    operator closures can be compared directly."""
+    import jax.numpy as jnp
+
+    from helicon_tpu.denovo3d.projector_grouped import (
+        build_candidate_problem_grouped,
+        build_group_shared,
+    )
+
+    geom = ReconstructionGeometry(
+        d2=8, l2=12, d3=8, l3=4, rmin=0.0, rmax=3.0,
+        scale2d_to_3d=1.0, csym=1,
+    )
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    shared = build_group_shared(
+        geom, 29.4,
+        jnp.asarray([-1, 0, 1], jnp.int32), jnp.asarray([0, 0, 0], jnp.int32),
+        jnp.asarray([-1, 0, 1], jnp.int32), jnp.asarray([0, 0, 0], jnp.int32),
+        interpolation="nn", mask=mask, cellok=cellok,
+    )
+    if sqrt_m is None:
+        sqrt_m = jnp.asarray([1.0, np.sqrt(2.0), 1.0], jnp.float32)
+    region = np.random.default_rng(5).normal(size=(geom.d2, geom.l2))
+    ops, rowv = build_candidate_problem_grouped(
+        shared, geom, region, 1.3, sqrt_m,
+        jnp.asarray(pair_idx, jnp.int32), jnp.asarray(pairs_valid, bool),
+    )
+    return geom, ops
+
+
+def test_fused_ntn_matches_separate_operators():
+    """ops['NTN'] must equal PTP + ST(S(.)): the op-axis Laplacian is an
+    exact reassociation of the pair gather/scatter, and the stacked
+    [Wsum; Mxy] GEMMs compute the same row contractions."""
+    import jax
+    import jax.numpy as jnp
+
+    geom, ops = _tiny_grouped_ops(
+        [[0, 1], [1, 2], [0, 2]], [True, True, False]
+    )
+    for seed in range(3):
+        v = jax.random.normal(jax.random.PRNGKey(seed), geom.volume_shape)
+        ref = ops["PTP"](v) + ops["ST"](ops["S"](v))
+        fused = ops["NTN"](v)
+        scale = float(jnp.max(jnp.abs(ref))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), atol=1e-4 * scale
+        )
+
+
+def test_fused_ntn_duplicate_and_self_pairs():
+    """A duplicated pair row is a duplicated equation (counts twice in
+    S^T S); a self-pair (i == i) contributes exactly nothing."""
+    import jax
+    import jax.numpy as jnp
+
+    v = None
+    geom, dup = _tiny_grouped_ops(
+        [[0, 1], [0, 1], [2, 2]], [True, True, True]
+    )
+    _, single = _tiny_grouped_ops([[0, 1], [0, 1], [2, 2]],
+                                  [True, False, False])
+    v = jax.random.normal(jax.random.PRNGKey(7), geom.volume_shape)
+    sts_dup = dup["NTN"](v) - dup["PTP"](v)
+    sts_one = single["NTN"](v) - single["PTP"](v)
+    scale = float(jnp.max(jnp.abs(sts_one))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(sts_dup), np.asarray(2.0 * sts_one), atol=1e-4 * scale
+    )
+
+
+def test_fused_ntn_env_flag_scores_match(image, monkeypatch):
+    """HELICON_FUSED_NTN=0 (separate closures) and =1 (fused) must give
+    the same grouped grid scores up to f32 reassociation."""
+    tw = np.repeat([27.0, 29.4], 3).astype(np.float32)
+    ri = np.tile([4.4, 4.7, 5.0], 2).astype(np.float32)
+    monkeypatch.setenv("HELICON_FUSED_NTN", "0")
+    r0 = _run(image, tw, ri, True, monkeypatch)
+    monkeypatch.setenv("HELICON_FUSED_NTN", "1")
+    r1 = _run(image, tw, ri, True, monkeypatch)
+    np.testing.assert_allclose(r1.scores, r0.scores, atol=2e-5)
+    assert np.array_equal(np.argsort(-r0.scores), np.argsort(-r1.scores))
