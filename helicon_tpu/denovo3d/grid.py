@@ -692,7 +692,8 @@ def _grouped_scoring(
                     ca = (
                         # 5-arg call shape: shares the lru entry with the
                         # main scorer when group_chunk == 1, single device
-                        _vgsolve_cached(geom, cfg, int(n_ops), 1, None)
+                        _vgsolve_cached(geom, cfg, int(n_ops), 1, None,
+                                        fused_ntn=_use_fused_ntn())
                         .lower(*one)
                         .compile()
                         .cost_analysis()

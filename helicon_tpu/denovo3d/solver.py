@@ -360,19 +360,40 @@ def _solve_one_weighting(
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
 
-    if full_rows and "NTN" in ops and _use_fused_ntn():
-        NTN = ops["NTN"]
+    # The fused path runs the WHOLE iteration in the wide (d3^2, l3)
+    # layout NTN_w natively produces — the volume <-> wide transposes
+    # happen once per solve (rhs in, x out) instead of twice per matvec
+    # (profiled: per-iteration transpose/reshape ops cost as much as the
+    # GEMMs). CG/FISTA/power are layout-agnostic. ARD keeps the volume
+    # layout (its probes and seed indices are volume-flat).
+    wide = (
+        full_rows and "NTN_w" in ops and cfg.model != "ard"
+        and _use_fused_ntn()
+    )
+    if wide:
+        NTNw = ops["NTN_w"]
+        _l3 = mask_f.shape[0]
+
+        def _v2w(a):
+            return a.reshape(_l3, -1).T
+
+        def _w2v(a):
+            return a.T.reshape(mask_f.shape)
+
+        mask_n = _v2w(mask_f)
 
         def N0(v):
-            return NTN(v) * mask_f
+            return NTNw(v) * mask_n
 
     elif full_rows and "PTP" in ops:
         PTP = ops["PTP"]
+        mask_n = mask_f
 
         def N0(v):
             return (PTP(v) + ST(S(v))) * mask_f
 
     else:
+        mask_n = mask_f
 
         def N0(v):
             return (PT(P(v) * rowv) + ST(S(v))) * mask_f
@@ -383,10 +404,12 @@ def _solve_one_weighting(
     def N(v):
         out = N0(v)
         if cfg.l2_reg:  # static skip: coefficient 0 means no ridge term
-            out = out + l2_eff * v * mask_f
+            out = out + l2_eff * v * mask_n
         return out
 
     rhs = PT(b_eff) * mask_f
+    if wide:
+        rhs = _v2w(rhs)
 
     if cfg.model == "ard":
         # equation count: valid data rows + valid symmetry rows. A row of
@@ -436,7 +459,7 @@ def _solve_one_weighting(
         # one CG warm start + FISTA pass at regularization (l1, l2)*scale
         if cfg.l2_reg:
             def Ns(v):
-                return N0(v) + l2_eff * scale * v * mask_f
+                return N0(v) + l2_eff * scale * v * mask_n
         else:
             Ns = N
         x = _cg(Ns, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
@@ -448,7 +471,7 @@ def _solve_one_weighting(
             # reference's solvers always enforce (positive=True /
             # lsq_linear bounds) by projecting the CG solution
             x = jnp.clip(x, lb, ub)
-        return x * mask_f
+        return x * mask_n
 
     x = run(jnp.float32(1.0))
     if cfg.l1_reg > 0 or cfg.l2_reg > 0:
@@ -465,7 +488,9 @@ def _solve_one_weighting(
             return run(s), s
 
         x, _ = jax.lax.while_loop(_zero_cond, _zero_body, (x, jnp.float32(1.0)))
-    elif cfg.model == "lreg":
+    if wide:
+        x = _w2v(x)
+    if not (cfg.l1_reg > 0 or cfg.l2_reg > 0) and cfg.model == "lreg":
         # reference solver:331-332: lreg seeds the center voxel so a
         # degenerate all-zero solution still scores deterministically
         seed = (
