@@ -106,6 +106,10 @@ class GridResult:
     # dict(flops, bytes_accessed, batch_size) — flops is XLA's own count
     # for the compiled vmapped solve, the basis for the bench's MFU figure
     cost: dict | None = None
+    # resolved dispatch knobs actually in effect for this run (path,
+    # R_pad, group_chunk, g_call, n_groups, fused_ntn, ...) so bench
+    # JSONs record the configuration that produced the number
+    effective: dict | None = None
 
     def top(self, n: int = 10):
         """(twist, rise, score) rows of the n best candidates."""
@@ -279,7 +283,7 @@ def _vgsolve_cached(
     def one_group(region, dyv, tw, rises, m, ch, cc, pidx, pval, rank):
         return _solve_group_impl(
             geom, cfg, region, tw, rises, m, ch, cc, pidx, pval, rank,
-            n_ops_u=n_ops_u, dy_pixel=dyv,
+            n_ops_u=n_ops_u, dy_pixel=dyv, fused_ntn=fused_ntn,
         )
 
     vgroups = jax.vmap(one_group, in_axes=(None, None) + (0,) * 8)
@@ -508,7 +512,9 @@ def _percand_scoring(
         # mutating copy_cache concurrently with the refine/best-volume
         # table calls in reconstruct_grid); wait= joins the in-flight one
         executor.shutdown(wait=True, cancel_futures=True)
-    return aborted, cost_stats
+    return aborted, cost_stats, dict(
+        path="percand", batch_size=int(batch_size),
+    )
 
 
 def _host_default_device():
@@ -605,10 +611,17 @@ def _grouped_scoring(
     # ~2 % of device work but put a ~1.9 s compile inside every first
     # full-grid call; the tail padding is the cheaper evil)
 
+    fused = _use_fused_ntn()
+    effective = dict(
+        path="grouped", R_pad=int(R_pad), group_chunk=int(group_chunk),
+        g_call=int(g_call), n_groups=int(n_groups), C_u=int(C_u),
+        n_devices=int(n_dev), fused_ntn=bool(fused),
+        pad_fraction=round(1.0 - n_cand / (len(groups) * R_pad), 4),
+    )
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
         tuple(devices) if n_dev > 1 else None,
-        fused_ntn=_use_fused_ntn(),
+        fused_ntn=fused,
     )
     if n_dev > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -723,7 +736,7 @@ def _grouped_scoring(
                 scores[g] = s_np[i, : len(g)]
     finally:
         executor.shutdown(wait=True, cancel_futures=True)
-    return aborted, cost_stats
+    return aborted, cost_stats, effective
 
 
 def reconstruct_grid(
@@ -1024,14 +1037,14 @@ def reconstruct_grid(
     copy_cache: dict = {}
 
     if use_grouped:
-        aborted, cost_stats = _grouped_scoring(
+        aborted, cost_stats, effective = _grouped_scoring(
             geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
             n_ops, pose_args, copy_cache, batch_size,
             progress_callback, should_abort, cost_analysis,
             devices=tuple(devices) if n_dev > 1 else None,
         )
     else:
-        aborted, cost_stats = _percand_scoring(
+        aborted, cost_stats, effective = _percand_scoring(
             geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
             n_ops, pose_args, copy_cache, batch_size, put, vsolve,
             incremental_mode, progress_callback, should_abort,
@@ -1096,6 +1109,7 @@ def reconstruct_grid(
         target_apix3d=float(target_apix3d),
         refined_params=refined_params,
         cost=cost_stats,
+        effective=effective,
     )
     result.best_index = int(np.argmax(scores))
     if return_best_volume and n_cand:
@@ -1244,6 +1258,7 @@ def _reconstruct_grid_bucketed(
         target_apix3d=best_sub.target_apix3d if best_sub is not None else -1.0,
         refined_params=merged_refined or None,
         cost=cost,
+        effective=best_sub.effective if best_sub is not None else None,
     )
     result.best_index = best_global_idx if best_global_idx >= 0 else int(np.argmax(scores))
     if aborted:

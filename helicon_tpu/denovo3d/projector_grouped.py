@@ -278,27 +278,21 @@ def build_candidate_problem_grouped(
     A_top = shared["A_top"]
     C_u = Wsum_c.shape[0]
     O_u = Mxy_c.shape[0]
-    # every x-independent mask/degree tensor is built DIRECTLY in the
-    # wide (.., d3^2, l3) layout so no per-iteration transpose survives
-    # (profiled: the volume-layout formulation spent as much in
-    # reshape/transpose ops as in the GEMMs themselves)
-    a_w = (shared["xy_ok_ops"][:, :, None] & z_ok_ops[:, None, :]).astype(
+    a_f = (z_ok_ops[:, :, None] & shared["xy_ok_ops"][:, None, :]).astype(
         jnp.float32
-    )  # (O_u, d3^2, l3)
+    )  # (O_u, l3, d3^2)
     pv_f = pairs_valid.astype(jnp.float32)
     oi = jax.nn.one_hot(pair_idx[:, 0], O_u, dtype=jnp.float32)
     oj = jax.nn.one_hot(pair_idx[:, 1], O_u, dtype=jnp.float32)
     Cn = oi.T @ (pv_f[:, None] * oj)
     Cn = Cn + Cn.T  # symmetric pair-count matrix (O_u, O_u)
-    deg_w = (Cn @ a_w.reshape(O_u, -1)).reshape(O_u, d3 * d3, l3)
-    m2_w = shared["mask_f"].reshape(l3, d3 * d3).T  # (d3^2, l3)
+    deg = (Cn @ a_f.reshape(O_u, -1)).reshape(O_u, l3, d3 * d3)
+    m2 = shared["mask_f"].reshape(l3, d3 * d3)
 
-    def NTN_w(x_w):
-        """Fused normal operator in the WIDE layout: x_w and the result
-        are (d3^2, l3) — x_w[w, l] = volume[l, w // d3, w % d3]."""
-        xw = x_w.astype(cdt)
+    def NTN(x_vol):
+        X2 = x_vol.reshape(l3, d3 * d3).astype(cdt)
         t = jax.lax.dot_general(
-            A_top, xw, (((1,), (0,)), ((), ())),
+            A_top, X2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(cdt)  # (C_u*d2 + O_u*d3^2, l3)
         t_d = t[: C_u * d2].reshape(C_u, d2, l3)
@@ -308,30 +302,30 @@ def build_candidate_problem_grouped(
             t_d, Gz, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(cdt)  # (C_u, d2, l3)
-        # symmetry term: vals -> op-axis Laplacian -> z-transpose factor,
-        # all in (O_u, d3^2, l3)
+        # symmetry term: vals -> op-axis Laplacian -> transpose factors
         vals = jax.lax.dot_general(
-            t_s, Mz_ops_c, (((2,), (2,)), ((0,), (0,))),
+            Mz_ops_c, t_s, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # vals[o, w, l] = sum_l' Mz[o, l, l'] t_s[o, w, l']
-        av = a_w * vals
-        Cav = (Cn @ av.reshape(O_u, -1)).reshape(O_u, d3 * d3, l3)
-        L = m2_w[None] * (deg_w * av - a_w * Cav)
+        )  # (O_u, l3, d3^2) f32
+        av = a_f * vals
+        Cav = (Cn @ av.reshape(O_u, -1)).reshape(O_u, l3, d3 * d3)
+        L = m2[None] * (deg * av - a_f * Cav)
         tmp2 = jax.lax.dot_general(
-            L, Mz_ops_c, (((2,), (1,)), ((0,), (0,))),
+            Mz_ops_c, L, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # tmp2[o, w, l'] = sum_l Mz[o, l, l'] L[o, w, l]
+        )  # (O_u, l3', d3^2): Mz^T applied over the copy's l axis
         g = jnp.concatenate(
             [
                 u.reshape(C_u * d2, l3),
-                tmp2.reshape(O_u * d3 * d3, l3).astype(cdt),
+                tmp2.transpose(0, 2, 1).reshape(O_u * d3 * d3, l3).astype(cdt),
             ],
             axis=0,
         )
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             A_top, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (d3^2, l3)
+        return out.T.reshape(l3, d3, d3)
 
     vol_shape = geom.volume_shape
     _, PT_vjp = jax.vjp(P, jnp.zeros(vol_shape, jnp.float32))
@@ -342,7 +336,7 @@ def build_candidate_problem_grouped(
         P=P,
         PT=lambda r: PT_vjp(r)[0],
         PTP=PTP,
-        NTN_w=NTN_w,
+        NTN=NTN,
         S=S,
         ST=lambda r: ST_vjp(r)[0],
         b=b,

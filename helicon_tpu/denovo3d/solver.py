@@ -341,8 +341,15 @@ def _use_fused_ntn() -> bool:
 def _solve_one_weighting(
     ops, rowv, mask_f, cfg: SolveConfig, positive, ub_val, full_rows=False,
     key=None, reg_scale=1.0, pred_rowv=None, copy_rank=None, inv_w=None,
+    fused_ntn=None,
 ):
     """Solve with the given data-row weighting; return (x, score).
+
+    fused_ntn: explicit choice of the fused normal operator; None falls
+    back to the HELICON_FUSED_NTN env var. Callers that cache compiled
+    variants (grid._vgsolve_cached) MUST pass this explicitly so the
+    traced behavior matches the cache key even if the env var changes
+    between fetch and first trace.
 
     full_rows=True (rowv is exactly the row-validity mask) lets the data
     term use the fused P^T P operator — the zero rows of the separable
@@ -360,40 +367,21 @@ def _solve_one_weighting(
     P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
     b_eff = ops["b"][None] * rowv
 
-    # The fused path runs the WHOLE iteration in the wide (d3^2, l3)
-    # layout NTN_w natively produces — the volume <-> wide transposes
-    # happen once per solve (rhs in, x out) instead of twice per matvec
-    # (profiled: per-iteration transpose/reshape ops cost as much as the
-    # GEMMs). CG/FISTA/power are layout-agnostic. ARD keeps the volume
-    # layout (its probes and seed indices are volume-flat).
-    wide = (
-        full_rows and "NTN_w" in ops and cfg.model != "ard"
-        and _use_fused_ntn()
-    )
-    if wide:
-        NTNw = ops["NTN_w"]
-        _l3 = mask_f.shape[0]
-
-        def _v2w(a):
-            return a.reshape(_l3, -1).T
-
-        def _w2v(a):
-            return a.T.reshape(mask_f.shape)
-
-        mask_n = _v2w(mask_f)
+    if fused_ntn is None:
+        fused_ntn = _use_fused_ntn()
+    if full_rows and "NTN" in ops and fused_ntn:
+        NTN = ops["NTN"]
 
         def N0(v):
-            return NTNw(v) * mask_n
+            return NTN(v) * mask_f
 
     elif full_rows and "PTP" in ops:
         PTP = ops["PTP"]
-        mask_n = mask_f
 
         def N0(v):
             return (PTP(v) + ST(S(v))) * mask_f
 
     else:
-        mask_n = mask_f
 
         def N0(v):
             return (PT(P(v) * rowv) + ST(S(v))) * mask_f
@@ -404,12 +392,10 @@ def _solve_one_weighting(
     def N(v):
         out = N0(v)
         if cfg.l2_reg:  # static skip: coefficient 0 means no ridge term
-            out = out + l2_eff * v * mask_n
+            out = out + l2_eff * v * mask_f
         return out
 
     rhs = PT(b_eff) * mask_f
-    if wide:
-        rhs = _v2w(rhs)
 
     if cfg.model == "ard":
         # equation count: valid data rows + valid symmetry rows. A row of
@@ -459,7 +445,7 @@ def _solve_one_weighting(
         # one CG warm start + FISTA pass at regularization (l1, l2)*scale
         if cfg.l2_reg:
             def Ns(v):
-                return N0(v) + l2_eff * scale * v * mask_n
+                return N0(v) + l2_eff * scale * v * mask_f
         else:
             Ns = N
         x = _cg(Ns, rhs, cfg.cg_iters) if cfg.cg_iters > 0 else jnp.zeros_like(rhs)
@@ -471,7 +457,7 @@ def _solve_one_weighting(
             # reference's solvers always enforce (positive=True /
             # lsq_linear bounds) by projecting the CG solution
             x = jnp.clip(x, lb, ub)
-        return x * mask_n
+        return x * mask_f
 
     x = run(jnp.float32(1.0))
     if cfg.l1_reg > 0 or cfg.l2_reg > 0:
@@ -488,9 +474,7 @@ def _solve_one_weighting(
             return run(s), s
 
         x, _ = jax.lax.while_loop(_zero_cond, _zero_body, (x, jnp.float32(1.0)))
-    if wide:
-        x = _w2v(x)
-    if not (cfg.l1_reg > 0 or cfg.l2_reg > 0) and cfg.model == "lreg":
+    elif cfg.model == "lreg":
         # reference solver:331-332: lreg seeds the center voxel so a
         # degenerate all-zero solution still scores deterministically
         seed = (
@@ -521,6 +505,7 @@ def _solve_group_impl(
     copy_rank=None,
     n_ops_u: int = 0,
     dy_pixel=0.0,
+    fused_ntn=None,
 ):
     """Score one twist-group: R same-twist candidates sharing operators.
 
@@ -603,6 +588,7 @@ def _solve_group_impl(
             ops, rowv_w, mask_f, cfg, positive, ub_val, full_rows=True,
             key=jax.random.PRNGKey(0), reg_scale=reg_scale,
             pred_rowv=rowv_bin, copy_rank=rank_r, inv_w=inv_w,
+            fused_ntn=fused_ntn,
         )
         return score
 

@@ -329,16 +329,9 @@ def _tiny_grouped_ops(pair_idx, pairs_valid, sqrt_m=None):
     return geom, ops
 
 
-def _ntn_vol(ops, geom, v):
-    """Apply the wide-layout fused operator to a volume-layout input."""
-    l3 = geom.l3
-    fused_w = ops["NTN_w"](v.reshape(l3, -1).T)
-    return np.asarray(fused_w).T.reshape(geom.volume_shape)
-
-
 def test_fused_ntn_matches_separate_operators():
-    """ops['NTN_w'] must equal PTP + ST(S(.)): the op-axis Laplacian is
-    an exact reassociation of the pair gather/scatter, and the stacked
+    """ops['NTN'] must equal PTP + ST(S(.)): the op-axis Laplacian is an
+    exact reassociation of the pair gather/scatter, and the stacked
     [Wsum; Mxy] GEMMs compute the same row contractions."""
     import jax
     import jax.numpy as jnp
@@ -349,10 +342,10 @@ def test_fused_ntn_matches_separate_operators():
     for seed in range(3):
         v = jax.random.normal(jax.random.PRNGKey(seed), geom.volume_shape)
         ref = ops["PTP"](v) + ops["ST"](ops["S"](v))
-        fused = _ntn_vol(ops, geom, v)
+        fused = ops["NTN"](v)
         scale = float(jnp.max(jnp.abs(ref))) or 1.0
         np.testing.assert_allclose(
-            fused, np.asarray(ref), atol=1e-4 * scale
+            np.asarray(fused), np.asarray(ref), atol=1e-4 * scale
         )
 
 
@@ -362,18 +355,17 @@ def test_fused_ntn_duplicate_and_self_pairs():
     import jax
     import jax.numpy as jnp
 
-    v = None
     geom, dup = _tiny_grouped_ops(
         [[0, 1], [0, 1], [2, 2]], [True, True, True]
     )
     _, single = _tiny_grouped_ops([[0, 1], [0, 1], [2, 2]],
                                   [True, False, False])
     v = jax.random.normal(jax.random.PRNGKey(7), geom.volume_shape)
-    sts_dup = _ntn_vol(dup, geom, v) - np.asarray(dup["PTP"](v))
-    sts_one = _ntn_vol(single, geom, v) - np.asarray(single["PTP"](v))
-    scale = float(np.max(np.abs(sts_one))) or 1.0
+    sts_dup = dup["NTN"](v) - dup["PTP"](v)
+    sts_one = single["NTN"](v) - single["PTP"](v)
+    scale = float(jnp.max(jnp.abs(sts_one))) or 1.0
     np.testing.assert_allclose(
-        sts_dup, 2.0 * sts_one, atol=1e-4 * scale
+        np.asarray(sts_dup), np.asarray(2.0 * sts_one), atol=1e-4 * scale
     )
 
 
