@@ -205,44 +205,18 @@ def _guard_backend(timeout_s=240):
     return "cpu-fallback"
 
 
-def main():
-    metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
-    if metric == "etl":
-        return bench_etl()  # pandas-only: never probe/init an accelerator
-    platform_note = _guard_backend()
-    if metric == "ctf":
-        return bench_ctf()
-    if metric == "hill":
-        return bench_hill()
-    if metric == "xcorr":
-        return bench_xcorr()
-    # default N = the north-star workload itself (10^4 candidates);
-    # async batch dispatch pipelines host prep + transfers behind device
-    # compute, so sustained throughput keeps rising with N
-    n_cand = int(os.environ.get("HELICON_BENCH_N", 10240))
-    batch = int(os.environ.get("HELICON_BENCH_BATCH", 1024))
-
-    import jax
-
+def _toy_workload():
+    """The north-star workload: 10^4 (twist, rise) candidates on an
+    EMPIAR-10940-like class average (amyloid-ish scale, 2 A/pixel)."""
     from helicon_tpu.helix import simulate_helical_projection
-    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
+    from helicon_tpu.denovo3d import build_candidate_grid
 
-    # EMPIAR-10940-like class average: amyloid-ish scale, 2 A/pixel
     img = simulate_helical_projection(
-        n=1,
-        twist=29.4,
-        rise=4.75,
-        csym=1,
-        helical_diameter=100.0,
-        ball_radius=6.0,
-        polymer=0,
-        planarity=1.0,
-        ny=128,
-        nx=256,
-        apix=2.0,
-        rng=0,
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=6.0, polymer=0, planarity=1.0, ny=128, nx=256,
+        apix=2.0, rng=0,
     )
-
+    n_cand = int(os.environ.get("HELICON_BENCH_N", 10240))
     # grid DENSER than n_cand so the slice below really has n_cand
     # candidates. (A 2026-08-17 audit found the old 0.25-step grid held
     # only 895 candidates while the rate still divided by n_cand=10240,
@@ -251,15 +225,16 @@ def main():
     twists, rises = build_candidate_grid(0.5, 45.0, 0.05, 4.0, 5.0, 0.08)
     order = np.random.default_rng(0).permutation(len(twists))[:n_cand]
     twists, rises = twists[order], rises[order]
-    n_cand = len(twists)  # never report more work than was scored
-    # same random SUBSET, ordered twist-major: the twist-grouped scorer
+    # random SUBSET, ordered twist-major: the twist-grouped scorer
     # (projector_grouped.py) is order-insensitive, but the warmup slice
-    # below must contain repeated twists so it compiles/warms the same
-    # grouped path the timed run uses
+    # must contain repeated twists so it compiles/warms the same grouped
+    # path the timed run uses
     order2 = np.lexsort((rises, twists))
-    twists, rises = twists[order2], rises[order2]
+    return img, twists[order2], rises[order2]
 
-    kwargs = dict(
+
+def _toy_kwargs(batch):
+    return dict(
         apix=2.0,
         target_apix2d=4.0,
         target_apix3d=-1,
@@ -281,13 +256,99 @@ def main():
         return_best_volume=False,
     )
 
-    # warmup / compile on a small same-batch-size slice; cost_analysis
-    # records XLA's own flop count for one compiled scoring batch
+
+def _large_workload():
+    """Production-scale geometry (VERDICT r2 #2): 1 A/pixel class
+    average, d2 = d3 = 64, l3 = 18, linear interpolation, ~2^20
+    constrained voxels — the scale the reference budgets for
+    (solver_linear_regression.py:131 caps 2^26 equations,
+    pipeline.py:334-349 targets ~2^20 voxels). Cartesian grid with 32
+    rises per twist (rise resolution 0.032 A over 4-5 A)."""
+    from helicon_tpu.helix import simulate_helical_projection
+    from helicon_tpu.denovo3d import build_candidate_grid
+
+    img = simulate_helical_projection(
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=4.0, polymer=0, planarity=1.0, ny=256, nx=512,
+        apix=1.0, rng=0,
+    )
+    n_cand = int(os.environ.get("HELICON_BENCH_LARGE_N", 1024))
+    twists, rises = build_candidate_grid(0.5, 45.0, 0.05, 4.0, 5.0, 0.0323)
+    order2 = np.lexsort((rises, twists))
+    twists, rises = twists[order2][:n_cand], rises[order2][:n_cand]
+    kwargs = dict(
+        apix=1.0, target_apix2d=1.75, target_apix3d=1.75,
+        tube_diameter=110.0, reconstruct_length_rise=6.0,
+        interpolation="linear",
+        cg_iters=int(os.environ.get("HELICON_BENCH_CG", 10)),
+        fista_iters=int(os.environ.get("HELICON_BENCH_FISTA", 16)),
+        power_iters=int(os.environ.get("HELICON_BENCH_POWER", 2)),
+        compute_dtype=os.environ.get("HELICON_BENCH_DTYPE", "bfloat16"),
+        batch_size=int(os.environ.get("HELICON_BENCH_LARGE_BATCH", 256)),
+        return_best_volume=False,
+    )
+    return img, twists, rises, kwargs
+
+
+def _timed_runs(fn, n_repeats):
+    vals = []
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    return vals
+
+
+def _rate_stats(n_cand, times):
+    rates = sorted(n_cand / t for t in times)
+    med = rates[len(rates) // 2] if len(rates) % 2 else 0.5 * (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]
+    )
+    return med, [round(r, 1) for r in rates]
+
+
+def _mfu_fields(res, rate, n_dev, peak):
+    """MFU + flop bookkeeping from a cost_analysis-bearing GridResult.
+
+    Two flop counts are reported: XLA's static count (which counts each
+    lax.scan body ONCE — a hard lower bound that understates the
+    iterative solve by roughly the iteration count) and the analytic
+    per-candidate count of the GEMMs actually issued
+    (grid._grouped_analytic_flops). `mfu` uses the analytic count; the
+    XLA-based figure is kept as `mfu_xla_scanbody_lower`."""
+    out = {}
+    if not (res.cost and res.cost.get("flops", 0) > 0):
+        return out
+    flops_xla = res.cost["flops"] / res.cost["batch_size"]
+    out["flops_per_candidate_xla_scanbody"] = round(flops_xla)
+    analytic = res.cost.get("analytic_flops_per_candidate", 0)
+    if analytic:
+        out["flops_per_candidate"] = round(analytic)
+        if peak:
+            out["mfu"] = round(analytic * rate / (peak * n_dev), 4)
+            out["mfu_xla_scanbody_lower"] = round(
+                flops_xla * rate / (peak * n_dev), 4
+            )
+    elif peak:
+        out["mfu"] = round(flops_xla * rate / (peak * n_dev), 4)
+    bytes_per_cand = res.cost.get("bytes_accessed", 0) / res.cost["batch_size"]
+    if bytes_per_cand:
+        out["xla_bytes_per_candidate"] = round(bytes_per_cand)
+        out["effective_bytes_per_s"] = round(bytes_per_cand * rate / n_dev)
+    return out
+
+
+def _bench_fast(n_repeats):
+    """Headline: toy-geometry north-star workload, median of n_repeats."""
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img, twists, rises = _toy_workload()
+    batch = int(os.environ.get("HELICON_BENCH_BATCH", 1024))
+    kwargs = _toy_kwargs(batch)
     warm = reconstruct_grid(
         img, twists=twists[:batch], rises=rises[:batch],
         cost_analysis=True, **kwargs,
     )
-
     trace_dir = os.environ.get("HELICON_BENCH_TRACE", "")
     if trace_dir:
         import jax.profiler
@@ -296,42 +357,176 @@ def main():
             reconstruct_grid(
                 img, twists=twists[:batch], rises=rises[:batch], **kwargs
             )
+    times = _timed_runs(
+        lambda: reconstruct_grid(img, twists=twists, rises=rises, **kwargs),
+        n_repeats,
+    )
+    return warm, len(twists), times, kwargs
+
+
+def _bench_large(n_repeats):
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img, twists, rises, kwargs = _large_workload()
+    batch = kwargs["batch_size"]
+    warm = reconstruct_grid(
+        img, twists=twists[:batch], rises=rises[:batch],
+        cost_analysis=True, **kwargs,
+    )
+    times = _timed_runs(
+        lambda: reconstruct_grid(img, twists=twists, rises=rises, **kwargs),
+        n_repeats,
+    )
+    return warm, len(twists), times, kwargs
+
+
+def _bench_accurate():
+    """Accuracy-mode row (VERDICT r2 #3): float32 at matmul precision
+    "highest" (TPU f32 matmuls otherwise run bf16-pass arithmetic —
+    measured 5e-5 score error vs 1.9e-6 at highest), converged iteration
+    budget, throughput on a candidate slice, and an in-process
+    max|dscore| check against the CPU float32 converged oracle on a
+    non-degenerate candidate subsample (north star: scores within 1e-5,
+    BASELINE.json:5). The subsample keeps >= 3 same-twist rises per
+    twist so both runs stay on the grouped path (a 1-rise-per-twist
+    pick would fall to the much slower per-candidate path)."""
+    import jax
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img, twists, rises = _toy_workload()
+    n_acc = int(os.environ.get("HELICON_BENCH_ACC_N", 512))
+    kwargs = _toy_kwargs(int(os.environ.get("HELICON_BENCH_ACC_BATCH", 256)))
+    kwargs.update(
+        compute_dtype="float32",
+        cg_iters=int(os.environ.get("HELICON_BENCH_ACC_CG", 400)),
+        fista_iters=int(os.environ.get("HELICON_BENCH_ACC_FISTA", 2000)),
+        power_iters=8,
+    )
+    batch = kwargs["batch_size"]
+
+    # oracle subsample: 2 non-degenerate twists (360/twist far from an
+    # integer: the reference's own solver cannot converge on degenerate
+    # candidates — PARITY.md §1) x 3 rises each
+    uniq = np.unique(twists)
+    degeneracy = np.abs((360.0 / np.maximum(uniq, 1e-6)) % 1.0 - 0.5)
+    pick_t = [
+        t for t in uniq[np.argsort(-degeneracy)] if (twists == t).sum() >= 3
+    ][:2]
+    pick = np.sort(
+        np.concatenate([np.where(twists == t)[0][:3] for t in pick_t])
+    )
+    check_kwargs = dict(kwargs, batch_size=None)
+
+    with jax.default_matmul_precision("highest"):
+        reconstruct_grid(
+            img, twists=twists[:batch], rises=rises[:batch], **kwargs
+        )
+        t0 = time.perf_counter()
+        res = reconstruct_grid(
+            img, twists=twists[:n_acc], rises=rises[:n_acc], **kwargs
+        )
+        rate = n_acc / (time.perf_counter() - t0)
+        sub = reconstruct_grid(
+            img, twists=twists[pick], rises=rises[pick], **check_kwargs
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            oracle = reconstruct_grid(
+                img, twists=twists[pick], rises=rises[pick], **check_kwargs
+            )
+    dmax = float(np.max(np.abs(sub.scores - oracle.scores)))
+    return {
+        "value": round(rate, 1),
+        "unit": "candidates/s",
+        "config": {
+            "dtype": "float32",
+            "matmul_precision": "highest",
+            "cg_iters": kwargs["cg_iters"],
+            "fista_iters": kwargs["fista_iters"],
+            "n_candidates": n_acc,
+        },
+        "max_abs_dscore_vs_cpu_f32_converged": round(dmax, 9),
+        "n_checked": int(len(pick)),
+        "meets_1e5": bool(dmax <= 1e-5),
+    }
+
+
+def _config_fields(res, kwargs, n_cand):
+    cfgd = {
+        "dtype": kwargs.get("compute_dtype"),
+        "cg_iters": kwargs.get("cg_iters"),
+        "fista_iters": kwargs.get("fista_iters"),
+        "power_iters": kwargs.get("power_iters"),
+        "batch_size": kwargs.get("batch_size"),
+        "n_candidates": int(n_cand),
+        "interpolation": kwargs.get("interpolation", "nn"),
+    }
+    if res.effective:
+        cfgd.update(res.effective)
+    return cfgd
+
+
+def main():
+    metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
+    if metric == "etl":
+        return bench_etl()  # pandas-only: never probe/init an accelerator
+    platform_note = _guard_backend()
+    if metric == "ctf":
+        return bench_ctf()
+    if metric == "hill":
+        return bench_hill()
+    if metric == "xcorr":
+        return bench_xcorr()
+
+    import jax
+
+    n_repeats = int(os.environ.get("HELICON_BENCH_REPEATS", 3))
+    n_dev = len(jax.devices())
+    peak = _peak_flops_per_s()
+    target_rate = (10_000 / 60.0) * (n_dev / 8.0)  # scale target to chips
 
     t0 = time.perf_counter()
-    res = reconstruct_grid(img, twists=twists, rises=rises, **kwargs)
-    dt = time.perf_counter() - t0
-
-    rate = n_cand / dt
-    n_dev = len(jax.devices())
-    target_rate = (10_000 / 60.0) * (n_dev / 8.0)  # scale target to chips
+    warm, n_cand, times, kwargs = _bench_fast(n_repeats)
+    sys.stderr.write(f"bench: fast stage {time.perf_counter()-t0:.0f}s\n")
+    rate, rates = _rate_stats(n_cand, times)
     out = {
         "metric": "denovo3d_candidates_per_s",
         "value": round(rate, 3),
         "unit": "candidates/s",
         "vs_baseline": round(rate / target_rate, 4),
+        "repeats_candidates_per_s": rates,
+        "config": _config_fields(warm, kwargs, n_cand),
     }
     if platform_note == "cpu-fallback":
         out["platform"] = platform_note
-    # MFU: XLA-counted flops per candidate x achieved rate / chip peak.
-    # Also report XLA's static bytes-accessed per candidate and the
-    # implied EFFECTIVE bandwidth (rate x bytes). Note: bytes_accessed
-    # counts every op's operands, not unique HBM traffic — measured
-    # effective bandwidth EXCEEDS the HBM peak (1.1-1.4 TB/s vs 819 GB/s
-    # on v5e), proving the per-candidate operator matrices stay
-    # VMEM-resident across the ~28 CG/FISTA matvecs instead of being
-    # re-streamed from HBM (docs/PROFILE.md has the full roofline).
-    peak = _peak_flops_per_s()
-    if warm.cost and warm.cost["flops"] > 0:
-        flops_per_cand = warm.cost["flops"] / warm.cost["batch_size"]
-        out["flops_per_candidate"] = round(flops_per_cand)
-        if peak:
-            out["mfu"] = round(flops_per_cand * rate / (peak * n_dev), 4)
-        bytes_per_cand = warm.cost.get("bytes_accessed", 0) / warm.cost["batch_size"]
-        if bytes_per_cand:
-            out["xla_bytes_per_candidate"] = round(bytes_per_cand)
-            out["effective_bytes_per_s"] = round(bytes_per_cand * rate / n_dev)
+    out.update(_mfu_fields(warm, rate, n_dev, peak))
+
+    full = os.environ.get("HELICON_BENCH_FULL", "1") != "0"
+    if full and platform_note != "cpu-fallback":
+        t0 = time.perf_counter()
+        try:
+            lwarm, ln, ltimes, lkw = _bench_large(max(2, n_repeats - 1))
+            lrate, lrates = _rate_stats(ln, ltimes)
+            large = {
+                "value": round(lrate, 2),
+                "unit": "candidates/s",
+                "repeats_candidates_per_s": lrates,
+                "config": _config_fields(lwarm, lkw, ln),
+            }
+            large.update(_mfu_fields(lwarm, lrate, n_dev, peak))
+            out["large"] = large
+        except Exception as e:  # still emit the headline line
+            out["large"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        sys.stderr.write(f"bench: large stage {time.perf_counter()-t0:.0f}s\n")
+        t0 = time.perf_counter()
+        try:
+            out["accurate"] = _bench_accurate()
+        except Exception as e:
+            out["accurate"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        sys.stderr.write(
+            f"bench: accurate stage {time.perf_counter()-t0:.0f}s\n"
+        )
     print(json.dumps(out))
-    return res
 
 
 def _peak_flops_per_s():

@@ -531,6 +531,57 @@ def _host_default_device():
     return jax.default_device(cpu0)
 
 
+def _group_operator_bytes(geom, n_copies: int, n_ops: int, cfg) -> int:
+    """Estimated resident bytes of ONE group's shared operator tensors
+    (projector_grouped.build_group_shared): A_top = [Wsum; Mxy] stacked
+    plus the separate Wsum/Mxy copies it is concatenated from, in the
+    compute dtype. n_copies is the per-candidate estimate — the group's
+    canonical union C_u is a modest constant factor above it."""
+    dt = 2 if str(cfg.compute_dtype) in ("bfloat16", "float16") else 4
+    d2, d3 = geom.d2, geom.d3
+    rows = n_copies * d2 + n_ops * d3 * d3
+    # peak residency: the f32 build of Wsum/Mxy (4 bytes) stays live
+    # until A_top is concatenated, alongside the cast copies and A_top
+    # itself (2 * dt) — see projector_grouped.build_group_shared
+    return rows * d3 * d3 * (4 + 2 * dt)
+
+
+def _grouped_analytic_flops(geom, cfg, C_u: int, n_ops: int) -> float:
+    """Per-candidate FLOPs of the grouped fused-NTN solve, counted
+    analytically. XLA's static cost_analysis counts each lax.scan body
+    ONCE, so it underestimates the iterative solve by roughly the
+    iteration count (~28x at default budgets); this counts the dense
+    GEMM work actually issued per candidate:
+
+      per NTN matvec: two A_top GEMMs (4 * rows * d3^2 * l3), the Gz
+      data-Gram apply (2 * C_u * d2 * l3^2), two Mz_ops z-contractions
+      (4 * n_ops * d3^2 * l3^2);
+      matvec count: power_iters + 1 (Rayleigh) + cg_iters + fista_iters;
+      plus one P (rhs) and one P (prediction) data pass.
+
+    Small-tensor glue (Cn Laplacian, vector ops) is omitted — the
+    estimate is a few percent low, never high."""
+    d2, d3, l3 = geom.d2, geom.d3, geom.l3
+    rows = C_u * d2 + n_ops * d3 * d3
+    per_matvec = (
+        4.0 * rows * d3 * d3 * l3
+        + 2.0 * C_u * d2 * l3 * l3
+        + 4.0 * n_ops * d3 * d3 * l3 * l3
+    )
+    n_matvec = cfg.power_iters + 1 + cfg.cg_iters + cfg.fista_iters
+    data_pass = 2.0 * C_u * d2 * d3 * d3 * l3
+    return n_matvec * per_matvec + 2.0 * data_pass
+
+
+def _group_budget_bytes() -> int:
+    """Per-group operator budget (HELICON_GROUP_BUDGET_MB, default
+    1536 MB): one group's operators must fit several times over in HBM
+    (group_chunk live groups + build transients + the solve state)."""
+    import os as _os
+
+    return int(_os.environ.get("HELICON_GROUP_BUDGET_MB", "1536")) * 1024 * 1024
+
+
 def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
@@ -563,7 +614,18 @@ def _grouped_scoring(
     # overrides.
     max_size = max(len(g) for _, g in raw_groups)
     r_env = _os.environ.get("HELICON_GRID_GROUP_R", "")
-    R_pad = max(1, int(r_env)) if r_env else min(16, max_size, batch_size)
+    if r_env:
+        R_pad = max(1, int(r_env))
+    else:
+        # geometry-aware cap: the group GEMMs' output axis is N = R * l3,
+        # so small-l3 (toy) geometries want a larger R than tall ones.
+        # Target N ~ 1024 lanes, capped at 64 (R = 64 measured slower
+        # than 32 at d3 = 64/l3 = 18: bigger live solve state, no added
+        # lane occupancy), then split max_size EVENLY so a 32-rise row
+        # is not carved into 28 + a padded 4
+        cap = max(16, min(64, 1024 // max(1, geom.l3)))
+        cap = min(cap, max_size, batch_size)
+        R_pad = -(-max_size // -(-max_size // max(1, cap)))
     groups = []  # (twist, candidate indices) with len(idx) <= R_pad
     for t, g in raw_groups:
         for s in range(0, len(g), R_pad):
@@ -593,6 +655,14 @@ def _grouped_scoring(
         # settled on (chunk=8 at ~4x the per-candidate footprint); an
         # explicit smaller batch_size bounds the per-call candidate count
         group_chunk = max(1, min(32, batch_size) // max(1, R_pad))
+        # memory cap: group_chunk groups' operators are live inside one
+        # lax.map step (vmapped); bound them to ~2x the per-group budget
+        # so production-scale geometries (d3 ~ 64: ~0.8 GB/group bf16)
+        # run with chunk 1-2 instead of falling back or OOMing
+        # C_u is the canonical union table width, the true Wsum row count
+        per_group = _group_operator_bytes(geom, max(1, C_u), n_ops, cfg)
+        mem_cap = max(1, int(2 * _group_budget_bytes() // max(1, per_group)))
+        group_chunk = min(group_chunk, mem_cap)
     n_dev = 1 if devices is None else len(devices)
     n_groups = len(groups)
     # never let the chunk (and hence the padded call) exceed the real
@@ -717,6 +787,9 @@ def _grouped_scoring(
                         flops=float(ca.get("flops", 0.0)),
                         bytes_accessed=float(ca.get("bytes accessed", 0.0)),
                         batch_size=R_pad,
+                        analytic_flops_per_candidate=_grouped_analytic_flops(
+                            geom, cfg, int(C_u), int(n_ops)
+                        ),
                     )
                 except Exception:  # cost analysis is best-effort
                     cost_stats = None
@@ -990,13 +1063,18 @@ def reconstruct_grid(
     )
     if use_grouped and grouped_env == -1:
         use_grouped = n_cand >= 2 * len(np.unique(twists))
-    # same dense-symmetry-matrix budget as the per-candidate path's
-    # use_matmul_sym guard (projector_separable.py): past ~32 MB the
-    # per-candidate path routes to the gather formulation, which the
-    # grouped build does not implement — fall back rather than
-    # materialize hundreds of MB of Mxy per live group
-    if use_grouped and n_ops * (geom.d3**4) * 2 > 32 * 1024 * 1024:
-        use_grouped = False
+    # Operator-residency budget. The grouped path materializes, per live
+    # group, A_top = [Wsum; Mxy] stacked (plus the unstacked Mxy/Wsum
+    # copies) in the compute dtype; production-scale geometries (d3 ~ 64,
+    # l3 >= 16) fit comfortably in HBM with a small group_chunk — the
+    # per-group GEMMs are then genuinely MXU-shaped (M ~ 45k, K = d3^2,
+    # N = R*l3), so LARGE geometry is exactly where grouping pays.
+    # _grouped_scoring caps group_chunk against the same estimate; only
+    # geometries whose SINGLE-group operators exceed the budget fall back.
+    if use_grouped:
+        per_group = _group_operator_bytes(geom, n_copies, n_ops, cfg)
+        if per_group > _group_budget_bytes():
+            use_grouped = False
 
     if inner_chunk > 0 and not use_grouped:
         # chunked mode needs every device's shard divisible by the
