@@ -3,9 +3,9 @@
 A .cs file is a numpy structured array; cryoSPARC v2/v3 wrote plain .npy
 (magic \\x93NUMPY), which is also what the reference test fixtures use
 (reference repo test.cs.npy; lib/io.py cs2dataframe loads via
-cryosparc-tools Dataset). The newer CSDAT streaming container is
-detected and rejected with a clear message (convert with
-cryosparc-tools' dataset.save_npy upstream).
+cryosparc-tools Dataset). The newer CSDAT streaming container is parsed
+natively by io/csdat.py (framing + LZ4 block codec) — no cryosparc-tools
+needed for either format, unlike the reference (lib/io.py:518-547).
 """
 
 from __future__ import annotations
@@ -37,10 +37,12 @@ def read_cs(path) -> np.ndarray:
         except OSError:
             raise exc
         if magic == _CSDAT_MAGIC:
-            raise NotImplementedError(
-                f"{path}: CSDAT-format .cs container; export as .npy from "
-                "cryoSPARC (Dataset.save with NUMPY format) first"
-            ) from None
+            # CryoSPARC v4+ streaming container: parse natively (the
+            # reference needs cryosparc-tools for this; we do not —
+            # io/csdat.py implements the framing + LZ4 block codec)
+            from .csdat import read_csdat
+
+            return read_csdat(path)
         if magic != _NUMPY_MAGIC:
             raise ValueError(
                 f"{path}: not a recognized .cs file (magic {magic!r})"
