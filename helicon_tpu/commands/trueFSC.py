@@ -310,92 +310,51 @@ def _fit_fsc_curve(saxis, fsc):
 
 
 def _otsu_threshold_eman(volume, n_bins=256, ignore_zero=True):
-    """EMAN2-matched Otsu threshold (trueFSC.py:608-656)."""
-    hmin, hmax = float(np.min(volume)), float(np.max(volume))
-    bin_width = (hmax - hmin) / n_bins
+    """EMAN2-matched Otsu threshold, computed on-device
+    (core/mask3d.otsu_threshold_3d; semantics of reference
+    trueFSC.py:608-656)."""
+    from ..core.mask3d import otsu_threshold_3d
+
+    volume = np.asarray(volume)
     flat = volume.ravel()
-    if ignore_zero:
-        flat = flat[flat != 0]
-    if len(flat) == 0:
-        return hmin
-    hist, _ = np.histogram(flat, bins=n_bins, range=(hmin, hmax))
-    hist = hist.astype(np.float64)
-    total = hist.sum()
-    if total == 0:
-        return hmin
-    sum_all = np.dot(np.arange(n_bins, dtype=np.float64), hist)
-    wB = np.cumsum(hist)
-    wF = total - wB
-    cumsum_val = np.cumsum(np.arange(n_bins, dtype=np.float64) * hist)
-    mB = np.zeros(n_bins)
-    mF = np.zeros(n_bins)
-    valid = (wB > 0) & (wF > 0)
-    mB[valid] = cumsum_val[valid] / wB[valid]
-    mF[valid] = (sum_all - cumsum_val[valid]) / wF[valid]
-    between = wB * wF * (mB - mF) ** 2
-    max_bi = np.argmax(between[1:]) + 1
-    return hmin + (max_bi + 1) * bin_width
+    if ignore_zero and not np.any(flat != 0):
+        return float(np.min(volume))
+    return float(otsu_threshold_3d(volume, n_bins=n_bins,
+                                   ignore_zero=ignore_zero))
 
 
 def _generate_adaptive_mask(volume, apix, cutoff_res, args):
-    """EMAN2 mask.auto3d-style seed-and-grow (trueFSC.py:658-737)."""
-    from scipy.ndimage import gaussian_filter, label
+    """EMAN2 mask.auto3d-equivalent seed-and-grow mask, computed
+    on-device (core/mask3d.adaptive_mask_3d; semantics of reference
+    trueFSC.py:658-737)."""
+    from ..core.mask3d import adaptive_mask_3d
 
-    if cutoff_res > 2 * apix:
-        sigma = cutoff_res / (3.81 * apix)  # calibrated to EMAN2's lowpass
-        volume_lp = gaussian_filter(volume, sigma=sigma)
-    else:
-        volume_lp = volume.copy()
-    if args.maskFractionThresh > 0:
-        thresh = args.maskFractionThresh * np.max(volume_lp)
-    elif args.maskThresh and args.maskThresh[0] > 0:
-        thresh = args.maskThresh[0]
-    elif args.maskMass > 0:
-        vol_voxels = args.maskMass * 1e3 / (0.81 * apix**3)
-        svals = np.sort(volume_lp.ravel())[::-1]
-        thresh = svals[min(int(vol_voxels), len(svals) - 1)]
-    else:
-        thresh = _otsu_threshold_eman(volume_lp)
-    logger.info("Adaptive mask: threshold=%.7g", thresh)
-    nmaxseed = 1000
-    flat_idx = np.argpartition(volume_lp.ravel(), -nmaxseed)[-nmaxseed:]
-    above = volume_lp > thresh
-    labeled, _ = label(above, structure=np.ones((3, 3, 3), bool))
-    seed_labels = labeled.ravel()[flat_idx]
-    component_ids = np.unique(seed_labels[seed_labels > 0])
-    mask = np.isin(labeled, component_ids)
-    if not np.any(mask):
-        mask = above.copy()
+    mask, level, _ = adaptive_mask_3d(
+        volume,
+        apix=apix,
+        cutoff_res=cutoff_res,
+        thresh_fraction=max(0.0, args.maskFractionThresh),
+        thresh_absolute=(
+            args.maskThresh[0]
+            if args.maskThresh and args.maskThresh[0] > 0
+            else 0.0
+        ),
+        mass_kda=max(0.0, args.maskMass),
+    )
+    mask = np.asarray(mask)
+    logger.info("Adaptive mask: threshold=%.7g", float(level))
     mass = np.count_nonzero(mask) * apix**3 * 0.81e-3
     logger.info("Adaptive mask: mass %d kDa", int(round(mass)))
     return mask.astype(np.float64)
 
 
 def _soft_mask(mask, soft_width):
-    """Cosine soft edge via downsampled EDT (trueFSC.py:738-783)."""
-    if soft_width <= 0:
-        return mask.astype(np.float64)
-    from scipy.ndimage import distance_transform_edt, zoom
+    """Cosine soft edge over an EXACT on-device Euclidean distance
+    transform (core/mask3d.soft_cosine_mask — the reference subsamples
+    its EDT by soft_width/4 and re-zooms, trueFSC.py:738-783)."""
+    from ..core.mask3d import soft_cosine_mask
 
-    nz, ny, nx = mask.shape
-    step = max(1, int(soft_width / 4))
-    mask_ds = mask[::step, ::step, ::step].astype(bool)
-    dist_ds = distance_transform_edt(~mask_ds) * step
-    dist = zoom(
-        dist_ds,
-        (nz / dist_ds.shape[0], ny / dist_ds.shape[1], nx / dist_ds.shape[2]),
-        order=1,
-    )[:nz, :ny, :nx]
-    soft = np.ones(mask.shape, np.float64)
-    outside = ~mask.astype(bool)
-    near = outside & (dist > 0) & (dist <= soft_width)
-    # full cosine falloff reaching 0 at d = soft_width. Documented
-    # deviation: the reference's half-cosine (pi/2; trueFSC.py:779)
-    # leaves a 0.5-amplitude cliff at the soft zone's outer edge —
-    # exactly the mask-autocorrelation artifact FSCtrue exists to remove
-    soft[near] = (np.cos(dist[near] / soft_width * np.pi) + 1) / 2
-    soft[outside & (dist > soft_width)] = 0.0
-    return soft
+    return np.asarray(soft_cosine_mask(mask, soft_width), np.float64)
 
 
 def plot_fsc(fsc_curves, plotFile, sections=None):
