@@ -296,10 +296,14 @@ def test_reconstruct_grid_wide_rise_bucketing_tracks_reference_ranking(helix_ima
 
     from scipy.stats import spearmanr
 
+    # two-pass re-scoring (VERDICT r2 #5): every candidate here falls in
+    # some bucket's top-10, so all 8 are re-scored with per-candidate
+    # geometry — the final ranking must TRACK the reference's
+    # per-candidate ranking, not just correlate loosely
     rho = spearmanr(res.scores, per).statistic
-    assert rho > 0.3, (rho, res.scores, per)
-    # the bucketed grid's winner sits in the reference-ranking's top 3
-    assert res.best_index in np.argsort(-per)[:3].tolist(), (
+    assert rho >= 0.9, (rho, res.scores, per)
+    # and the winner is the reference-ranking's winner
+    assert res.best_index == int(np.argmax(per)), (
         res.best_index, res.scores, per,
     )
 
