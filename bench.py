@@ -501,8 +501,15 @@ def main():
         out["platform"] = platform_note
     out.update(_mfu_fields(warm, rate, n_dev, peak))
 
-    full = os.environ.get("HELICON_BENCH_FULL", "1") != "0"
-    if full and platform_note != "cpu-fallback":
+    # large/accurate stages are accelerator benchmarks: on a CPU backend
+    # (smoke tests, cpu-fallback) they would take tens of minutes for a
+    # number nobody reads — default them off there
+    on_cpu = (
+        platform_note == "cpu-fallback"
+        or jax.devices()[0].platform == "cpu"
+    )
+    full = os.environ.get("HELICON_BENCH_FULL", "0" if on_cpu else "1") != "0"
+    if full:
         t0 = time.perf_counter()
         try:
             lwarm, ln, ltimes, lkw = _bench_large(max(2, n_repeats - 1))

@@ -104,6 +104,8 @@ class TestScores:
         a = rng.uniform(size=(16, 16)).astype(np.float32)
         assert np.isclose(ht.r_factor_score(a, a), 1.0)
 
+    @pytest.mark.slow
+
     def test_traced_metrics_match_eager(self, rng):
         """The jittable metric variants (used inside the denovo3D scorer)
         agree with the eager reference implementations."""

@@ -21,6 +21,7 @@ def test_phase_cross_correlation_recovers_shift():
     assert tuple(shift.astype(int)) == (5, -3)
 
 
+@pytest.mark.slow
 def test_align_images_recovers_rotation():
     from helicon_tpu.helix import simulate_helical_projection
 
@@ -527,6 +528,7 @@ def _make_ptycho_fixture(path, defocus=-600.0, scan=12, step_px=2, det=32):
     return V, pad_gen
 
 
+@pytest.mark.slow
 def test_ptycho_reconstruct_synthetic(tmp_path):
     """Native Parallax + ePIE engine recovers a known phase object from a
     synthetic 4D-STEM scan (replaces the reference's py4DSTEM driver,

@@ -100,6 +100,7 @@ def test_cli_hom_containerc(tmp_path, relion_df):
     assert "rlnAngleRotError" in out
 
 
+@pytest.mark.slow
 def test_cli_truefsc(tmp_path):
     rng = np.random.default_rng(0)
     n = 32
@@ -123,6 +124,7 @@ def test_cli_truefsc(tmp_path):
     assert "trueFSC resolution" in r.stdout
 
 
+@pytest.mark.slow
 def test_cli_symmetry_mismatch(tmp_path):
     from helicon_tpu.io.metadata import dataframe2cs
     from scipy.spatial.transform import Rotation as R
@@ -177,6 +179,7 @@ def test_hom_core_math():
     assert m_best == pytest.approx(3.0)
 
 
+@pytest.mark.slow
 def test_cli_denovo3d(tmp_path):
     """Flagship grid-search CLI end-to-end on a tiny grid."""
     from helicon_tpu.helix import simulate_helical_projection
@@ -205,6 +208,7 @@ def test_cli_denovo3d(tmp_path):
     assert outs, r.stdout
 
 
+@pytest.mark.slow
 def test_cli_denovo3d_refine_and_metric(tmp_path):
     """Gauss-Newton pose refinement + score-metric selection reachable
     from the CLI (VERDICT r1 items 2/3): one candidate, refine on, ssim
@@ -243,6 +247,7 @@ def test_cli_denovo3d_refine_and_metric(tmp_path):
     assert 0.0 <= summary["best_score"] <= 1.0
 
 
+@pytest.mark.slow
 def test_cli_images2star_split(tmp_path, relion_df):
     """--splitNumSets by evenodd and by micrograph (reference
     images2star.py:246-297 splitting)."""
@@ -295,6 +300,7 @@ def test_launcher_modules_well_formed():
         assert mod.__doc__, name
 
 
+@pytest.mark.slow
 def test_cli_images2star_cs_to_star(tmp_path):
     """CryoSPARC .cs in -> RELION .star out through the CLI (the
     cross-convention conversion path end-to-end)."""
@@ -351,12 +357,14 @@ def test_cli_images2star_cs_to_star(tmp_path):
     assert df["rlnImageName"].iloc[0].startswith("000001@")
 
 
+@pytest.mark.slow
 def test_bench_script_runs_small(tmp_path):
     """bench.py (the driver's benchmark entry) runs end-to-end on a tiny
     grid; guards the metric JSON contract."""
     env = dict(ENV, HELICON_BENCH_N="8", HELICON_BENCH_BATCH="8",
                HELICON_BENCH_CG="3", HELICON_BENCH_FISTA="3",
-               HELICON_BENCH_POWER="2", JAX_PLATFORMS="cpu")
+               HELICON_BENCH_POWER="2", HELICON_BENCH_REPEATS="1",
+               JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
         env=env, cwd="/root/repo", timeout=900,
@@ -418,6 +426,7 @@ def test_cli_cryosparc_local_pipeline(tmp_path):
     assert out["ctf/df1_A"][0] == pytest.approx(48000.0)  # scaled by (2x)^2
 
 
+@pytest.mark.slow
 def test_cli_denovo3d_batch_all_images(tmp_path):
     """--imageIndex 0 = every image in the stack: per-image outputs plus
     a combined .batch.json summary."""
@@ -454,6 +463,7 @@ def test_cli_denovo3d_batch_all_images(tmp_path):
     assert summaries[1]["best_twist"] == 40.0
 
 
+@pytest.mark.slow
 def test_cli_denovo3d_rejects_mixed_zero_index(tmp_path):
     """0 mixed with other indices is ambiguous and must fail with a
     clear message, not an IndexError mid-batch."""
@@ -473,6 +483,7 @@ def test_cli_denovo3d_rejects_mixed_zero_index(tmp_path):
     assert "1-based" in (r.stderr + r.stdout)
 
 
+@pytest.mark.slow
 def test_cli_repeated_append_options_each_apply(tmp_path, relion_df):
     """CLI-order-is-execution-order: every occurrence of an append
     option consumes ITS OWN value (a non-append --breakFilaments once
@@ -497,6 +508,7 @@ def test_cli_repeated_append_options_each_apply(tmp_path, relion_df):
     assert int(out["rlnHelicalTubeID"].min()) == 0
 
 
+@pytest.mark.slow
 def test_cli_split_after_filtering_op(tmp_path, relion_df):
     """--select then --splitNumSets by micrograph: the split must handle
     the filtered (non-RangeIndex) frame and carry the LIVE optics."""
@@ -520,6 +532,7 @@ def test_cli_split_after_filtering_op(tmp_path, relion_df):
     assert set(s0["rlnMicrographName"]).isdisjoint(set(s1["rlnMicrographName"]))
 
 
+@pytest.mark.slow
 def test_cli_proc3d_output_flag_form(tmp_path):
     """--outputMapFile (the flag form) must work: the dispatcher once
     treated the flag as an unknown plugin option and crashed."""
@@ -534,6 +547,7 @@ def test_cli_proc3d_output_flag_form(tmp_path):
     assert (tmp_path / "out.mrc").exists()
 
 
+@pytest.mark.slow
 def test_cli_abbreviated_option_resolves(tmp_path):
     """argparse accepts --sortb for --sortby; the execution plan must
     carry the FULL name instead of crashing mid-pipeline."""
@@ -553,6 +567,7 @@ def test_cli_abbreviated_option_resolves(tmp_path):
     assert out["rlnDefocusU"].tolist() == [1.0, 2.0, 3.0]
 
 
+@pytest.mark.slow
 def test_cli_split_respects_output_directory(tmp_path):
     """--splitNumSets subset files must land in the requested output
     directory (bare .stem dropped it), and a micrographs-only input
@@ -572,6 +587,7 @@ def test_cli_split_respects_output_directory(tmp_path):
     assert not list(tmp_path.glob("out.subset-*.star"))  # not in CWD
 
 
+@pytest.mark.slow
 def test_cli_cryosparc_passthrough_nan_first_row_still_decodes(tmp_path):
     """A left-merged passthrough can leave NaN at row 0 of a bytes column
     (uid missing from the passthrough); bytes detection must key on the

@@ -145,6 +145,7 @@ def test_nonexistent_submodule_import_fails_cleanly():
         importlib.import_module("helicon.no_such_subpackage_xyz")
 
 
+@pytest.mark.slow
 def test_bare_import_attribute_access_fresh_interpreter():
     # Reference user code does `import helicon; helicon.lib.util.f(...)` —
     # the reference binds `lib` via star-import side effects, so attribute

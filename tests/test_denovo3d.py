@@ -259,6 +259,7 @@ def test_fsc_test_returns_halves():
 
 
 @pytest.mark.parametrize("interpolation", ["nn", "linear"])
+@pytest.mark.slow
 def test_separable_matches_gather_path(interpolation):
     """The MXU (matmul) formulation must agree with the gather operators."""
     from helicon_tpu.denovo3d.projector_separable import build_problem_separable
@@ -339,6 +340,7 @@ def test_separable_tap_window_across_scales(interpolation, scale):
     )
 
 
+@pytest.mark.slow
 def test_pair_ops_table_matches_pairs():
     """The op-table S (shared op sampling) must equal the per-pair S."""
     from helicon_tpu.denovo3d.geometry import select_pair_ops
@@ -610,6 +612,7 @@ class TestRefineTiltPsiDy:
         assert abs(refined["tilt"]) <= 3.0 and abs(refined["psi"]) <= 3.0
 
 
+@pytest.mark.slow
 def test_sym_keep_with_gather_fallback():
     """sym_keep must thread through the big-geometry gather fallback of
     the op-table S (use_matmul_sym False past the 32MB threshold)."""
@@ -659,6 +662,7 @@ def test_sym_keep_with_gather_fallback():
     assert dropped.any()  # the mask actually removed duplicate rows
 
 
+@pytest.mark.slow
 def test_equation_counts_reach_reference_target():
     """The static (n_copies, n_pairs) estimate must deliver the
     reference's equation budget in ACTUAL valid rows (solver:1286
@@ -708,6 +712,7 @@ def _sim_helix_img():
     )
 
 
+@pytest.mark.slow
 def test_lasso_all_zero_solution_retries_with_smaller_alpha():
     """Reference solver:330-337: an all-zero fit retries with alpha*0.1
     until coefficients survive — a huge alpha must not return a zero
@@ -727,6 +732,7 @@ def test_lasso_all_zero_solution_retries_with_smaller_alpha():
     assert score > 0
 
 
+@pytest.mark.slow
 def test_positivity_honored_without_fista():
     """fista_iters=0 must still honor the box constraint the reference
     always enforces (positive=True solvers): the CG solution is

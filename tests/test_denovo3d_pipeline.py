@@ -4,6 +4,8 @@ tests/test_denovo3D_pipeline.py pattern)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy solver/parity coverage: run explicitly or without -m "not slow"
+
 from helicon_tpu.denovo3d import process_one_task
 from helicon_tpu.helix import simulate_helical_projection
 

@@ -9,6 +9,8 @@ tables, same solver flow.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy solver/parity coverage: run explicitly or without -m "not slow"
+
 from helicon_tpu.denovo3d import reconstruct_grid
 from helicon_tpu.denovo3d.geometry import (
     ReconstructionGeometry,

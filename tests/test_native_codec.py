@@ -147,6 +147,7 @@ def test_huge_floats_route_through_python_formatting():
     assert a.getvalue() == b.getvalue()
 
 
+@pytest.mark.slow
 def test_no_native_env_disables_codec():
     code = (
         "import os; os.environ['HELICON_NO_NATIVE']='1';"
@@ -176,6 +177,7 @@ def test_empty_loop_dtypes_match_python_path():
     pd.testing.assert_frame_equal(fast, slow)
 
 
+@pytest.mark.slow
 def test_unwritable_cache_dir_falls_back_to_python(tmp_path):
     """A read-only cache location must degrade to the pure-Python parser,
     not crash read_star (module docstring contract)."""

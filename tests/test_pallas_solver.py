@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy solver/parity coverage: run explicitly or without -m "not slow"
+
 from helicon_tpu.denovo3d import (
     ReconstructionGeometry,
     select_copies,

@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy solver/parity coverage: run explicitly or without -m "not slow"
+
 from helicon_tpu.parallel import (
     candidate_mesh,
     candidate_sharding,

@@ -30,9 +30,13 @@ import pytest
 
 REF = "/root/reference/src"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference checkout not available"
+    ),
+    # imports + runs the ACTUAL reference solver per test
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")
