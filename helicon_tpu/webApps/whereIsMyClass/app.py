@@ -215,16 +215,16 @@ def _selected_helices():
 def _helices_table():
     """One row per helix of the selected classes (micrograph, helixID,
     length, classes present) — the selection table of app.py:466-510."""
-    helices, _ = _selected_helices()
+    helices, lengths = _selected_helices()
     if helices is None:
         return pd.DataFrame()
     rows = []
-    for (mic, tid), g in helices.groupby(["rlnMicrographName", "rlnHelicalTubeID"]):
+    for ((mic, tid), g), length in zip(helices, lengths):
         rows.append(
             dict(
                 helixID=int(g["helixID"].iloc[0]),
                 rlnMicrographName=str(mic),
-                length=float(g["length"].iloc[0]) if "length" in g else 0.0,
+                length=float(length),
                 classes=",".join(
                     str(int(c)) for c in sorted(g["rlnClassNumber"].unique())
                 ),

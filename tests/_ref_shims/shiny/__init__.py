@@ -58,6 +58,8 @@ class Session:
 
     def reset(self):
         self.inputs: dict = {}
+        self.action_buttons: set = set()
+        self.values: dict = {}  # id -> reactive.value (event gating)
         self.effects: list[Effect] = []
         self.outputs: dict = {}
         self.page: list = []
@@ -87,18 +89,50 @@ class Session:
                 if dep_key in eff.event_deps or dep_key in eff.read_deps:
                     if eff not in self._queue:
                         self._queue.append(eff)
-            self._drain()
+        self._drain()
 
     def _drain(self):
-        if self._running:
-            return  # the active drain loop picks up new queue entries
-        self._running = True
+        """Run queued effects. Effects run OUTSIDE self._lock: a handler
+        may join an extended-task thread whose coroutine sets reactive
+        values (-> invalidate -> this lock) — holding the lock across
+        the join would deadlock. One drainer at a time; a thread that
+        queues while another drains returns and the active drain loop
+        (or the next one after it finishes) picks the work up."""
+        with self._lock:
+            if self._running:
+                return
+            self._running = True
         try:
-            while self._queue:
-                eff = self._queue.pop(0)
-                self._run_effect(eff)
+            while True:
+                with self._lock:
+                    if not self._queue:
+                        break
+                    eff = self._queue.pop(0)
+                if self._eventful(eff):
+                    self._run_effect(eff)
         finally:
-            self._running = False
+            with self._lock:
+                self._running = False
+
+    def _eventful(self, eff) -> bool:
+        """shiny's ignore_none semantics: an @reactive.event effect runs
+        only when at least one event dep carries an event value — an
+        action button at 0 (never pressed) or an unset input/value does
+        not count, so button handlers stay quiet at session start."""
+        if not eff.event_only:
+            return True
+        for dep in eff.event_deps:
+            if isinstance(dep, tuple) and dep[0] == "input":
+                name = dep[1]
+                if name not in self.inputs:
+                    continue
+                if name in self.action_buttons and not self.inputs[name]:
+                    continue
+                return True
+            val = self.values.get(dep)
+            if val is None or val._v is not _UNSET:
+                return True
+        return False
 
     def _run_effect(self, eff):
         prev = self._current_effect
@@ -118,13 +152,13 @@ class Session:
     def set_input(self, name, value):
         with self._lock:
             self.inputs[name] = value
-            self.invalidate(("input", name))
+        self.invalidate(("input", name))
 
     def press(self, button_id):
         """Simulate an action/task button click."""
         with self._lock:
             self.inputs[button_id] = int(self.inputs.get(button_id, 0)) + 1
-            self.invalidate(("input", button_id))
+        self.invalidate(("input", button_id))
 
     # ---- page tree ------------------------------------------------------
     def add_to_page(self, tag):

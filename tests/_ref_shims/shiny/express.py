@@ -45,14 +45,44 @@ class _Output:
 output = _Output()
 
 
+class DataGrid:
+    """render.DataGrid / render.DataTable — a value wrapper, not a
+    decorator: holds the DataFrame a @render.data_frame renderer returns."""
+
+    def __init__(self, data, **options):
+        self.data = data
+        self.options = options
+
+    def text(self):
+        return self.data.to_string()
+
+
+DataTable = DataGrid
+
+
 class _RenderDecorator:
-    """@render.ui / @render.plot / ... — registers the output renderer."""
+    """@render.ui / @render.plot / ... — registers the output renderer
+    AND runs it as an effect, so dynamic UI (inputs created inside a
+    renderer, like denovo3D's input_source_ui) registers its inputs at
+    boot and re-registers them when the renderer's deps change — the
+    shim's stand-in for the client round trip."""
 
     def __getattr__(self, kind):
+        if kind in ("DataGrid", "DataTable"):
+            return DataGrid
+
         def deco(fn=None, **kwargs):
             if fn is None:  # parametrized form @render.ui(...)
                 return lambda f: deco(f)
-            get_session().outputs[fn.__name__] = fn
+            s = get_session()
+            s.outputs[fn.__name__] = fn
+            from . import Effect
+
+            ev = getattr(fn, "_event_deps", None)
+            eff = Effect(fn, event_deps=ev or (), event_only=ev is not None)
+            s.effects.append(eff)
+            s._queue.append(eff)
+            s._drain()
             return fn
 
         return deco

@@ -14,6 +14,7 @@ class value:
 
     def __init__(self, initial=_UNSET):
         self._v = initial
+        get_session().values[id(self)] = self
 
     def get(self):
         s = get_session()

@@ -102,6 +102,7 @@ def input_file(id, label=None, **k):
 
 
 def input_action_button(id, label=None, **k):
+    get_session().action_buttons.add(id)
     return _register_input(id, 0, "input_action_button", label=label)
 
 
