@@ -28,8 +28,10 @@ from .indexing import (  # noqa: F401
     LayerLine,
     bessel_first_peak_x,
     detect_layer_lines,
+    detect_layer_lines_batch,
     estimate_bessel_order,
     estimate_helical_parameters,
+    layer_line_profiles,
 )
 from .pitch import (  # noqa: F401
     estimate_pitch_from_class2d,

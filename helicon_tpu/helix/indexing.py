@@ -15,9 +15,11 @@ natively so the framework is self-contained:
   table from the detected lines via the helical selection rule
   Z = n/P + m/rise.
 
-All detection runs host-side on numpy (analysis tooling, not the TPU
-hot path); the spectra themselves come from the jittable
-compute_power_spectra.
+The spectra come from the jittable compute_power_spectra; the per-row
+reductions detection needs (layer_line_profiles) are jittable too, so a
+batched pipeline (detect_layer_lines_batch) keeps the full spectra on
+the device and ships only three length-ny vectors per image to the
+host, where the serial peak/selection-rule logic runs on numpy.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ import numpy as np
 __all__ = [
     "LayerLine",
     "detect_layer_lines",
+    "detect_layer_lines_batch",
+    "layer_line_profiles",
     "estimate_bessel_order",
     "estimate_helical_parameters",
     "bessel_first_peak_x",
@@ -77,6 +81,33 @@ def _row_profile(pwr: np.ndarray) -> np.ndarray:
     return masked.max(axis=1)
 
 
+def layer_line_profiles(pwr):
+    """Per-row reductions of (a batch of) power spectra — all the data
+    detection needs, jittable so it runs on the accelerator.
+
+    The full spectrum never has to leave the device: detection reads
+    only three length-ny vectors per image (row-strength profile,
+    in-row argmax, meridian profile) — ~nx fewer bytes over the wire
+    than shipping the spectrum itself, which is what makes the batched
+    hill pipeline tunnel-transfer-proof.
+
+    pwr: (..., ny, nx) fftshifted spectra.
+    Returns (off_prof, off_argmax, merid_prof), each (..., ny).
+    """
+    import jax.numpy as jnp
+
+    pwr = jnp.asarray(pwr)
+    nx = pwr.shape[-1]
+    cx = nx // 2
+    col = jnp.arange(nx)
+    merid = (col >= max(0, cx - 1)) & (col < cx + 2)
+    masked = jnp.where(merid, 0.0, pwr)
+    off_prof = masked.max(axis=-1)
+    off_argmax = masked.argmax(axis=-1)
+    merid_prof = jnp.where(merid, pwr, 0.0).max(axis=-1)
+    return off_prof, off_argmax, merid_prof
+
+
 def detect_layer_lines(
     pwr,
     apix: float,
@@ -95,12 +126,79 @@ def detect_layer_lines(
 
     Returns a list of LayerLine sorted by Z (equator excluded).
     """
+    pwr = np.asarray(pwr, np.float64)
+    ny, nx = pwr.shape
+    cx = nx // 2
+    masked = pwr.copy()
+    masked[:, max(0, cx - 1) : cx + 2] = 0.0
+    off_prof = masked.max(axis=1)
+    off_argmax = masked.argmax(axis=1)
+    merid_prof = pwr[:, max(0, cx - 1) : cx + 2].max(axis=1)
+    return _detect_from_profiles(
+        off_prof, off_argmax, merid_prof, nx, apix,
+        min_prominence=min_prominence, max_lines=max_lines, radius=radius,
+    )
+
+
+def detect_layer_lines_batch(
+    pwrs,
+    apix: float,
+    min_prominence: float = 3.0,
+    max_lines: int = 10,
+    radius: float | None = None,
+):
+    """Detect layer lines for a stack of spectra, device-efficiently.
+
+    The per-row reductions (:func:`layer_line_profiles`) run on the
+    accelerator in one batched call; only (3, batch, ny) floats cross to
+    the host, where the serial peak logic runs per image. Returns a list
+    of per-image line lists (same results as mapping
+    :func:`detect_layer_lines`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # one fused (3, batch, ny) float32 pull: each host<->device round
+    # trip over the tunneled backend costs ~25 ms, so three separate
+    # array pulls would triple the wire latency (argmax is exact in
+    # f32 for any ny below 2^24)
+    @jax.jit
+    def _stacked(p):
+        a, b, c = layer_line_profiles(p)
+        return jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32),
+                          c.astype(jnp.float32)])
+
+    packed = np.asarray(_stacked(pwrs))
+    off_prof, off_argmax, merid_prof = packed[0], packed[1], packed[2]
+    off_argmax = off_argmax.astype(np.int64)
+    nx = np.shape(pwrs)[-1]
+    return [
+        _detect_from_profiles(
+            off_prof[i], off_argmax[i], merid_prof[i], nx, apix,
+            min_prominence=min_prominence, max_lines=max_lines, radius=radius,
+        )
+        for i in range(off_prof.shape[0])
+    ]
+
+
+def _detect_from_profiles(
+    off_prof,
+    off_argmax,
+    merid_prof,
+    nx: int,
+    apix: float,
+    min_prominence: float = 3.0,
+    max_lines: int = 10,
+    radius: float | None = None,
+):
+    """Shared peak logic on the per-row profiles (see
+    :func:`layer_line_profiles` for what each vector carries)."""
     from scipy.ndimage import median_filter
     from scipy.signal import find_peaks
 
-    pwr = np.asarray(pwr, np.float64)
-    ny, nx = pwr.shape
-    cy, cx = ny // 2, nx // 2
+    off_prof = np.asarray(off_prof, np.float64)
+    merid_prof = np.asarray(merid_prof, np.float64)
+    ny = off_prof.shape[0]
     sy = np.fft.fftshift(np.fft.fftfreq(ny, d=apix))
     sx = np.fft.fftshift(np.fft.fftfreq(nx, d=apix))
 
@@ -123,14 +221,13 @@ def detect_layer_lines(
     # two independent detections: the meridian column (n = 0 lines: the
     # rise family) carries the shape-transform streak of the finite
     # filament, which would contaminate a single joint peak search.
-    off = _peak_rows(_row_profile(pwr))
-    merid_prof = pwr[:, max(0, cx - 1) : cx + 2].max(axis=1)
+    off = _peak_rows(off_prof)
     on = _peak_rows(merid_prof)
 
     lines = []
     off_px = {}  # row -> off-meridian argmax, reused by the ghost filter
     for key, (p, inten) in sorted(off.items()):
-        px = int(np.argmax(_masked_row(pwr, p, cx)))
+        px = int(off_argmax[p])
         off_px[p] = px
         r_peak = abs(float(sx[px]))
         n_est = None
@@ -157,8 +254,7 @@ def detect_layer_lines(
     }
     for key, (p, inten) in sorted(on.items()):
         # a meridional line must beat the off-meridian peak on its row
-        row = _masked_row(pwr, p, cx)
-        if merid_prof[p] <= row.max():
+        if merid_prof[p] <= off_prof[p]:
             continue
         # drop streak ghosts: an "on-meridian" peak coincident with a
         # NEAR-meridian off line is that line's tail riding the

@@ -72,6 +72,27 @@ class TestDetectLayerLines:
         lines = detect_layer_lines(np.asarray(pwr), apix=1.5, min_prominence=6.0)
         assert len(lines) <= 2  # noise should produce (almost) nothing
 
+    def test_batch_matches_single(self):
+        """detect_layer_lines_batch (device profiles, one fused pull)
+        returns the same lines as per-image detect_layer_lines."""
+        from helicon_tpu.helix import detect_layer_lines_batch
+
+        img1 = _sim(30, 8, ball_radius=3)
+        img2 = _sim(22, 5, ball_radius=3)
+        pwrs = np.stack(
+            [np.asarray(ht.compute_power_spectra(i, apix=1.5)[0]) for i in (img1, img2)]
+        )
+        batch = detect_layer_lines_batch(pwrs, apix=1.5, radius=40.0)
+        assert len(batch) == 2
+        for i in range(2):
+            single = detect_layer_lines(pwrs[i], apix=1.5, radius=40.0)
+            assert len(batch[i]) == len(single)
+            for a, b in zip(batch[i], single):
+                assert a.Z == b.Z and a.meridional == b.meridional
+                assert a.bessel_order == b.bessel_order
+                assert a.intensity == pytest.approx(b.intensity, rel=1e-5)
+                assert a.r_peak == pytest.approx(b.r_peak, abs=1e-9)
+
 
 class TestEstimateParameters:
     def test_recovers_truth_twist30_rise8(self):
