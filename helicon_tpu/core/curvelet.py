@@ -16,8 +16,10 @@ native uniform discrete curvelet-style transform:
   norms), mirroring the reference's MAD-sigma per-band thresholding
   (curvelet.py:99-200);
 * MCT: monogenic extension via Riesz x/y kernels (curvelet.py:789-1006);
-* 3D maps use isotropic radial bands (angular wedges omitted — noted
-  deviation from the UDCT 3D path, curvelet.py:1407-2291);
+* 3D maps use directional windows: radial annuli x antipodally-symmetric
+  spherical-cap wedges around Fibonacci-spread directions, doubling every
+  other scale — the native analog of the UDCT 3D orientation selectivity
+  (curvelet.py:1407-2291); n_dirs=0 selects cheap isotropic radial bands;
 * tiled variants apply the 2D transform on overlapping tiles blended
   with cosine tapers (curvelet.py:1008-1405).
 
@@ -37,6 +39,7 @@ from . import fft as hfft
 
 __all__ = [
     "curvelet_bands_2d",
+    "curvelet_bands_3d",
     "curvelet_transform_2d",
     "curvelet_inverse_2d",
     "denoise_curvelet_2d",
@@ -239,22 +242,117 @@ def _radial_bands_3d(nz: int, ny: int, nx: int, n_scales: int):
     return (raw / norm).astype(np.float32)
 
 
-def denoise_curvelet_3d(
-    volume, threshold_sigma: float = 3.0, n_scales: int = 4, **kwargs
+def _fibonacci_hemisphere(n: int) -> np.ndarray:
+    """n well-spread unit directions on the upper hemisphere (the lower
+    half is implied by the antipodal |u.d| symmetry of real volumes)."""
+    i = np.arange(n, dtype=np.float64)
+    z = (i + 0.5) / n  # (0, 1): stays off the equator plane and the pole
+    phi = i * np.pi * (3.0 - np.sqrt(5.0))  # golden angle
+    s = np.sqrt(1.0 - z * z)
+    return np.stack([z, s * np.sin(phi), s * np.cos(phi)], axis=1)  # (n, 3) zyx
+
+
+@functools.lru_cache(maxsize=8)
+def _directional_bands_3d(
+    nz: int, ny: int, nx: int, n_scales: int, n_dirs: int
 ):
-    """Radial-band threshold denoising of a 3D map (isotropic bands;
-    angular wedges omitted relative to the reference UDCT 3D path)."""
+    """Directional 3D tight-frame windows: (Meyer radial annuli) x
+    (antipodally-symmetric cos^2 spherical caps around Fibonacci-spread
+    directions), numerically normalized so sum_k U_k^2 = 1 exactly —
+    the 3D analog of _windows_2d and the native replacement for the
+    reference's UDCT 3D wedges (reference curvelet.py:1407-2291).
+
+    Wedge count doubles every other scale (parabolic scaling). Returns
+    (U, meta) with meta[k] = (scale, wedge); scale -1 is the lowpass.
+    """
+    fz = np.fft.fftfreq(nz)[:, None, None]
+    fy = np.fft.fftfreq(ny)[None, :, None]
+    fx = np.fft.fftfreq(nx)[None, None, :]
+    r = np.sqrt(fz * fz + fy * fy + fx * fx) / 0.5
+    r_safe = np.where(r > 1e-12, r, 1.0)
+    u = np.stack([fz / (0.5 * r_safe), fy / (0.5 * r_safe), fx / (0.5 * r_safe)])
+
+    edges = [2.0 ** (-(n_scales - j)) for j in range(n_scales + 1)]
+    raws = [1.0 - _meyer_ramp((r - 0.5 * edges[0]) / (0.5 * edges[0] + 1e-12))]
+    meta = [(-1, 0)]
+    for j in range(n_scales):
+        lo, hi = edges[j], edges[j + 1]
+        rad = _meyer_ramp((r - 0.5 * lo) / (0.5 * lo)) * (
+            1.0 - _meyer_ramp((r - hi) / hi)
+        )
+        n_d = max(1, n_dirs * (2 ** (j // 2)))
+        if n_d == 1:
+            raws.append(rad)
+            meta.append((j, 0))
+            continue
+        dirs = _fibonacci_hemisphere(n_d)
+        # |cos| of the angle to each center: antipodal pairs share a
+        # window (real volumes: Hermitian symmetry), same move as the
+        # 2D wedges' theta +/- pi pair
+        cosang = np.abs(np.einsum("kd,dzyx->kzyx", dirs, u)).clip(0.0, 1.0)
+        alpha = np.arccos(cosang)  # (n_d, nz, ny, nx), in [0, pi/2]
+        # cap radius ~ mean inter-center spacing (hemisphere area 2*pi
+        # split n_d ways); widen until the caps cover the sphere with
+        # no hole — a hole would zero the signal there (the numeric
+        # normalization can only rescale nonzero sums)
+        width = 1.5 * np.sqrt(2.0 * np.pi / n_d)
+        on_shell = rad > 1e-3
+        for _ in range(8):
+            ang = np.cos(np.clip(alpha / width, 0.0, 1.0) * (np.pi / 2)) ** 2
+            cover = (ang.sum(axis=0) > 1e-6) | ~on_shell
+            if cover.all():
+                break
+            width *= 1.2
+        for a in range(n_d):
+            raws.append(rad * ang[a])
+            meta.append((j, a))
+    raw = np.stack(raws)
+    norm = np.sqrt(np.sum(raw * raw, axis=0))
+    norm = np.where(norm > 1e-12, norm, 1.0)
+    # cache NUMPY only (jnp arrays cached inside a jit trace leak tracers)
+    return (raw / norm).astype(np.float32), meta
+
+
+def curvelet_bands_3d(shape, n_scales: int = 4, n_dirs: int = 6):
+    """The (K, nz, ny, nx) directional 3D window stack and metadata.
+    n_dirs=0 selects the isotropic radial-only bands."""
+    nz, ny, nx = shape
+    if n_dirs <= 0:
+        U = _radial_bands_3d(nz, ny, nx, n_scales)
+        meta = [(-1, 0)] + [(j, 0) for j in range(n_scales)]
+        return jnp.asarray(U), meta
+    U, meta = _directional_bands_3d(nz, ny, nx, n_scales, n_dirs)
+    return jnp.asarray(U), meta
+
+
+def denoise_curvelet_3d(
+    volume,
+    threshold_sigma: float = 3.0,
+    n_scales: int = 4,
+    n_dirs: int = 6,
+    **kwargs,
+):
+    """Directional-band threshold denoising of a 3D map.
+
+    n_dirs > 0 (default): radial annuli x spherical-cap wedges — the
+    native analog of the reference's 3D UDCT orientation selectivity
+    (reference curvelet.py:1407-2291). n_dirs=0 falls back to the
+    cheaper isotropic radial bands (the pre-r3 behavior; useful for
+    very large volumes where the window stack would not fit).
+    """
     vol = jnp.asarray(volume, jnp.float32)
-    U = _radial_bands_3d(*vol.shape, n_scales)
+    U, _ = curvelet_bands_3d(vol.shape, n_scales=n_scales, n_dirs=n_dirs)
     F = hfft.fftn(vol)
     coeffs = hfft.ifftn(F[None] * U, axes=(-3, -2, -1))
-    sigma = _mad_sigma(jnp.real(coeffs[-1]))
     kept = [coeffs[0]]
     for k in range(1, coeffs.shape[0]):
         if threshold_sigma <= 0:
             thr = _elbow_threshold(jnp.abs(coeffs[k]))
         else:
-            thr = threshold_sigma * sigma
+            # per-band MAD: with directional wedges the noise level is
+            # orientation-dependent (that selectivity is the point), and
+            # sparse signal barely moves a median-based estimate
+            thr = threshold_sigma * _mad_sigma(jnp.real(coeffs[k]))
         kept.append(jnp.where(jnp.abs(coeffs[k]) >= thr, coeffs[k], 0.0))
     Fk = hfft.fftn(jnp.stack(kept), axes=(-3, -2, -1))
     return jnp.real(hfft.ifftn(jnp.sum(Fk * U, axis=0), axes=(-3, -2, -1)))

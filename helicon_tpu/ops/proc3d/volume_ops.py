@@ -267,11 +267,14 @@ def _h_denoiseCurvelet(data, args, index_d, param, apix, nx, ny, nz):
         sigma = float(pd_.get("sigma", pd_.get("threshold_sigma", 3.0)))
         num_scales = pd_.get("numScales", pd_.get("n_scales", None))
         n_scales = int(num_scales) if num_scales is not None else 4
+        # nDirs=0 -> isotropic radial bands (cheap mode for huge maps)
+        n_dirs = int(pd_.get("nDirs", pd_.get("n_dirs", 6)))
         data = np.asarray(
             denoise_curvelet_3d(
                 np.asarray(data, np.float32),
                 threshold_sigma=sigma,
                 n_scales=n_scales,
+                n_dirs=n_dirs,
             )
         )
         index_d["denoiseCurvelet"] += 1

@@ -228,6 +228,60 @@ class Test3D:
         out = np.asarray(denoise_curvelet_3d(vol))
         assert out.shape == vol.shape and np.isfinite(out).all()
 
+    def test_3d_directional_tight_frame(self):
+        """Directional 3D windows stay an exact tight frame (sum U^2 = 1)
+        and reconstruct perfectly (VERDICT r2 #9 done-criterion)."""
+        import jax.numpy as jnp
+
+        from helicon_tpu.core import fft as hfft
+        from helicon_tpu.core.curvelet import curvelet_bands_3d
+
+        U, meta = curvelet_bands_3d((16, 16, 16), n_scales=3, n_dirs=6)
+        s = np.asarray((U**2).sum(0))
+        assert s.min() > 0.999999 and s.max() < 1.000001
+        # wedge count doubles every other scale (parabolic scaling)
+        per_scale = {j: sum(1 for sc, _ in meta if sc == j) for j in range(3)}
+        assert per_scale[0] == 6 and per_scale[2] == 12
+        rng = np.random.default_rng(5)
+        vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+        F = hfft.fftn(jnp.asarray(vol))
+        coeffs = hfft.ifftn(F[None] * U, axes=(-3, -2, -1))
+        Fk = hfft.fftn(coeffs, axes=(-3, -2, -1))
+        rec = np.asarray(
+            jnp.real(hfft.ifftn(jnp.sum(Fk * U, axis=0), axes=(-3, -2, -1)))
+        )
+        np.testing.assert_allclose(rec, vol, atol=1e-4)
+
+    def test_3d_directional_beats_isotropic_on_anisotropic_noise(self):
+        """Orientation selectivity pays: Fourier-wedge streak noise on a
+        z-filament denoises measurably better with wedges than with the
+        isotropic radial bands (VERDICT r2 #9 done-criterion)."""
+        rng = np.random.default_rng(0)
+        n = 32
+        ax = np.linspace(-1, 1, n)
+        _, Y, X = np.meshgrid(ax, ax, ax, indexing="ij")
+        signal = (np.exp(-((Y**2 + X**2) / 0.05)) * 3.0).astype(np.float32)
+        noise = rng.standard_normal((n, n, n)).astype(np.float32)
+        f1 = np.fft.fftfreq(n)
+        fz, fy, fx = np.meshgrid(f1, f1, f1, indexing="ij")
+        r = np.sqrt(fz**2 + fy**2 + fx**2)
+        wedge = (np.abs(fx / np.where(r > 0, r, 1)) > 0.9) & (r > 0.05)
+        noise = np.real(np.fft.ifftn(np.fft.fftn(noise) * wedge)).astype(np.float32)
+        noise /= noise.std()
+        noisy = signal + noise
+
+        def mse(a):
+            return float(((a - signal) ** 2).mean())
+
+        d_dir = np.asarray(
+            denoise_curvelet_3d(noisy, threshold_sigma=3.0, n_scales=3, n_dirs=6)
+        )
+        d_iso = np.asarray(
+            denoise_curvelet_3d(noisy, threshold_sigma=3.0, n_scales=3, n_dirs=0)
+        )
+        assert mse(d_dir) < mse(noisy) / 10
+        assert mse(d_dir) < 0.8 * mse(d_iso), (mse(d_dir), mse(d_iso))
+
 
 class TestTiled:
     def test_tiled_vs_untiled_small(self):
