@@ -561,6 +561,14 @@ def main():
         sys.stderr.write(
             f"bench: accurate stage {time.perf_counter()-t0:.0f}s\n"
         )
+        # standing on-real-chip Pallas validation (VERDICT r2 #2): both
+        # compiled kernels vs the XLA closures, errors recorded here
+        try:
+            from helicon_tpu.denovo3d.pallas_solver import validate_on_device
+
+            out["pallas_on_chip"] = validate_on_device()
+        except Exception as e:
+            out["pallas_on_chip"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         # secondary metrics (VERDICT r2 #8): median-of-5 + IQR, in the
         # same JSON artifact the driver records
         t0 = time.perf_counter()

@@ -87,6 +87,16 @@ def test_fits_vmem_gate():
     assert not fits_vmem(131, 28, 44**2, 20, 24, jnp.float32)  # huge
 
 
+def test_validate_on_device_harness():
+    """The standing validation harness (bench.py runs it compiled on the
+    real chip each round) reports ok in interpret mode too."""
+    from helicon_tpu.denovo3d.pallas_solver import validate_on_device
+
+    out = validate_on_device(interpret=True)
+    assert out["ok"], out
+    assert out["v1_rel_err"] < 1e-4 and out["v2_rel_err"] < 1e-4, out
+
+
 def test_full_pipeline_kernel_matches_xla(small_problem):
     """v2 kernel (in-kernel operator build + solve + cosine score)
     matches the XLA path exactly in interpret mode."""
