@@ -26,7 +26,11 @@ APP_MODULES = (
 
 def _purge():
     for mod in list(sys.modules):
-        if mod == "shiny" or mod.startswith("shiny.") or mod in APP_MODULES:
+        if (
+            mod in ("shiny", "shinywidgets", "plotly")
+            or mod.startswith(("shiny.", "plotly."))
+            or mod in APP_MODULES
+        ):
             sys.modules.pop(mod)
 
 
@@ -238,4 +242,52 @@ class TestWhereIsMyClassBoot:
         s.press("load_param_path")
         assert s.modals, "expected a file-not-found modal"
         assert app.params.get() is None
+        assert not s.errors, s.errors
+
+    def test_micrograph_figure_path(self, shiny_shim, tmp_path):
+        """The plotly branch (shinywidgets + plotly shims): helix row
+        selection loads the micrograph, builds the heatmap figure, class
+        markers overlay, and two clicks measure a distance."""
+        from helicon_tpu.io.mrc import write_mrc
+
+        star = _write_class2d_project(tmp_path)
+        rng = np.random.default_rng(0)
+        write_mrc(
+            tmp_path / "mic_0001.mrc",
+            rng.standard_normal((64, 64)).astype(np.float32),
+            apix=5.0,
+        )
+        app = importlib.import_module("helicon_tpu.webApps.whereIsMyClass.app")
+        assert app._HAS_WIDGETS, "shinywidgets shim not active"
+        s = shiny_shim.get_session()
+        s.set_input("param_path", str(star))
+        s.press("load_param_path")
+        s.set_input("select_class", 0)
+        s.set_input("helices_table_selected_rows", (0,))
+        assert app.displayed_micrograph_data.get() is not None
+        fig = s.render("display_micrograph")
+        assert fig is not None and fig.data[0]._kind == "heatmap"
+        # class markers: the selection handler pre-checked the classes
+        assert s.inputs["marked_helices_classes"]
+        s.set_input(
+            "marked_helices_classes", s.inputs["marked_helices_classes"]
+        )
+        marked = [d for d in fig.data if d.name.startswith("class_")]
+        assert marked, [d.name for d in fig.data]
+        # two clicks measure a distance; the readout reports it
+        class _Pts:
+            xs = [10.0]
+            ys = [20.0]
+
+        fig.data[0]._fire_click(_Pts)
+
+        class _Pts2:
+            xs = [40.0]
+            ys = [60.0]
+
+        fig.data[0]._fire_click(_Pts2)
+        assert any(d.name == "distance_line" for d in fig.data)
+        assert "measured distance: 50.0" in s.render("distance_readout")
+        hist = s.render("pair_distance_histogram")
+        assert hist is not None and hist.data[0]._kind == "bar"
         assert not s.errors, s.errors

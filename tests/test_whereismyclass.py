@@ -278,20 +278,54 @@ class TestGetClass2dParamsFromFile:
             compute.get_class2d_params_from_file("whatever.xyz")
 
 
+@pytest.fixture()
+def plotly_shim(monkeypatch):
+    """Run the figure builders on the functional test shim when the real
+    plotly is absent (tests/_ref_shims/plotly)."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    try:
+        import plotly  # noqa: F401  (real package wins when present)
+    except ImportError:
+        monkeypatch.syspath_prepend(
+            str(Path(__file__).resolve().parent / "_ref_shims")
+        )
+        for mod in [m for m in sys.modules if m.split(".")[0] == "plotly"]:
+            sys.modules.pop(mod)
+        importlib.import_module("plotly")
+    yield
+    for mod in [m for m in sys.modules if m.split(".")[0] == "plotly"]:
+        sys.modules.pop(mod)
+
+
 class TestPlotBuilders:
-    def test_plot_micrograph(self):
-        pytest.importorskip("plotly")
+    def test_plot_micrograph(self, plotly_shim):
         fig = compute.plot_micrograph(
             np.zeros((8, 8), np.float32), "t", apix=1.0, plot_width=100
         )
         assert fig is not None
+        assert fig.data[0].name == "image"
 
-    def test_plot_histogram(self):
-        pytest.importorskip("plotly")
+    def test_plot_histogram(self, plotly_shim):
         fig = compute.plot_histogram(
             [100.0, 200.0, 200.0], "t", "pair dist (Å)", "count"
         )
         assert fig is not None
+        assert fig.data[0].name == "histogram"
+
+    def test_markers_and_distance_roundtrip(self, plotly_shim):
+        fig = compute.plot_micrograph(np.zeros((8, 8), np.float32), "t", 1.0)
+        xys = {(1, 2): dict(x=np.array([1.0, 2.0]), y=np.array([3.0, 4.0]))}
+        compute.mark_classes_on_helices(fig, xys, marker_size=5)
+        assert any(d.name == "class_2" for d in fig.data)
+        compute.mark_classes_on_helices(fig, {}, marker_size=5)
+        assert all(not d.name.startswith("class_") for d in fig.data)
+        compute.draw_distance_measurement(fig, (0.0, 0.0), (3.0, 4.0))
+        assert any(d.name == "distance_line" for d in fig.data)
+        compute.draw_distance_measurement(fig, None, None)
+        assert all(d.name != "distance_line" for d in fig.data)
 
     def test_builders_raise_clean_importerror_without_plotly(self):
         try:
