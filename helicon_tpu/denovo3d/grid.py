@@ -662,6 +662,12 @@ def _grouped_scoring(
         # C_u is the canonical union table width, the true Wsum row count
         per_group = _group_operator_bytes(geom, max(1, C_u), n_ops, cfg)
         mem_cap = max(1, int(2 * _group_budget_bytes() // max(1, per_group)))
+        # chunk 2 beats 1 whenever memory allows: two groups in flight
+        # pipeline one group's host/dispatch bubble behind the other's
+        # compute (measured: toy 5225 -> 7413, large d3=64/R=32
+        # 181.9 -> 197.9 cand/s; chunk 4 regresses both)
+        if group_chunk == 1 and mem_cap >= 2:
+            group_chunk = 2
         group_chunk = min(group_chunk, mem_cap)
     n_dev = 1 if devices is None else len(devices)
     n_groups = len(groups)
