@@ -196,8 +196,10 @@ def add_args(parser: argparse.ArgumentParser):
                         help="refine this many top candidates")
     parser.add_argument("--cgIters", type=int, default=100)
     parser.add_argument("--fistaIters", type=int, default=40)
-    parser.add_argument("--computeDtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"])
+    parser.add_argument("--computeDtype", type=str, default="auto",
+                        choices=["auto", "float32", "bfloat16"],
+                        help="auto = bfloat16 on accelerators (ranking-"
+                             "validated), float32 on CPU backends")
     parser.add_argument("--batchSize", type=int, default=0)
     parser.add_argument("--topN", type=int, default=10)
     parser.add_argument("--verbose", type=int, default=1)

@@ -665,8 +665,11 @@ def _grouped_scoring(
         # chunk 2 beats 1 whenever memory allows: two groups in flight
         # pipeline one group's host/dispatch bubble behind the other's
         # compute (measured: toy 5225 -> 7413, large d3=64/R=32
-        # 181.9 -> 197.9 cand/s; chunk 4 regresses both)
-        if group_chunk == 1 and mem_cap >= 2:
+        # 181.9 -> 197.9 cand/s; chunk 4 regresses both). Accelerators
+        # only: CPU execution is synchronous (no dispatch bubble to
+        # hide), so the floor would just widen the compiled body.
+        dev0 = devices[0] if devices else jax.devices()[0]
+        if group_chunk == 1 and mem_cap >= 2 and dev0.platform != "cpu":
             group_chunk = 2
         group_chunk = min(group_chunk, mem_cap)
     n_dev = 1 if devices is None else len(devices)
@@ -849,7 +852,7 @@ def reconstruct_grid(
     cg_iters: int = 120,
     fista_iters: int = 60,
     power_iters: int = 8,
-    compute_dtype: str = "bfloat16",
+    compute_dtype: str = "auto",
     batch_size: int | None = None,
     devices=None,
     return_best_volume: bool = True,
@@ -862,10 +865,12 @@ def reconstruct_grid(
 
     The flagship TPU workload: one jit compilation, vmapped over
     candidates, sharded over `devices` (default: all local devices).
-    compute_dtype defaults to bfloat16 for the vmapped scoring pass:
-    validated to preserve the candidate ranking (identical top-10,
-    Spearman > 0.9999 vs float32; max score delta ~3e-4) while running
-    ~6% faster on TPU. The final best-volume re-solve always runs in
+    compute_dtype defaults to "auto": bfloat16 on accelerator backends
+    for the vmapped scoring pass — validated to preserve the candidate
+    ranking (identical top-10, Spearman > 0.9999 vs float32; max score
+    delta ~3e-4) while running ~6% faster on TPU — and float32 on CPU
+    backends (bf16 buys nothing there and some XLA:CPU builds lack
+    bf16 dot thunks). The final best-volume re-solve always runs in
     float32.
 
     refine_tilt_psi_dy_range (reference pipeline.py:357-368: dict with
@@ -1000,6 +1005,14 @@ def reconstruct_grid(
     # each candidate's own valid-copy row count (SolveConfig.reg_per_row)
     # instead of the padded worst-case n_copies, matching lsq_reconstruct
     l1, l2r = regularization_from_algorithm(algorithm, 1)
+    devices = devices if devices is not None else jax.devices()
+    if compute_dtype in ("auto", ""):
+        # bfloat16 is a TPU win (MXU-native, ranking-validated); on CPU
+        # backends it is never faster and some XLA:CPU builds lack
+        # bf16 dot thunks for the grouped shapes — resolve per backend.
+        compute_dtype = (
+            "bfloat16" if devices[0].platform != "cpu" else "float32"
+        )
     cfg = SolveConfig(
         interpolation=interpolation,
         model=model,
@@ -1018,7 +1031,6 @@ def reconstruct_grid(
         ard_prior=float(algorithm.get("alpha", 1e-6)),
     )
 
-    devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     if batch_size is None:
         # Large batches amortize dispatch overhead (measured: ~12x
