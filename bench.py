@@ -6,8 +6,13 @@ North star (BASELINE.md): 10^4 candidates on one 2D class average in
 achieved rate over that target (scaled by available chips: the driver
 runs this on ONE chip, so the single-chip target is 166.7/8 = 20.8/s).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE compact JSON line (VERDICT r3 #7: the driver records only a
+short output tail, so the headline line must stay small and parseable):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The full detail document (configs, repeats, MFU bookkeeping, large /
+accurate / Pallas / secondary stages) is written to BENCH_DETAIL.json
+next to this script, or to the path given by `--json FILE`.
 
 Env knobs: HELICON_BENCH_N (candidates, default 10240),
 HELICON_BENCH_BATCH (batch size, default 1024).
@@ -584,7 +589,62 @@ def main():
         sys.stderr.write(
             f"bench: secondary stage {time.perf_counter()-t0:.0f}s\n"
         )
-    print(json.dumps(out))
+    _emit(out)
+
+
+def _emit(out):
+    """Write the full detail document to disk and print a compact
+    headline line on stdout.
+
+    The driver keeps only a tail of the combined output, so the stdout
+    line must stay well under ~2 KB or it gets truncated mid-document
+    (this is exactly what happened to BENCH_r03.json's `parsed: null`).
+    """
+    detail_path = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 < len(argv):
+            detail_path = argv[i + 1]
+    if detail_path is None:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        sys.stderr.write(f"bench: could not write {detail_path}: {e}\n")
+        detail_path = None
+
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "vs_baseline": out["vs_baseline"],
+    }
+    if "platform" in out:
+        line["platform"] = out["platform"]
+    if "mfu" in out:
+        line["mfu"] = out["mfu"]
+    large = out.get("large", {})
+    if isinstance(large, dict) and "value" in large:
+        line["large_candidates_per_s"] = large["value"]
+        if "mfu" in large:
+            line["large_mfu"] = large["mfu"]
+    acc = out.get("accurate", {})
+    if isinstance(acc, dict) and "max_abs_dscore_vs_cpu_f32_converged" in acc:
+        line["accurate_max_abs_dscore"] = acc[
+            "max_abs_dscore_vs_cpu_f32_converged"
+        ]
+        line["meets_1e5"] = acc.get("meets_1e5")
+    pal = out.get("pallas_on_chip", {})
+    if isinstance(pal, dict) and "ok" in pal:
+        line["pallas_on_chip_ok"] = pal["ok"]
+    if detail_path:
+        line["detail"] = os.path.basename(detail_path)
+    print(json.dumps(line))
 
 
 def _peak_flops_per_s():
