@@ -38,7 +38,10 @@ from jax.experimental import pallas as pl
 __all__ = [
     "solve_candidate_pallas",
     "score_candidate_pallas",
+    "solve_group_pallas",
+    "grouped_pallas_inputs",
     "fits_vmem",
+    "fits_vmem_grouped",
     "pallas_inputs",
     "full_kernel_inputs",
 ]
@@ -592,6 +595,338 @@ def score_candidate_pallas(
     )(theta, cvf, op_theta, gz_bigp, u_flat, b1, b1t, pok, mask,
       plane_ok, scal)
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3: GROUPED fused solve — one kernel call scores a whole twist-group.
+#
+# The twist-grouped XLA path (projector_grouped.py) already collapsed the
+# matvec to two wide GEMMs against the group-shared stacked operand
+# A_top = [Wsum; Mxy], but XLA re-streams A_top (~12 MB bf16 at the bench
+# geometry) from HBM on EVERY one of the ~29 CG/power/FISTA matvecs —
+# ~0.7 GB of traffic per 13-candidate group, plus a dispatch per op.
+# This kernel holds BOTH orientations of A_top in VMEM for the whole
+# group solve: every matvec is two MXU GEMMs
+#     t = X_wide @ A_top^T        (R*l3, rows)
+#     out = g @ A_top             (R*l3, d3^2)
+# from on-chip memory, with the small per-candidate z-mixes (Gz Gram,
+# Mz_ops pair Laplacian — the rise-dependent parts) as VPU table ops and
+# tiny block GEMMs between them. CG, the Lipschitz power iteration, and
+# the FISTA box loop run per candidate inside the kernel via
+# slab-reductions (per-candidate alpha/beta/eta as (R, 1) scalars).
+#
+# The operator BUILD stays in XLA (build_group_shared /
+# build_candidate_tensors_grouped) and amortizes over the group, so the
+# kernel is interpolation-agnostic — nn and linear use identical code
+# (this closes the v2 kernel's nearest-neighbor-only gap the cheap way:
+# by not rebuilding operators in-kernel at all).
+#
+# Wide layout: every per-candidate tensor is flattened to rows
+# (z_index * R + r) — z-major, candidate-minor — so z-slabs are static
+# sublane slices of R rows (R is padded to a multiple of 8 by the
+# caller). Lane-blocked sections (the data block Dd = pad128(C_u*d2) and
+# each symmetry op's S1 = pad128(d3^2) block) are zero-padded to 128
+# multiples so every slice in the kernel is tile-aligned.
+# ---------------------------------------------------------------------------
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def fits_vmem_grouped(
+    C_u, d2, d3sq, n_ops, l3, R, compute_dtype,
+    budget_bytes: int = 72 * 1024 * 1024,
+) -> bool:
+    """Do one group's VMEM-resident tensors + temporaries fit?"""
+    itemsize = 2 if jnp.dtype(compute_dtype) == jnp.bfloat16 else 4
+    Dd = _pad128(C_u * d2)
+    S1 = _pad128(d3sq)
+    rows = Dd + n_ops * S1
+    RL = R * l3
+    a_top = 2 * rows * S1 * itemsize  # both orientations, lane-padded
+    gt = l3 * l3 * R * Dd * 4
+    sym_tabs = 3 * RL * n_ops * S1 * 4  # af / deg*mask / af*mask
+    temps = (
+        2 * RL * rows * 4          # t, g
+        + RL * Dd * 4              # u
+        + 4 * RL * n_ops * S1 * 4  # vals/av/cav/L
+        + 10 * RL * S1 * 4         # solve state + rhs/mask/out
+    )
+    return (a_top + gt + sym_tabs + temps) <= budget_bytes
+
+
+def grouped_pallas_inputs(shared, tens, geom, R: int):
+    """Assemble the v3 kernel's wide-layout inputs.
+
+    shared: build_group_shared output (group-shared Wsum/Mxy tensors).
+    tens: build_candidate_tensors_grouped outputs stacked over the R
+    candidates (leading axis R), plus 'lb'/'ub' (R,) box bounds.
+    Returns (args tuple, static dict).
+    """
+    d2, d3, l3 = geom.d2, geom.d3, geom.l3
+    d3sq = d3 * d3
+    cdt = shared["cdt"]
+    Wsum = shared["Wsum"]  # (C_u, d2, d3sq) cdt
+    Mxy = shared["Mxy_ops"]  # (O, d3sq, d3sq) cdt
+    C_u = Wsum.shape[0]
+    O = Mxy.shape[0]
+    Dd = _pad128(C_u * d2)
+    S1 = _pad128(d3sq)
+    RL = R * l3
+
+    # A_top with tile-aligned sections: data rows zero-padded to Dd,
+    # each op's rows to S1 (zero rows contribute nothing on either side)
+    w_rows = Wsum.reshape(C_u * d2, d3sq)
+    w_rows = jnp.pad(w_rows, ((0, Dd - C_u * d2), (0, 0)))
+    m_rows = jnp.pad(Mxy, ((0, 0), (0, S1 - d3sq), (0, 0))).reshape(
+        O * S1, d3sq
+    )
+    a_top = jnp.concatenate([w_rows, m_rows], axis=0).astype(cdt)
+    a_topt = jnp.transpose(a_top, (1, 0))
+
+    # GT[(m*l3+n)*R + r, c*d2+j] = Gz[r, c, m, n] (broadcast over j)
+    gz = tens["Gz"]  # (R, C_u, l3, l3) f32
+    gt = jnp.broadcast_to(
+        jnp.transpose(gz, (2, 3, 0, 1))[..., None],
+        (l3, l3, R, C_u, d2),
+    ).reshape(l3 * l3 * R, C_u * d2)
+    gt = jnp.pad(gt, ((0, 0), (0, Dd - C_u * d2)))
+
+    # BZ[o, m*R+r, n*R+r'] = delta_rr' Mz_ops[r, o, m, n]; BZT swaps m/n
+    mz = tens["Mz_ops"]  # (R, O, l3, l3) f32
+    eye_r = jnp.eye(R, dtype=jnp.float32)
+    bz = jnp.einsum("romn,rq->omrnq", mz, eye_r).reshape(O, RL, RL)
+    bzt = jnp.einsum("ronm,rq->omrnq", mz, eye_r).reshape(O, RL, RL)
+
+    def wide_sym(x):  # (R, O, l3, d3sq) -> (RL, O*S1)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, S1 - d3sq)))
+        return jnp.transpose(x, (2, 0, 1, 3)).reshape(RL, O * S1)
+
+    m2 = shared["mask_f"].reshape(1, 1, l3, d3sq)
+    af_w = wide_sym(tens["a_f"])
+    degm_w = wide_sym(tens["deg"] * m2)
+    afm_w = wide_sym(tens["a_f"] * m2)
+    cnt = jnp.broadcast_to(
+        tens["Cn"].reshape(1, R, O * O), (l3, R, O * O)
+    ).reshape(RL, O * O)
+
+    def wide_cand(x):  # (R, l3, d3sq) -> (RL, d3sq)
+        return jnp.transpose(x, (1, 0, 2)).reshape(RL, d3sq)
+
+    mask_w = wide_cand(
+        jnp.broadcast_to(
+            shared["mask_f"].reshape(1, l3, d3sq), (R, l3, d3sq)
+        )
+    )
+    rhs_w = wide_cand(tens["rhs"])
+
+    def col_r(v):  # (R,) -> (RL, 1), broadcast over z slabs
+        return jnp.broadcast_to(v.reshape(1, R), (l3, R)).reshape(RL, 1)
+
+    lb_w = col_r(tens["lb"])
+    ub_w = col_r(tens["ub"])
+    bn = tens["b_norm"].reshape(R, 1)
+
+    args = (a_top, a_topt, gt, bz, bzt, af_w, degm_w, afm_w, cnt,
+            mask_w, rhs_w, lb_w, ub_w, bn)
+    static = dict(R=R, l3=l3, d3sq=d3sq, Dd=Dd, S1=S1, n_ops=O)
+    return args, static
+
+
+def _group_kernel(
+    a_top_ref, a_topt_ref, gt_ref, bz_ref, bzt_ref, af_ref, degm_ref,
+    afm_ref, cnt_ref, mask_ref, rhs_ref, lb_ref, ub_ref, bn_ref,
+    x_ref, score_ref, *,
+    R, l3, d3sq, Dd, S1, n_ops,
+    cg_iters, fista_iters, power_iters, use_bf16,
+):
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    RL = R * l3
+    mask = mask_ref[:]
+    rhs = rhs_ref[:]
+
+    def _dg(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cand_sum(A):  # (RL, cols) -> (R, 1) per-candidate reduction
+        s = jnp.sum(A, axis=1, keepdims=True)
+        acc = s[0:R]
+        for m in range(1, l3):
+            acc = acc + s[m * R : (m + 1) * R]
+        return acc
+
+    def tile_r(v):  # (R, 1) -> (RL, 1)
+        if l3 == 1:
+            return v
+        return jnp.concatenate([v] * l3, axis=0)
+
+    def data_mix(t_d):  # (RL, Dd) -> u (RL, Dd): per-candidate Gz Gram
+        parts = []
+        for m in range(l3):
+            acc = gt_ref[m * l3 * R : (m * l3 + 1) * R, :] * t_d[0:R, :]
+            for n in range(1, l3):
+                acc = acc + (
+                    gt_ref[(m * l3 + n) * R : (m * l3 + n + 1) * R, :]
+                    * t_d[n * R : (n + 1) * R, :]
+                )
+            parts.append(acc)
+        return jnp.concatenate(parts, axis=0)
+
+    def matvec(X):  # (RL, d3sq) f32 -> (RL, d3sq) f32 = NTN(X) * mask
+        t = _dg(X.astype(cdt), a_topt_ref[:])  # (RL, rows)
+        t_d = t[:, :Dd]
+        u = data_mix(t_d)
+        # symmetry: per-op z-mix as small block GEMMs, then the exact
+        # op-axis graph Laplacian (projector_grouped.NTN derivation)
+        t_s = t[:, Dd:]
+        vals = jnp.concatenate(
+            [
+                _dg(bz_ref[o], t_s[:, o * S1 : (o + 1) * S1])
+                for o in range(n_ops)
+            ],
+            axis=1,
+        )  # (RL, O*S1)
+        av = af_ref[:] * vals
+        cav_parts = []
+        for o in range(n_ops):
+            acc = cnt_ref[:, o * n_ops : o * n_ops + 1] * av[:, 0:S1]
+            for o2 in range(1, n_ops):
+                acc = acc + (
+                    cnt_ref[:, o * n_ops + o2 : o * n_ops + o2 + 1]
+                    * av[:, o2 * S1 : (o2 + 1) * S1]
+                )
+            cav_parts.append(acc)
+        cav = jnp.concatenate(cav_parts, axis=1)
+        L = degm_ref[:] * av - afm_ref[:] * cav
+        gs = jnp.concatenate(
+            [
+                _dg(bzt_ref[o], L[:, o * S1 : (o + 1) * S1])
+                for o in range(n_ops)
+            ],
+            axis=1,
+        )
+        g = jnp.concatenate([u.astype(cdt), gs.astype(cdt)], axis=1)
+        return _dg(g, a_top_ref[:]) * mask
+
+    # ---- CG from x0 = 0, per-candidate alpha/beta (solver._cg) ------
+    def cg_body(_, carry):
+        x, r, p, rs = carry
+        Np = matvec(p)
+        pNp = cand_sum(p * Np)
+        alpha = jnp.where(pNp > 0, rs / jnp.maximum(pNp, 1e-30), 0.0)
+        aw = tile_r(alpha)
+        x = x + aw * p
+        r = r - aw * Np
+        rs_new = cand_sum(r * r)
+        beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = r + tile_r(beta) * p
+        return x, r, p, rs_new
+
+    x0 = jnp.zeros((RL, d3sq), jnp.float32)
+    x, _, _, _ = jax.lax.fori_loop(
+        0, cg_iters, cg_body, (x0, rhs, rhs, cand_sum(rhs * rhs))
+    )
+
+    if fista_iters > 0:
+        # ---- per-candidate Lipschitz power iteration -----------------
+        v = jnp.ones((RL, d3sq), jnp.float32)
+        v = v / tile_r(jnp.maximum(jnp.sqrt(cand_sum(v * v)), 1e-30))
+
+        def pow_body(_, v):
+            w = matvec(v)
+            return w / tile_r(
+                jnp.maximum(jnp.sqrt(cand_sum(w * w)), 1e-30)
+            )
+
+        v = jax.lax.fori_loop(0, power_iters, pow_body, v)
+        margin = 1.2 if power_iters >= 4 else (
+            1.5 if power_iters >= 2 else 1.8
+        )
+        lips = margin * cand_sum(v * matvec(v))
+        etaw = tile_r(1.0 / jnp.maximum(lips, 1e-20))
+
+        # ---- FISTA with box projection (l1 = 0: prox = clip) --------
+        lb = lb_ref[:]
+        ub = ub_ref[:]
+
+        def fista_body(_, carry):
+            x, y, t = carry
+            g = matvec(y) - rhs
+            x_new = jnp.clip(y - etaw * g, lb, ub)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+            return x_new, y_new, t_new
+
+        xc = jnp.clip(x, lb, ub)
+        x, _, _ = jax.lax.fori_loop(
+            0, fista_iters, fista_body, (xc, xc, jnp.float32(1.0))
+        )
+    else:
+        x = jnp.clip(x, lb_ref[:], ub_ref[:])
+
+    x = x * mask
+    x_ref[:] = x
+    # cosine score without materializing the reprojection:
+    #   num = <P x, b_eff> = <x, rhs>
+    #   |P x|^2 = <x, PTP x> = <t_d, Gz-mix(t_d)>   (one GEMM + mix)
+    t = _dg(x.astype(cdt), a_topt_ref[:])
+    t_d = t[:, :Dd]
+    den2 = cand_sum(t_d * data_mix(t_d))
+    num = cand_sum(x * rhs)
+    den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:]
+    score_ref[:] = jnp.where(
+        den > 0, num / jnp.maximum(den, 1e-30), 0.0
+    )
+
+
+def solve_group_pallas(
+    args, static: dict,
+    cg_iters: int, fista_iters: int, power_iters: int,
+    use_bf16: bool = True, interpret: bool = False,
+):
+    """Run the fused grouped solve; returns (x (R*l3, d3sq) f32,
+    scores (R, 1) f32). args/static from grouped_pallas_inputs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, l3, d3sq = static["R"], static["l3"], static["d3sq"]
+    Dd, S1, n_ops = static["Dd"], static["S1"], static["n_ops"]
+    RL = R * l3
+    rows = Dd + n_ops * S1
+    kernel = functools.partial(
+        _group_kernel,
+        R=R, l3=l3, d3sq=d3sq, Dd=Dd, S1=S1, n_ops=n_ops,
+        cg_iters=cg_iters, fista_iters=fista_iters,
+        power_iters=power_iters, use_bf16=use_bf16,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_matvec = cg_iters + (fista_iters + power_iters + 1 if fista_iters else 0)
+    flops_mv = 4 * RL * rows * d3sq
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((RL, d3sq), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        ),
+        in_specs=[vm] * 14,
+        out_specs=(vm, vm),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mv * (n_matvec + 1),
+            bytes_accessed=int(
+                2 * rows * d3sq * (2 if use_bf16 else 4)
+                + l3 * l3 * R * Dd * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def validate_on_device(interpret: bool = False) -> dict:

@@ -50,7 +50,11 @@ from .projector_separable import (
     plane_shift_tables,
 )
 
-__all__ = ["build_group_shared", "build_candidate_problem_grouped"]
+__all__ = [
+    "build_group_shared",
+    "build_candidate_problem_grouped",
+    "build_candidate_tensors_grouped",
+]
 
 
 def build_group_shared(
@@ -342,5 +346,55 @@ def build_candidate_problem_grouped(
         b=b,
         row_valid=rowv_w,  # sqrt(m)-weighted: pairs with the weighted P
         mask=shared["mask_f"] > 0.5,
+        # the per-candidate TENSORS the fused NTN closes over, exported
+        # for the grouped Pallas kernel (pallas_solver.solve_group_pallas)
+        # so both formulations consume identical inputs
+        grouped_factors=dict(
+            Gz=Gz.astype(jnp.float32),      # (C_u, l3, l3), m-weighted
+            Mz_ops=Mz_ops_raw,              # (O_u, l3, l3) f32
+            a_f=a_f,                        # (O_u, l3, d3^2) f32
+            Cn=Cn,                          # (O_u, O_u) f32
+            deg=deg,                        # (O_u, l3, d3^2) f32
+        ),
     )
     return ops, rowv_bin
+
+
+def build_candidate_tensors_grouped(
+    shared,
+    geom,
+    image_region,
+    rise_pixel,
+    sqrt_m,
+    pair_idx,
+    pairs_valid,
+):
+    """Array-only variant of build_candidate_problem_grouped for the
+    grouped Pallas kernel: returns the per-candidate tensors of the fused
+    NTN matvec plus the solve's rhs/bounds, with no closures — vmappable
+    over the group's candidates. The rhs is computed with the SAME
+    weighted-P vjp the XLA path uses, so both paths solve the identical
+    system.
+    """
+    ops, rowv_bin = build_candidate_problem_grouped(
+        shared, geom, image_region, rise_pixel, sqrt_m, pair_idx,
+        pairs_valid,
+    )
+    l3 = geom.l3
+    d3sq = geom.d3 * geom.d3
+    mask_f = shared["mask_f"]
+    b_eff = ops["b"][None] * ops["row_valid"]
+    rhs = (ops["PT"](b_eff) * mask_f).reshape(l3, d3sq)
+    gf = ops["grouped_factors"]
+    return dict(
+        Gz=gf["Gz"],
+        Mz_ops=gf["Mz_ops"],
+        a_f=gf["a_f"],
+        Cn=gf["Cn"],
+        deg=gf["deg"],
+        rhs=rhs,
+        # box upper bound from the UNweighted rows (duplicates cannot
+        # change a max); b_norm pairs with the weighted rows (cosine)
+        ub_raw=jnp.max(ops["b"][None] * rowv_bin),
+        b_norm=jnp.sqrt(jnp.sum(b_eff * b_eff)),
+    )

@@ -506,6 +506,8 @@ def _solve_group_impl(
     n_ops_u: int = 0,
     dy_pixel=0.0,
     fused_ntn=None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Score one twist-group: R same-twist candidates sharing operators.
 
@@ -558,6 +560,20 @@ def _solve_group_impl(
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
 
+    if use_pallas:
+        # fused grouped Pallas solve: the whole group's CG/power/FISTA
+        # runs inside ONE kernel with A_top VMEM-resident
+        # (pallas_solver.solve_group_pallas). Gated by grid.py to the
+        # configurations it implements exactly: cosine score, lsq with
+        # l1 = l2 = 0, no thresh clip, no fsc.
+        assert cfg.score_metric == "cosine"
+        assert cfg.l1_reg == 0.0 and cfg.l2_reg == 0.0
+        assert cfg.thresh_fraction < 0
+        return _solve_group_pallas(
+            shared, geom, cfg, image_region, twist_degree, rises_pixel,
+            m_counts, pair_idx, pairs_valid, pallas_interpret,
+        )
+
     def one(rise_pixel, m_r, pidx_r, pval_r, rank_r):
         sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
         ops, rowv_bin = build_candidate_problem_grouped(
@@ -602,6 +618,53 @@ def _solve_group_impl(
     return jax.vmap(one)(
         rises_pixel, m_counts, pair_idx, pairs_valid, copy_rank
     )
+
+
+def _solve_group_pallas(
+    shared, geom, cfg: SolveConfig, image_region, twist_degree,
+    rises_pixel, m_counts, pair_idx, pairs_valid, interpret: bool,
+):
+    """Grouped Pallas branch of _solve_group_impl: build the
+    per-candidate tensors in XLA (vmapped, sharing the group's
+    operators), assemble the wide-layout kernel inputs, and run the
+    fused on-chip solve. Returns scores (R,)."""
+    from .pallas_solver import grouped_pallas_inputs, solve_group_pallas
+    from .projector_grouped import build_candidate_tensors_grouped
+
+    def tensors_one(rise_pixel, m_r, pidx_r, pval_r):
+        sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
+        td = build_candidate_tensors_grouped(
+            shared, geom, image_region, rise_pixel, sqrt_m, pidx_r,
+            pval_r,
+        )
+        pitch_pixel = jnp.round(
+            rise_pixel * 360.0 / jnp.abs(twist_degree)
+        )
+        positive = jnp.where(
+            cfg.positive_constraint > 0,
+            True,
+            jnp.where(
+                cfg.positive_constraint < 0, pitch_pixel > 2 * geom.l3,
+                False,
+            ),
+        )
+        td["lb"] = jnp.where(positive, 0.0, -jnp.inf)
+        td["ub"] = jnp.where(positive, td.pop("ub_raw"), jnp.inf)
+        return td
+
+    tens = jax.vmap(tensors_one)(
+        rises_pixel, m_counts, pair_idx, pairs_valid
+    )
+    R = int(rises_pixel.shape[0])
+    args, static = grouped_pallas_inputs(shared, tens, geom, R)
+    _, scores = solve_group_pallas(
+        args, static,
+        cg_iters=cfg.cg_iters, fista_iters=cfg.fista_iters,
+        power_iters=cfg.power_iters,
+        use_bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
+        interpret=interpret,
+    )
+    return scores.reshape(R)
 
 
 def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):

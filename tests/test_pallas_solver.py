@@ -97,6 +97,75 @@ def test_validate_on_device_harness():
     assert out["v1_rel_err"] < 1e-4 and out["v2_rel_err"] < 1e-4, out
 
 
+@pytest.mark.parametrize("interp", ["nn", "linear"])
+def test_grouped_kernel_matches_xla(interp):
+    """v3 grouped kernel (whole twist-group CG/power/FISTA fused in one
+    kernel, A_top VMEM-resident) score-matches the twist-grouped XLA
+    path in interpret mode — for BOTH interpolation modes, since the
+    operator build stays in XLA (closing the v2 nn-only gap)."""
+    from helicon_tpu.denovo3d.geometry import (
+        estimate_copy_pair_counts,
+        estimate_n_pair_ops,
+    )
+    from helicon_tpu.denovo3d.grid import _group_tables
+    from helicon_tpu.denovo3d.solver import SolveConfig, _solve_group_impl
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = np.asarray(
+        simulate_helical_projection(
+            n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+            ball_radius=6.0, polymer=0, planarity=1.0,
+            ny=64, nx=128, apix=2.0, rng=0,
+        )
+    ).squeeze()
+    geom = ReconstructionGeometry(
+        d2=14, l2=32, d3=12, l3=4, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=0.858, csym=1,
+    )
+    region = img[: geom.d2, : geom.l2].astype(np.float32)
+    rises = np.asarray([1.0, 1.1, 1.2], np.float32)
+    twist = 29.4
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(rises.min()), 8, rise_pixel_max=float(rises.max())
+    )
+    n_ops = estimate_n_pair_ops(geom, float(rises.min()))
+    u = set()
+    for r in rises:
+        ch, cc, cv = select_copies(geom, float(r), n_copies)
+        u.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    rp, m, ch_u, cc_u, pidx, pval, rank = _group_tables(
+        geom, twist, rises, n_copies, n_pairs, n_ops, len(u), 8, {}
+    )
+    cfg = SolveConfig(
+        interpolation=interp, model="lsq", cg_iters=6, fista_iters=8,
+        power_iters=2, separable=True, compute_dtype="float32",
+    )
+    common = (
+        geom, cfg, jnp.asarray(region), jnp.float32(twist),
+        jnp.asarray(rp), jnp.asarray(m), jnp.asarray(ch_u),
+        jnp.asarray(cc_u), jnp.asarray(pidx), jnp.asarray(pval),
+    )
+    s_xla = np.asarray(
+        _solve_group_impl(*common, n_ops_u=n_ops, fused_ntn=True)
+    )
+    s_pal = np.asarray(
+        _solve_group_impl(
+            *common, n_ops_u=n_ops, use_pallas=True, pallas_interpret=True
+        )
+    )
+    assert np.abs(s_xla - s_pal).max() < 1e-4
+
+
+def test_fits_vmem_grouped_gate():
+    from helicon_tpu.denovo3d.pallas_solver import fits_vmem_grouped
+
+    # bench-like group geometry fits; an absurdly large one does not
+    assert fits_vmem_grouped(131, 28, 784, 5, 4, 16, jnp.bfloat16)
+    assert not fits_vmem_grouped(
+        400, 64, 44 * 44, 20, 24, 64, jnp.float32
+    )
+
+
 def test_full_pipeline_kernel_matches_xla(small_problem):
     """v2 kernel (in-kernel operator build + solve + cosine score)
     matches the XLA path exactly in interpret mode."""
