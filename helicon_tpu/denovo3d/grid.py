@@ -266,7 +266,7 @@ def _copy_block(geom, rises_key, n_copies, C_u, R_pad, copy_cache):
 @functools.lru_cache(maxsize=16)
 def _vgsolve_cached(
     geom, cfg: SolveConfig, n_ops_u: int, group_chunk: int, devices=None,
-    fused_ntn: bool = True,
+    fused_ntn: bool = True, use_pallas: bool = False,
 ):
     """Compiled twist-grouped scorer, shared across reconstruct_grid
     calls (same caching rationale as _vsolve_cached). Runs a sequential
@@ -284,6 +284,7 @@ def _vgsolve_cached(
         return _solve_group_impl(
             geom, cfg, region, tw, rises, m, ch, cc, pidx, pval, rank,
             n_ops_u=n_ops_u, dy_pixel=dyv, fused_ntn=fused_ntn,
+            use_pallas=use_pallas,
         )
 
     vgroups = jax.vmap(one_group, in_axes=(None, None) + (0,) * 8)
@@ -582,6 +583,21 @@ def _group_budget_bytes() -> int:
     return int(_os.environ.get("HELICON_GROUP_BUDGET_MB", "1536")) * 1024 * 1024
 
 
+def _pallas_group_compat(cfg) -> bool:
+    """Configurations the fused grouped Pallas solve implements exactly
+    (solver._solve_group_pallas): plain lsq + cosine, no regularization,
+    no thresh clip, no fsc split. Everything else takes the XLA path."""
+    return (
+        cfg.score_metric == "cosine"
+        and cfg.model == "lsq"
+        and cfg.l1_reg == 0.0
+        and cfg.l2_reg == 0.0
+        and cfg.thresh_fraction < 0
+        and cfg.fsc_test == 0
+        and cfg.separable
+    )
+
+
 def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
@@ -613,9 +629,53 @@ def _grouped_scoring(
     # one call dispatches at least R_pad candidates. HELICON_GRID_GROUP_R
     # overrides.
     max_size = max(len(g) for _, g in raw_groups)
+
+    # static canonical table width: copy-set union over ALL distinct
+    # rises (selection is twist-independent -> cache per rise). A global
+    # union (vs per-group max) keeps C_u — and hence the compiled shape —
+    # identical across calls that share a rise set, e.g. a warmup slice
+    # and the full grid.
+    u_all = set()
+    for r in np.unique(rise_pixels):
+        r = float(r)
+        if r not in copy_cache:
+            copy_cache[r] = select_copies(geom, r, n_copies)
+        ch, cc, cv = copy_cache[r]
+        u_all.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    C_u = len(u_all)
+
+    # HELICON_PALLAS_GROUPED: 1 = force the fused grouped Pallas solve
+    # (if the config is compatible and a tile-aligned R fits VMEM),
+    # 0 = never, auto (default) = on-TPU whenever it fits (measured
+    # policy, docs/PROFILE.md round-4 study).
+    dev0 = devices[0] if devices else jax.devices()[0]
+    pallas_mode = _os.environ.get("HELICON_PALLAS_GROUPED", "auto")
+    use_pallas = False
+    R_pallas = 0
+    if pallas_mode != "0" and _pallas_group_compat(cfg):
+        from .pallas_solver import fits_vmem_grouped
+
+        # the kernel's whole-group state lives in VMEM, so R is bounded
+        # by the fit check; its wide layout slices R-row slabs on the
+        # sublane axis, so R must be a multiple of 8
+        r_try = min(64, -(-max_size // 8) * 8, max(8, batch_size))
+        while r_try >= 8 and not fits_vmem_grouped(
+            C_u, geom.d2, geom.d3 * geom.d3, int(n_ops), geom.l3,
+            r_try, cfg.compute_dtype,
+        ):
+            r_try -= 8
+        if r_try >= 8:
+            R_pallas = r_try
+            use_pallas = (
+                pallas_mode == "1" or dev0.platform == "tpu"
+            )
+
     r_env = _os.environ.get("HELICON_GRID_GROUP_R", "")
     if r_env:
         R_pad = max(1, int(r_env))
+        use_pallas = use_pallas and R_pad % 8 == 0 and R_pad <= R_pallas
+    elif use_pallas:
+        R_pad = R_pallas
     else:
         # geometry-aware cap: the group GEMMs' output axis is N = R * l3,
         # so small-l3 (toy) geometries want a larger R than tall ones.
@@ -631,20 +691,6 @@ def _grouped_scoring(
         for s in range(0, len(g), R_pad):
             groups.append((t, g[s : s + R_pad]))
     group_idx = [g for _, g in groups]
-
-    # static canonical table width: copy-set union over ALL distinct
-    # rises (selection is twist-independent -> cache per rise). A global
-    # union (vs per-group max) keeps C_u — and hence the compiled shape —
-    # identical across calls that share a rise set, e.g. a warmup slice
-    # and the full grid.
-    u_all = set()
-    for r in np.unique(rise_pixels):
-        r = float(r)
-        if r not in copy_cache:
-            copy_cache[r] = select_copies(geom, r, n_copies)
-        ch, cc, cv = copy_cache[r]
-        u_all.update(zip(ch[cv].tolist(), cc[cv].tolist()))
-    C_u = len(u_all)
 
     chunk_env = _os.environ.get("HELICON_GRID_GROUP_CHUNK", "")
     if chunk_env:
@@ -668,7 +714,6 @@ def _grouped_scoring(
         # 181.9 -> 197.9 cand/s; chunk 4 regresses both). Accelerators
         # only: CPU execution is synchronous (no dispatch bubble to
         # hide), so the floor would just widen the compiled body.
-        dev0 = devices[0] if devices else jax.devices()[0]
         if group_chunk == 1 and mem_cap >= 2 and dev0.platform != "cpu":
             group_chunk = 2
         group_chunk = min(group_chunk, mem_cap)
@@ -695,12 +740,13 @@ def _grouped_scoring(
         path="grouped", R_pad=int(R_pad), group_chunk=int(group_chunk),
         g_call=int(g_call), n_groups=int(n_groups), C_u=int(C_u),
         n_devices=int(n_dev), fused_ntn=bool(fused),
+        use_pallas=bool(use_pallas),
         pad_fraction=round(1.0 - n_cand / (len(groups) * R_pad), 4),
     )
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
         tuple(devices) if n_dev > 1 else None,
-        fused_ntn=fused,
+        fused_ntn=fused, use_pallas=use_pallas,
     )
     if n_dev > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -785,7 +831,8 @@ def _grouped_scoring(
                         # 5-arg call shape: shares the lru entry with the
                         # main scorer when group_chunk == 1, single device
                         _vgsolve_cached(geom, cfg, int(n_ops), 1, None,
-                                        fused_ntn=_use_fused_ntn())
+                                        fused_ntn=_use_fused_ntn(),
+                                        use_pallas=use_pallas)
                         .lower(*one)
                         .compile()
                         .cost_analysis()

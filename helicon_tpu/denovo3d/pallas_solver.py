@@ -710,6 +710,8 @@ def grouped_pallas_inputs(shared, tens, geom, R: int):
     cnt = jnp.broadcast_to(
         tens["Cn"].reshape(1, R, O * O), (l3, R, O * O)
     ).reshape(RL, O * O)
+    if O * O < 128:  # lane-pad: zeros are never addressed by the kernel
+        cnt = jnp.pad(cnt, ((0, 0), (0, 128 - O * O)))
 
     def wide_cand(x):  # (R, l3, d3sq) -> (RL, d3sq)
         return jnp.transpose(x, (1, 0, 2)).reshape(RL, d3sq)
@@ -721,12 +723,17 @@ def grouped_pallas_inputs(shared, tens, geom, R: int):
     )
     rhs_w = wide_cand(tens["rhs"])
 
-    def col_r(v):  # (R,) -> (RL, 1), broadcast over z slabs
-        return jnp.broadcast_to(v.reshape(1, R), (l3, R)).reshape(RL, 1)
+    # per-candidate scalars ride as 128-lane-replicated VMEM arrays:
+    # narrow (x, 1) VMEM operands/outputs crash the Mosaic pipeline
+    # ("limits[i] <= dim(i)" in the custom-call output prep), and the
+    # minimum f32 tile is (8, 128) anyway — replication costs nothing
+    def col_r(v):  # (R,) -> (RL, 128), broadcast over z slabs + lanes
+        w = jnp.broadcast_to(v.reshape(1, R), (l3, R)).reshape(RL, 1)
+        return jnp.broadcast_to(w, (RL, 128))
 
     lb_w = col_r(tens["lb"])
     ub_w = col_r(tens["ub"])
-    bn = tens["b_norm"].reshape(R, 1)
+    bn = jnp.broadcast_to(tens["b_norm"].reshape(R, 1), (R, 128))
 
     args = (a_top, a_topt, gt, bz, bzt, af_w, degm_w, afm_w, cnt,
             mask_w, rhs_w, lb_w, ub_w, bn)
@@ -850,8 +857,8 @@ def _group_kernel(
         etaw = tile_r(1.0 / jnp.maximum(lips, 1e-20))
 
         # ---- FISTA with box projection (l1 = 0: prox = clip) --------
-        lb = lb_ref[:]
-        ub = ub_ref[:]
+        lb = lb_ref[:, 0:1]
+        ub = ub_ref[:, 0:1]
 
         def fista_body(_, carry):
             x, y, t = carry
@@ -866,7 +873,7 @@ def _group_kernel(
             0, fista_iters, fista_body, (xc, xc, jnp.float32(1.0))
         )
     else:
-        x = jnp.clip(x, lb_ref[:], ub_ref[:])
+        x = jnp.clip(x, lb_ref[:, 0:1], ub_ref[:, 0:1])
 
     x = x * mask
     x_ref[:] = x
@@ -877,9 +884,10 @@ def _group_kernel(
     t_d = t[:, :Dd]
     den2 = cand_sum(t_d * data_mix(t_d))
     num = cand_sum(x * rhs)
-    den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:]
-    score_ref[:] = jnp.where(
-        den > 0, num / jnp.maximum(den, 1e-30), 0.0
+    den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:, 0:1]
+    score_ref[:] = jnp.broadcast_to(
+        jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0),
+        (R, 128),
     )
 
 
@@ -889,7 +897,8 @@ def solve_group_pallas(
     use_bf16: bool = True, interpret: bool = False,
 ):
     """Run the fused grouped solve; returns (x (R*l3, d3sq) f32,
-    scores (R, 1) f32). args/static from grouped_pallas_inputs."""
+    scores (R, 128) f32, lane-replicated — read column 0).
+    args/static from grouped_pallas_inputs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -910,7 +919,9 @@ def solve_group_pallas(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((RL, d3sq), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            # 128-lane-replicated scores: narrow (R, 1) VMEM outputs
+            # crash the Mosaic output-prep pass; callers take column 0
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
         ),
         in_specs=[vm] * 14,
         out_specs=(vm, vm),

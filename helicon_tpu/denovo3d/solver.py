@@ -662,9 +662,11 @@ def _solve_group_pallas(
         cg_iters=cfg.cg_iters, fista_iters=cfg.fista_iters,
         power_iters=cfg.power_iters,
         use_bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
-        interpret=interpret,
+        # compiled Mosaic needs a TPU; any other backend (tests, forced
+        # HELICON_PALLAS_GROUPED=1 on CPU) runs the interpreter
+        interpret=interpret or jax.default_backend() != "tpu",
     )
-    return scores.reshape(R)
+    return scores[:, 0].reshape(R)
 
 
 def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):
