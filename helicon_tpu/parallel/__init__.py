@@ -19,9 +19,27 @@ __all__ = [
     "candidate_sharding",
     "distributed_reconstruct_grid",
     "image_candidate_mesh",
+    "initialize_multihost",
+    "multihost_reconstruct_grid",
     "pad_to_multiple",
+    "process_candidate_slice",
     "shard_batch",
 ]
+
+
+def __getattr__(name):
+    # lazy: multihost pulls in jax.distributed machinery only when used
+    if name in (
+        "initialize_multihost",
+        "multihost_reconstruct_grid",
+        "process_candidate_slice",
+    ):
+        from . import multihost
+
+        return getattr(
+            multihost, name.replace("initialize_multihost", "initialize")
+        )
+    raise AttributeError(name)
 
 
 def candidate_mesh(devices=None, axis_name: str = "candidates") -> Mesh:

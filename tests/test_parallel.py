@@ -191,3 +191,86 @@ def test_multi_device_grouped_matches_single_device():
             os.environ["HELICON_GRID_GROUPED"] = old
     np.testing.assert_allclose(got.scores, ref.scores, rtol=0, atol=2e-5)
     assert int(np.argmax(got.scores)) == int(np.argmax(ref.scores))
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cpu():
+    """Multi-host (DCN) path: 2 processes x 2 virtual CPU devices each,
+    jax.distributed + Gloo collectives. Every process must end up with
+    the FULL score vector, identical across processes and matching a
+    single-process run of the same workload (tests/_mh_worker.py)."""
+    import json
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""
+        ).strip()
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.pop("JAX_NUM_PROCESSES", None)
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"p{i}.json") for i in range(2)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port), outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        logs = [p.communicate(timeout=420)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-2000:]
+        res = [json.load(open(o)) for o in outs]
+
+    # identical full score vectors on both processes
+    s0 = np.asarray(res[0]["scores"])
+    s1 = np.asarray(res[1]["scores"])
+    np.testing.assert_allclose(s0, s1, rtol=0, atol=1e-6)
+    assert res[0]["best_index"] == res[1]["best_index"]
+    assert res[0]["effective"]["n_processes"] == 2
+    # disjoint, covering slices
+    sl0 = res[0]["effective"]["process_slice"]
+    sl1 = res[1]["effective"]["process_slice"]
+    assert sl0[1] == sl1[0] and sl0[0] == 0 and sl1[1] == len(s0)
+    # only the argmax owner materialized the best volume (both report)
+    best = res[0]["best_index"]
+    owner = 0 if sl0[0] <= best < sl0[1] else 1
+    # (return_best_volume=False in the worker: neither holds a volume)
+    assert not res[0]["has_volume"] and not res[1]["has_volume"]
+    assert owner in (0, 1)
+
+    # single-process reference on the same workload
+    from tests._mh_worker import tiny_workload
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    image, tw, ri, kw = tiny_workload()
+    ref = reconstruct_grid(image, twists=tw, rises=ri, **kw)
+    np.testing.assert_allclose(s0, np.asarray(ref.scores), rtol=0, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_multiprocess():
+    """Driver hook: dryrun_multichip(n, n_processes=2) runs the DCN
+    path (2 workers x 2 virtual devices) and verifies score agreement."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4, n_processes=2)  # raises on failure
