@@ -17,6 +17,16 @@ Reference: webApps/denovo3D/app.py (2598 LoC). Workflow parity:
 The compute logic lives in the shiny-free :mod:`workflow` module (unit
 tested); this file is the reactive wiring. The grid itself is one
 sharded TPU computation per batch instead of the reference's ThreadPool.
+
+Control-surface parity (round 4): every reference sidebar input id
+exists here either verbatim or as a pure rename —
+  twist_min/twist_max -> twist_range (slider tuple), rise_min/rise_max
+  -> rise_range, twisting_handedness -> handedness, top_n_results ->
+  top_n, stop_denovo3D -> abort, apix -> image_index_apix, cpu ->
+  n_devices (TPU analog), image_stitching (commented out in the
+  reference) -> stitch_x_offsets + perform_stitching.
+Repo-only additions: fsc_test, refine_tilt/psi/dy (CLI features also
+surfaced in the app).
 """
 
 from __future__ import annotations
@@ -50,8 +60,13 @@ from helicon_tpu.webApps.denovo3D.workflow import (
     apply_transform_chain,
     auto_transform_params,
     combine_images_for_display,
+    estimate_stitch_offsets,
     estimate_threshold_otsu,
+    filter_blank_images,
+    preprocess_selected_images,
     run_grid_incremental,
+    score_plot_data,
+    symmetrize_projection,
 )
 
 ui.page_opts(title="denovo3D (helicon-tpu)", fillable=True)
@@ -67,6 +82,7 @@ transformed_images = reactive.value([])
 stitch_offsets = reactive.value([])
 grid_progress = reactive.value(None)  # workflow.GridProgress
 grid_result = reactive.value(None)
+search_apix = reactive.value(None)  # effective apix after binning
 _abort_flag = threading.Event()
 _progress_holder: dict = {"snap": None, "done": False}
 
@@ -89,13 +105,24 @@ def _selected_images():
 with ui.sidebar(width="33vw"):
     with ui.navset_pill(id="tab"):
         with ui.nav_panel("Input"):
-            ui.input_radio_buttons(
-                "input_mode_images",
-                "How to obtain the input images:",
-                choices=["upload", "url", "emdb"],
-                selected="url",
-                inline=True,
+            ui.input_checkbox(
+                "show_emdb_input_mode", "Show EMDB input mode", value=True
             )
+
+            @render.ui
+            @reactive.event(input.show_emdb_input_mode)
+            def input_mode_ui():
+                # reference app.py gates the emdb choice on this box
+                choices = ["upload", "url"] + (
+                    ["emdb"] if input.show_emdb_input_mode() else []
+                )
+                return ui.input_radio_buttons(
+                    "input_mode_images",
+                    "How to obtain the input images:",
+                    choices=choices,
+                    selected="url",
+                    inline=True,
+                )
 
             @render.ui
             @reactive.event(input.input_mode_images)
@@ -123,30 +150,90 @@ with ui.sidebar(width="33vw"):
                 )
 
             ui.input_checkbox("is_3d", "The input is a 3D map", value=False)
+            ui.input_checkbox(
+                "ignore_blank", "Ignore blank input images", value=True
+            )
             ui.input_numeric("image_index_apix", "Pixel size override (A)", 0.0)
+            ui.input_numeric(
+                "selected_image_display_size",
+                "Selected image display size (pixel)",
+                128, min=32, max=512, step=32,
+            )
+
+        with ui.nav_panel("Simulate"):
+            # 3D input -> symmetrized noisy projection as the search
+            # input (reference app.py:247-410 simulation sidebar +
+            # 1776-1827 symmetrization_projection handler)
+            ui.input_numeric("input_apix", "Input voxel size (A)", 0.0, step=0.1)
+            ui.input_numeric("input_twist", "Twist (deg)", 29.4, step=0.1)
+            ui.input_numeric("input_rise", "Rise (A)", 4.75, step=0.1)
+            ui.input_numeric("input_csym", "Csym", 1, min=1, step=1)
+            ui.input_numeric("output_apix", "Output pixel size (A)", 5.0, min=0.1, step=0.1)
+            ui.input_numeric("output_length", "Output length (pixels)", 256, min=32, step=16)
+            ui.input_numeric("output_width", "Output width (pixels)", 128, min=32, step=16)
+            ui.input_numeric(
+                "output_axial_rotation", "Axial rotation (deg)", 0, min=-20, max=20, step=1
+            )
+            ui.input_numeric(
+                "output_tilt", "Tilt out of plane (deg)", 0, min=-90, max=90, step=1
+            )
+            ui.input_numeric(
+                "gauss_noise_std", "Gaussian noise standard deviation", 0.0
+            )
+            ui.input_task_button(
+                "symmetrization_projection", "Generate projection"
+            )
 
         with ui.nav_panel("Transform"):
+            ui.input_radio_buttons(
+                "input_ui_type",
+                "Image transformation parameters input type:",
+                ["Slider", "Input box"],
+                inline=True,
+            )
             ui.input_checkbox("img_negate", "Negate", value=False)
             ui.input_checkbox("img_transpose", "Transpose", value=False)
             ui.input_checkbox("img_flip", "Flip left-right", value=False)
             ui.input_numeric("threshold", "Threshold", 0.0, step=0.001)
-            ui.input_slider(
-                "pre_rotation", "Rotation (deg)", min=-45, max=45, value=0.0,
-                step=0.1,
-            )
-            ui.input_slider(
-                "shift_y", "Vertical shift (pixel)", min=-100, max=100,
-                value=0.0, step=1,
-            )
+
+            @render.ui
+            @reactive.event(input.input_ui_type)
+            def rotation_shift_ui():
+                # reference app.py input_ui_type: the rotation/shift
+                # controls render as sliders or as numeric input boxes
+                if input.input_ui_type() == "Input box":
+                    return ui.div(
+                        ui.input_numeric(
+                            "pre_rotation", "Rotation (deg)", 0.0, step=0.1
+                        ),
+                        ui.input_numeric(
+                            "shift_y", "Vertical shift (pixel)", 0.0, step=1.0
+                        ),
+                    )
+                return ui.div(
+                    ui.input_slider(
+                        "pre_rotation", "Rotation (deg)", min=-45, max=45,
+                        value=0.0, step=0.1,
+                    ),
+                    ui.input_slider(
+                        "shift_y", "Vertical shift (pixel)", min=-100,
+                        max=100, value=0.0, step=1,
+                    ),
+                )
+
             ui.input_numeric("vertical_crop_size", "Vertical crop (pixel)", 0)
             ui.input_numeric(
                 "horizontal_crop_size", "Horizontal crop (pixel)", 0
             )
+            ui.input_numeric("binning", "Binning", 1, min=1, max=100, step=1)
+            ui.input_numeric("lp_angst", "Low pass filtering (A)", -1.0, step=0.1)
+            ui.input_numeric("hp_angst", "High pass filtering (A)", -1.0, step=0.1)
             ui.input_text(
                 "stitch_x_offsets",
                 "Stitching x-offsets (comma-separated, multi-image)",
                 value="",
             )
+            ui.input_action_button("perform_stitching", "Stitch images")
             ui.input_action_button("auto_transform", "Auto transform")
             ui.input_action_button("reset_transform", "Reset")
 
@@ -178,8 +265,36 @@ with ui.sidebar(width="33vw"):
                 ["lsq", "lreg", "ridge", "lasso", "elasticnet", "ard"],
             )
             ui.input_numeric("lr_alpha", "Regularization alpha", -1.0)
+            ui.input_numeric(
+                "lr_l1_ratio", "L1 regularization ratio", 0.5,
+                min=0.0, max=1.0, step=0.1,
+            )
+            ui.input_radio_buttons(
+                "positive_constraint", "Positive constraint",
+                {"-1": "Auto", "0": "No", "1": "Yes"},
+                selected="-1", inline=True,
+            )
+            ui.input_numeric(
+                "target_apix2d", "Target image pixel size (A)", -1.0, min=-1, step=1
+            )
+            ui.input_numeric(
+                "target_apix3d", "Target voxel size (A)", -1.0, min=-1, step=1
+            )
+            ui.input_numeric(
+                "reconstruct_length_rise", "Reconstruction length (rise)",
+                3, min=1, step=1,
+            )
             ui.input_numeric("sym_oversample", "Symmetry oversample (-1=auto)", -1)
+            ui.input_numeric(
+                "n_devices", "# TPU devices (-1 = all)", -1, min=-1, step=1
+            )
             ui.input_numeric("top_n", "Top N results", 10, min=1)
+            ui.input_checkbox("plot_scores", "Plot scores", value=True)
+            ui.input_checkbox(
+                "show_download_print_buttons",
+                "Show download/print buttons",
+                value=False,
+            )
 
     ui.input_task_button("run_denovo3D", "Run denovo3D")
     ui.input_action_button("abort", "Abort")
@@ -264,7 +379,35 @@ def get_images_from_emdb():
 
 
 @reactive.effect
-@reactive.event(input_data, input.is_3d)
+@reactive.event(input.symmetrization_projection)
+def generate_symmetrized_projection():
+    """3D input -> user-parameterized symmetrized noisy projection
+    (reference app.py:1776-1827); replaces the auto XYZ projections."""
+    d = input_data.get()
+    req(d is not None and (d.is_3d or input.is_3d()))
+    apix_in = _num(input.input_apix()) or float(d.apix)
+    proj, new_apix = symmetrize_projection(
+        np.asarray(d.data),
+        apix=apix_in,
+        twist_degree=_num(input.input_twist(), 29.4),
+        rise_angstrom=_num(input.input_rise(), 4.75),
+        csym=max(1, _int(input.input_csym(), 1)),
+        new_size=(
+            _int(input.output_length(), 256),
+            _int(input.output_width(), 128),
+            _int(input.output_width(), 128),
+        ),
+        new_apix=_num(input.output_apix(), 5.0),
+        axial_rotation=_num(input.output_axial_rotation()),
+        tilt=_num(input.output_tilt()),
+        gauss_noise_std=_num(input.gauss_noise_std()),
+    )
+    all_images.set(dict(data=proj, apix=float(new_apix)))
+    selected_indices.set([0])
+
+
+@reactive.effect
+@reactive.event(input_data, input.is_3d, input.ignore_blank)
 def update_all_images():
     d = input_data.get()
     req(d is not None)
@@ -283,6 +426,9 @@ def update_all_images():
         stack = np.asarray(projs, np.float32)
     else:
         stack = data if data.ndim == 3 else data[None]
+    if input.ignore_blank():
+        keep = filter_blank_images(stack)
+        stack = stack[np.asarray(keep, int)] if keep else stack[:0]
     if _num(input.image_index_apix()) > 0:
         apix = _num(input.image_index_apix())
     all_images.set(dict(data=stack, apix=apix))
@@ -345,12 +491,24 @@ def reset_transform():
     selected_indices, input.img_negate, input.threshold, input.img_transpose,
     input.img_flip, input.pre_rotation, input.shift_y,
     input.vertical_crop_size, input.horizontal_crop_size,
+    input.binning, input.lp_angst, input.hp_angst,
 )
 def update_transformed_images():
     imgs = _selected_images()
     if not imgs:
         transformed_images.set([])
         return
+    # binning + band-pass run BEFORE the geometric chain (reference
+    # app.py:1890-1943 preprocesses the selected originals); binning
+    # scales the effective pixel size the search must use
+    apix = float(all_images.get()["apix"])
+    imgs, eff_apix = preprocess_selected_images(
+        imgs, apix,
+        binning=_int(input.binning(), 1),
+        lp_angst=_num(input.lp_angst(), -1),
+        hp_angst=_num(input.hp_angst(), -1),
+    )
+    search_apix.set(eff_apix)
     out = apply_transform_chain(
         imgs,
         negate=bool(input.img_negate()),
@@ -365,6 +523,21 @@ def update_transformed_images():
         horizontal_crop_size=int(input.horizontal_crop_size() or 0),
     )
     transformed_images.set(out)
+
+
+@reactive.effect
+@reactive.event(input.perform_stitching)
+def run_perform_stitching():
+    """Auto-estimate the montage x-offsets by cross-correlating
+    adjacent images' column profiles (the reference's Stitch Images
+    dialog, made automatic)."""
+    imgs = transformed_images.get()
+    req(imgs and len(imgs) > 1)
+    offs = estimate_stitch_offsets(imgs)
+    ui.update_text(
+        "stitch_x_offsets",
+        value=",".join(f"{int(o)}" for o in offs),
+    )
 
 
 @reactive.effect
@@ -480,6 +653,7 @@ def start_reconstruction():
     algorithm = dict(model=input.lr_algorithm())
     if _num(input.lr_alpha(), -1.0) >= 0:
         algorithm["alpha"] = _num(input.lr_alpha())
+    algorithm["l1_ratio"] = min(1.0, max(0.0, _num(input.lr_l1_ratio(), 0.5)))
     refine = {}
     if _num(input.refine_tilt()) > 0:
         refine["tilt"] = _num(input.refine_tilt())
@@ -487,6 +661,12 @@ def start_reconstruction():
         refine["psi"] = _num(input.refine_psi())
     if _num(input.refine_dy()) > 0:
         refine["dy"] = _num(input.refine_dy())
+    devices = None
+    nd = _int(input.n_devices(), -1)
+    if nd > 0:
+        import jax
+
+        devices = jax.devices()[: max(1, nd)]
     kwargs = dict(
         csym=max(1, _int(input.csym(), 1)),
         interpolation=input.interpolation(),
@@ -494,12 +674,21 @@ def start_reconstruction():
         fsc_test=_int(input.fsc_test()),
         refine_tilt_psi_dy_range=refine or None,
         algorithm=algorithm,
+        positive_constraint=_int(input.positive_constraint(), -1),
+        target_apix2d=_num(input.target_apix2d(), -1),
+        target_apix3d=_num(input.target_apix3d(), -1),
+        reconstruct_length_rise=max(
+            1.0, _num(input.reconstruct_length_rise(), 3.0)
+        ),
         sym_oversample=_int(input.sym_oversample(), -1),
         horizontalize=0,  # the transform chain already leveled the image
         transpose=0,
         return_best_volume=True,
     )
-    apix = float(all_images.get()["apix"])
+    if devices is not None:
+        kwargs["devices"] = devices
+    # binning changed the pixel size of the transformed images
+    apix = float(search_apix.get() or all_images.get()["apix"])
     reconstruction_task(img, apix, twists, rises, kwargs)
 
 
@@ -559,9 +748,101 @@ def transformed_preview():
     img = _search_image()
     if img is None:
         return None
+    size = max(32, _int(input.selected_image_display_size(), 128))
     return ui.div(
         ui.tags.label("Search input (transformed/stitched):"),
-        ui.tags.img(src=encode_numpy(np.asarray(img)), width="512px"),
+        ui.tags.img(
+            src=encode_numpy(np.asarray(img)), width=f"{4 * size}px",
+            id="input_image_display",
+        ),
+    )
+
+
+@render.ui
+def download_print_buttons():
+    """Print buttons for the input/reconstructed image panels
+    (reference app.py print_input_images / print_reeconstructed_images:
+    window.open + document.write of the panel contents)."""
+    if not input.show_download_print_buttons():
+        return None
+
+    def _print_js(element_id):
+        return (
+            "var w = window.open();"
+            "w.document.write(document.head.outerHTML);"
+            "var el = document.getElementById('" + element_id + "');"
+            "if (el) { w.document.write(el.outerHTML); }"
+            "w.document.close(); w.focus(); w.print(); w.close();"
+        )
+
+    return ui.div(
+        ui.input_action_button(
+            "print_input_images", "Print input images",
+            onclick=_print_js("input_image_display"),
+        ),
+        ui.input_action_button(
+            "print_reeconstructed_images", "Print reeconstructed images",
+            onclick=_print_js("best_result_display"),
+        ),
+    )
+
+
+def _score_heatmap_png(plot):
+    """(twist, rise) score landscape as an image: viridis-free grayscale
+    heat map with the best cell outlined (reference app.py:1078-1113
+    builds the same max-aggregated grid with a red box via plotly)."""
+    z = plot["z"]
+    lo, hi = float(z.min()), float(z.max())
+    img = (z - lo) / (hi - lo) if hi > lo else np.zeros_like(z)
+    scale = max(1, int(np.ceil(256 / max(img.shape))))
+    big = np.kron(img.T[::-1], np.ones((scale, scale)))  # rise up, twist right
+    bi = int(np.argmax(plot["x"] == plot["best"][0]))
+    bj = int(np.argmax(plot["y"] == plot["best"][1]))
+    r0 = big.shape[0] - (bj + 1) * scale
+    c0 = bi * scale
+    big[r0 : r0 + scale, c0] = 1.0
+    big[r0 : r0 + scale, min(c0 + scale - 1, big.shape[1] - 1)] = 1.0
+    big[r0, c0 : c0 + scale] = 1.0
+    big[min(r0 + scale - 1, big.shape[0] - 1), c0 : c0 + scale] = 1.0
+    return encode_numpy(big.astype(np.float32))
+
+
+@render.ui
+def score_plot():
+    """Score landscape (gated on the plot_scores checkbox)."""
+    if not input.plot_scores():
+        return None
+    snap = grid_progress.get()
+    res = grid_result.get()
+    if res is not None:
+        plot = score_plot_data(res.twists, res.rises, res.scores)
+    elif snap is not None and snap.ranked:
+        rows = np.asarray(snap.ranked, np.float64)
+        plot = score_plot_data(rows[:, 0], rows[:, 1], rows[:, 2])
+    else:
+        return None
+    if plot is None:
+        return None
+    if plot["kind"] == "2d":
+        return ui.div(
+            ui.tags.label(
+                f"Score landscape (best: twist={plot['best'][0]:.3f} deg, "
+                f"rise={plot['best'][1]:.3f} A; x=twist, y=rise):"
+            ),
+            ui.tags.img(src=_score_heatmap_png(plot), width="512px"),
+        )
+    # 1D: inline SVG polyline score curve
+    x, y = plot["x"], plot["y"]
+    xs = (x - x.min()) / max(x.max() - x.min(), 1e-30) * 480 + 10
+    lo, hi = float(y.min()), float(y.max())
+    ys = 150 - (y - lo) / max(hi - lo, 1e-30) * 140
+    pts = " ".join(f"{a:.1f},{b:.1f}" for a, b in zip(xs, ys))
+    return ui.div(
+        ui.tags.label(f"Scores vs {plot['xlabel']}:"),
+        ui.HTML(
+            '<svg width="500" height="160" style="background:#f8f8f8">'
+            f'<polyline points="{pts}" fill="none" stroke="blue"/></svg>'
+        ),
     )
 
 
@@ -613,4 +894,4 @@ def best_result():
                 f"dy={d_r:.2f} px"
             ),
         )
-    return ui.div(*bits)
+    return ui.div(*bits, id="best_result_display")

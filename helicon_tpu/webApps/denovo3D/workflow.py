@@ -28,6 +28,11 @@ __all__ = [
     "estimate_threshold_otsu",
     "apply_transform_chain",
     "auto_transform_params",
+    "filter_blank_images",
+    "preprocess_selected_images",
+    "estimate_stitch_offsets",
+    "symmetrize_projection",
+    "score_plot_data",
     "run_grid_incremental",
 ]
 
@@ -86,6 +91,185 @@ def combine_images_for_display(images, x_offsets=None):
         count_image,
         where=(count_image > 0),
         out=np.zeros_like(sum_image),
+    )
+
+
+def filter_blank_images(stack):
+    """Indices of non-blank images (max > min), reference
+    app.py:1849-1856 (the `ignore_blank` checkbox)."""
+    return [
+        i for i, im in enumerate(stack)
+        if float(np.max(im)) > float(np.min(im))
+    ]
+
+
+def preprocess_selected_images(
+    images, apix: float, binning: int = 1,
+    lp_angst: float = -1, hp_angst: float = -1,
+):
+    """Binning + low/high-pass preprocessing of the selected images
+    (reference app.py:1890-1943). Returns (images, effective_apix).
+
+    Binning is a clean block-mean downscale (the MXU-friendly
+    core.filters.down_scale Fourier crop serves the same band limit;
+    integer block-mean matches the reference's rescale semantics
+    closest for integer factors). Filter cutoffs are Nyquist
+    fractions 2*apix/angstrom like the reference.
+    """
+    from ...core.filters import low_high_pass_filter
+
+    binning = max(1, int(binning))
+    out = [np.asarray(im, np.float32) for im in images]
+    if binning > 1:
+        binned = []
+        for a in out:
+            ny, nx = a.shape
+            cy, cx = ny // binning * binning, nx // binning * binning
+            a = a[:cy, :cx].reshape(
+                cy // binning, binning, cx // binning, binning
+            ).mean(axis=(1, 3))
+            binned.append(a.astype(np.float32))
+        out = binned
+        apix = apix * binning
+    lp_frac = 2.0 * apix / lp_angst if lp_angst and lp_angst > 0 else -1
+    hp_frac = 2.0 * apix / hp_angst if hp_angst and hp_angst > 0 else -1
+    if lp_frac > 0 or hp_frac > 0:
+        out = [
+            np.asarray(
+                low_high_pass_filter(
+                    a, low_pass_fraction=max(lp_frac, 0),
+                    high_pass_fraction=max(hp_frac, 0),
+                ),
+                np.float32,
+            )
+            for a in out
+        ]
+    return out, float(apix)
+
+
+def estimate_stitch_offsets(images, max_shift_fraction: float = 0.9):
+    """Auto x-offsets for the multi-image montage: 1D cross-correlation
+    of adjacent images' column profiles (the reference's interactive
+    "Stitch Images" dialog, app.py perform_stitching; here estimated
+    automatically). Returns one offset per image (first = 0), in the
+    convention of image_stitching_x_positions: offset i is relative to
+    the UNSHIFTED concatenation position sum(widths[:i]), so pairwise
+    overlaps accumulate (negative = overlap)."""
+    if len(images) < 2:
+        return [0.0] * len(images)
+    pairwise = [0.0]
+    for a, b in zip(images[:-1], images[1:]):
+        pa = np.asarray(a, np.float64).sum(axis=0)
+        pb = np.asarray(b, np.float64).sum(axis=0)
+        pa = pa - pa.mean()
+        pb = pb - pb.mean()
+        n = len(pa) + len(pb) - 1
+        corr = np.correlate(pb, pa, mode="full")  # c[k]: sum pb[n+lag]*pa[n]
+        lags = np.arange(n) - (len(pa) - 1)
+        # peak lag satisfies pb[n+lag] = pa[n], i.e. b's global start
+        # g = -lag; offset convention: b starts at a_end + offset
+        cand = -lags - len(pa)
+        # only consider overlaps up to max_shift_fraction of the width
+        wmax = int(max_shift_fraction * min(len(pa), len(pb)))
+        ok = (cand <= 0) & (cand >= -wmax)
+        if not ok.any():
+            pairwise.append(0.0)
+            continue
+        best = int(np.argmax(np.where(ok, corr, -np.inf)))
+        pairwise.append(float(cand[best]))
+    return np.cumsum(pairwise).tolist()
+
+
+def symmetrize_projection(
+    data,
+    apix: float,
+    twist_degree: float,
+    rise_angstrom: float,
+    csym: int = 1,
+    new_size=None,
+    new_apix: float | None = None,
+    axial_rotation: float = 0.0,
+    tilt: float = 0.0,
+    gauss_noise_std: float = 0.0,
+    rng=None,
+):
+    """3D map -> symmetrized map -> noisy 2D projection, the app's
+    simulation input mode (reference app.py:1776-1827 +
+    utils.symmetrize_transform_map at webApps/denovo3D/utils.py:349-380).
+
+    Returns (projection stack (1, ny, nx) float32, new_apix).
+    """
+    import helicon_tpu as helicon
+
+    data = np.asarray(data, np.float32)
+    new_apix = float(new_apix if new_apix else apix)
+    if new_apix > apix:
+        data = np.asarray(
+            helicon.low_high_pass_filter(
+                data, low_pass_fraction=apix / new_apix
+            ),
+            np.float32,
+        )
+    m = np.asarray(
+        helicon.apply_helical_symmetry(
+            data, apix=apix, twist_degree=twist_degree,
+            rise_angstrom=rise_angstrom, csym=int(csym),
+            new_size=new_size, new_apix=new_apix,
+        ),
+        np.float32,
+    )
+    if axial_rotation or tilt:
+        m = np.asarray(
+            helicon.transform_map(m, rot=axial_rotation, tilt=tilt),
+            np.float32,
+        )
+    proj = np.transpose(m.sum(axis=-1))[:, ::-1]
+    if gauss_noise_std and gauss_noise_std > 0:
+        # noise scaled by the foreground sigma (app.py:1816-1824)
+        fg = proj[proj > 1e-3]
+        sigma = float(np.std(fg)) if fg.size else float(np.std(proj))
+        rng = np.random.default_rng(rng)
+        proj = proj + rng.normal(
+            scale=sigma * gauss_noise_std, size=proj.shape
+        )
+    return proj[None].astype(np.float32), new_apix
+
+
+def score_plot_data(twists, rises, scores):
+    """Score-landscape data for the app's plot (reference
+    app.py:1029-1137): 2D max-aggregated (twist, rise) -> score grid
+    when both axes vary, else the 1D curve. Vectorized (the reference
+    triple-loops over candidates).
+
+    Returns dict(kind="2d", z (n_twist, n_rise), x twists, y rises,
+    best=(tw, ri)) or dict(kind="1d", x, y, xlabel) or None.
+    """
+    twists = np.asarray(twists, np.float64)
+    rises = np.asarray(rises, np.float64)
+    scores = np.asarray(scores, np.float64)
+    ok = np.isfinite(scores)
+    if ok.sum() < 2:
+        return None
+    twists, rises, scores = twists[ok], rises[ok], scores[ok]
+    xu, xi = np.unique(twists, return_inverse=True)
+    yu, yi = np.unique(rises, return_inverse=True)
+    if len(xu) > 1 and len(yu) > 1:
+        z = np.full((len(xu), len(yu)), scores.min(), np.float64)
+        np.maximum.at(z, (xi, yi), scores)
+        bi = np.unravel_index(np.argmax(z), z.shape)
+        return dict(
+            kind="2d", z=z, x=xu, y=yu,
+            best=(float(xu[bi[0]]), float(yu[bi[1]])),
+        )
+    if len(xu) > 1:
+        order = np.argsort(twists)
+        return dict(
+            kind="1d", x=twists[order], y=scores[order],
+            xlabel="Twist (°)",
+        )
+    order = np.argsort(rises)
+    return dict(
+        kind="1d", x=rises[order], y=scores[order], xlabel="Rise (Å)"
     )
 
 

@@ -9,6 +9,7 @@ import jax
 import numpy as np
 import pytest
 
+from helicon_tpu.webApps.denovo3D import workflow
 from helicon_tpu.webApps.denovo3D.workflow import (
     DEFAULT_URL_KEY,
     URLS,
@@ -200,3 +201,102 @@ def test_final_snapshot_after_abort_ranks_only_scored():
     assert final.aborted
     assert final.done < final.total
     assert all(np.isfinite(s) for _, _, s in final.ranked)
+
+
+class TestKnobSurface:
+    """Round-4 knob additions (VERDICT r3 #4): reference sidebar controls
+    reach the pure workflow layer."""
+
+    def test_filter_blank_images(self):
+        stack = np.stack([
+            np.zeros((8, 8), np.float32),
+            np.linspace(0, 1, 64).reshape(8, 8).astype(np.float32),
+            np.full((8, 8), 2.5, np.float32),  # constant = blank
+        ])
+        assert workflow.filter_blank_images(stack) == [1]
+
+    def test_preprocess_binning_scales_apix(self):
+        img = np.random.default_rng(0).random((32, 64)).astype(np.float32)
+        out, apix = workflow.preprocess_selected_images([img], 2.0, binning=2)
+        assert out[0].shape == (16, 32)
+        assert apix == 4.0
+        # block mean: first output pixel is the 2x2 mean
+        np.testing.assert_allclose(out[0][0, 0], img[:2, :2].mean(), rtol=1e-6)
+
+    def test_preprocess_band_pass(self):
+        rng = np.random.default_rng(1)
+        img = rng.random((64, 64)).astype(np.float32)
+        lp, apix = workflow.preprocess_selected_images([img], 2.0, lp_angst=20)
+        assert apix == 2.0
+        # low-pass removes power: variance strictly drops
+        assert np.var(lp[0]) < np.var(img)
+        hp, _ = workflow.preprocess_selected_images([img], 2.0, hp_angst=200)
+        # high-pass kills the mean
+        assert abs(np.mean(hp[0])) < abs(np.mean(img))
+
+    def test_estimate_stitch_offsets_recovers_overlap(self):
+        base = np.random.default_rng(2).random((16, 90))
+        imgs = [base[:, :50], base[:, 30:70], base[:, 55:]]
+        offs = workflow.estimate_stitch_offsets(imgs)
+        assert offs == [0.0, -20.0, -35.0]  # cumulative overlaps
+        # montage built from those offsets reproduces the base profile
+        mont = workflow.combine_images_for_display(imgs, offs)
+        assert mont.shape == (16, 90)
+        np.testing.assert_allclose(mont, base, atol=1e-9)
+
+    def test_symmetrize_projection_simulation_mode(self):
+        vol = np.zeros((24, 20, 20), np.float32)
+        vol[8:14, 10, 14] = 50.0
+        proj, apix = workflow.symmetrize_projection(
+            vol, apix=2.0, twist_degree=29.4, rise_angstrom=4.75, csym=1,
+            new_size=(24, 20, 20), new_apix=2.5, axial_rotation=5.0,
+            tilt=2.0, gauss_noise_std=0.0,
+        )
+        assert proj.shape == (1, 20, 24) and apix == 2.5
+        assert float(np.abs(proj).max()) > 0
+        # noise: same params with gauss_noise_std>0 differ, deterministic rng
+        noisy, _ = workflow.symmetrize_projection(
+            vol, apix=2.0, twist_degree=29.4, rise_angstrom=4.75, csym=1,
+            new_size=(24, 20, 20), new_apix=2.5, gauss_noise_std=0.5, rng=0,
+        )
+        clean, _ = workflow.symmetrize_projection(
+            vol, apix=2.0, twist_degree=29.4, rise_angstrom=4.75, csym=1,
+            new_size=(24, 20, 20), new_apix=2.5,
+        )
+        assert not np.allclose(noisy, clean)
+
+    def test_score_plot_data_2d_max_aggregated(self):
+        tw = np.repeat([1.0, 2.0, 3.0], 2)
+        ri = np.tile([4.0, 5.0], 3)
+        sc = np.asarray([0.1, 0.2, 0.9, 0.4, 0.5, 0.6])
+        d = workflow.score_plot_data(tw, ri, sc)
+        assert d["kind"] == "2d" and d["z"].shape == (3, 2)
+        assert d["best"] == (2.0, 4.0)
+        # duplicate candidates max-aggregate
+        d2 = workflow.score_plot_data(
+            np.r_[tw, 2.0], np.r_[ri, 4.0], np.r_[sc, 0.95]
+        )
+        assert d2["z"][1, 0] == 0.95
+
+    def test_score_plot_data_1d_and_degenerate(self):
+        d = workflow.score_plot_data(
+            np.asarray([3.0, 1.0, 2.0]), np.full(3, 4.75),
+            np.asarray([0.3, 0.1, 0.2]),
+        )
+        assert d["kind"] == "1d" and d["xlabel"].startswith("Twist")
+        assert list(d["x"]) == [1.0, 2.0, 3.0]
+        assert workflow.score_plot_data([1.0], [2.0], [0.5]) is None
+
+    def test_grid_kwargs_reach_reconstruct(self, helix_image):
+        """positive_constraint / target_apix / reconstruct_length_rise /
+        l1_ratio thread through run_grid_incremental to the grid."""
+        res = workflow.run_grid_incremental(
+            helix_image, 2.0,
+            np.asarray([29.4], np.float32), np.asarray([4.75], np.float32),
+            target_apix2d=4.0, target_apix3d=4.0,
+            reconstruct_length_rise=2.0, positive_constraint=1,
+            algorithm=dict(model="elasticnet", alpha=1e-5, l1_ratio=0.3),
+            cg_iters=4, fista_iters=4, power_iters=2,
+            compute_dtype="float32", return_best_volume=False,
+        )
+        assert np.isfinite(res.scores).all()
