@@ -896,6 +896,7 @@ def reconstruct_grid(
     fsc_test: int = 0,
     refine_tilt_psi_dy_range: dict | None = None,
     refine_top_k: int = 1,
+    refine_mode: str = "topk",
     cg_iters: int = 120,
     fista_iters: int = 60,
     power_iters: int = 8,
@@ -921,11 +922,17 @@ def reconstruct_grid(
     float32.
 
     refine_tilt_psi_dy_range (reference pipeline.py:357-368: dict with
-    tilt/psi/dy bounds) enables Gauss-Newton pose refinement. Deviation
-    (documented): the reference refines inside EVERY task; here the
-    vmapped grid scores all candidates at the fixed pose, then the
-    refine_top_k best are GN-refined (autodiff Jacobians) and re-scored
-    at their refined pose — the grid locates the basin, GN polishes it.
+    tilt/psi/dy bounds) enables Gauss-Newton pose refinement.
+    refine_mode selects the semantics:
+      "topk" (default): the vmapped grid scores all candidates at the
+        fixed pose, then the refine_top_k best are GN-refined (autodiff
+        Jacobians) and re-scored at their refined pose — the grid
+        locates the basin, GN polishes it.
+      "all": reference parity (solver_linear_regression.py:550-841
+        refines inside EVERY task) — every candidate is GN-refined
+        inside the scored grid (vmapped batches) and ranked by its
+        refined score. ~max_iter x the cost of "topk".
+    docs/PARITY.md records a ranking study comparing the two modes.
     """
     algorithm = algorithm or dict(model="lsq")
     twists = np.asarray(twists, np.float32)
@@ -968,7 +975,8 @@ def reconstruct_grid(
             algorithm=algorithm, score_metric=score_metric,
             fsc_test=fsc_test,
             refine_tilt_psi_dy_range=refine_tilt_psi_dy_range,
-            refine_top_k=refine_top_k, cg_iters=cg_iters,
+            refine_top_k=refine_top_k, refine_mode=refine_mode,
+            cg_iters=cg_iters,
             fista_iters=fista_iters, power_iters=power_iters,
             compute_dtype=compute_dtype, batch_size=batch_size,
             devices=devices, cost_analysis=cost_analysis,
@@ -1201,7 +1209,23 @@ def reconstruct_grid(
         # candidate (workflow.py documents best_volume as finish-only)
         refine_tilt_psi_dy_range = None
         return_best_volume = False
-    if refine_tilt_psi_dy_range:
+    if refine_tilt_psi_dy_range and refine_mode == "all":
+        # reference-parity: every candidate carries its own refined pose
+        from .refine import refine_all_candidates
+
+        refine_cfg = cfg._replace(separable=False, compute_dtype="float32")
+        tabs = _candidate_tables(
+            geom, twists, rise_pixels, n_copies, n_pairs, n_ops, copy_cache
+        )
+        r_scores, r_params = refine_all_candidates(
+            geom, refine_cfg, region, twists, rise_pixels, tabs[:5],
+            float(tilt), float(psi), float(dy / target_apix2d),
+            refine_tilt_psi_dy_range,
+            batch_size=min(32, int(batch_size or 32), n_cand),
+        )
+        scores = r_scores
+        refined_params = {i: tuple(map(float, r_params[i])) for i in range(n_cand)}
+    elif refine_tilt_psi_dy_range:
         from .refine import refine_tilt_psi_dy
 
         refine_cfg = cfg._replace(separable=False, compute_dtype="float32")

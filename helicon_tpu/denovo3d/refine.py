@@ -23,7 +23,7 @@ import numpy as np
 
 from .projector import build_problem
 
-__all__ = ["refine_tilt_psi_dy"]
+__all__ = ["refine_tilt_psi_dy", "refine_all_candidates"]
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "cfg"))
@@ -150,3 +150,137 @@ def refine_tilt_psi_dy(
         if np.allclose(params, best[0], atol=1e-4):
             break
     return float(best[0][0]), float(best[0][1]), float(best[0][2])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("geom", "cfg", "n_iter")
+)
+def _refine_batch(
+    geom, cfg, region, tw, ri, ch, cc, cv, phc, pv, p0, lo, hi,
+    n_iter: int,
+):
+    """Vmapped fixed-iteration GN refinement of a candidate batch.
+
+    Reference semantics (solver_linear_regression.py:550-841): every
+    task refines its own pose. Implemented as a lax.scan of
+    (solve -> GN step -> clip) with the best-so-far (params, score)
+    carried, vmapped over candidates. Early-exit is dropped (fixed
+    n_iter) so the whole batch stays one compiled program.
+    Returns (best_params (n, 3), best_score (n,)).
+    """
+    from .solver import _solve_candidate_impl
+
+    mask = geom.cylindrical_mask()
+    cellok = geom.cell_valid_mask()
+    interp = (
+        "linear" if not cfg.interpolation.startswith("linear")
+        else cfg.interpolation
+    )
+
+    def one(tw1, ri1, ch1, cc1, cv1, phc1, pv1, p01):
+        def residual(p, x_vol):
+            ops = build_problem(
+                geom, region, tw1, ri1, ch1, cc1, cv1, phc1, pv1,
+                p[0], p[1], p[2], interp, mask, cellok,
+            )
+            rowv = ops["row_valid"].astype(jnp.float32)
+            return ((ops["P"](x_vol) - ops["b"][None]) * rowv).ravel()
+
+        def solve_at(p):
+            out = _solve_candidate_impl(
+                geom, cfg, region, tw1, ri1, ch1, cc1, cv1, phc1, pv1,
+                p[0], p[1], p[2],
+            )
+            return out["score"], out["rec3d"]
+
+        def body(carry, _):
+            params, best_p, best_s = carry
+            score, x_vol = solve_at(params)
+            better = score > best_s
+            best_p = jnp.where(better, params, best_p)
+            best_s = jnp.maximum(score, best_s)
+            r = residual(params, x_vol)
+            J = jax.jacfwd(residual)(params, x_vol)
+            JtJ = J.T @ J + 1e-6 * jnp.eye(3)
+            step = jnp.linalg.solve(JtJ, J.T @ r)
+            params = jnp.clip(params - step, lo, hi)
+            return (params, best_p, best_s), None
+
+        init = (p01, p01, jnp.float32(-jnp.inf))
+        (params, best_p, best_s), _ = jax.lax.scan(
+            body, init, None, length=n_iter
+        )
+        # score the final GN iterate too (the loop scores pre-step)
+        score, _ = solve_at(params)
+        better = score > best_s
+        best_p = jnp.where(better, params, best_p)
+        best_s = jnp.maximum(score, best_s)
+        return best_p, best_s
+
+    return jax.vmap(one)(tw, ri, ch, cc, cv, phc, pv, p0)
+
+
+def refine_all_candidates(
+    geom,
+    cfg,
+    image_region,
+    twists,
+    rise_pixels,
+    tables,
+    tilt0: float,
+    psi0: float,
+    dy0: float,
+    r_range: dict,
+    batch_size: int = 32,
+):
+    """Reference-parity mode: GN-refine EVERY candidate's (tilt, psi,
+    dy) inside the scored grid (reconstruct_grid(refine_mode="all")).
+
+    tables: (ch, cc, cv, phc, pv) per-candidate arrays (leading axis n)
+    from grid._candidate_tables. Returns (scores (n,), params (n, 3)).
+    """
+    n = len(twists)
+    max_iter = int(r_range.get("max_iter", 5))
+
+    def _bounds(v, default):
+        if isinstance(v, (tuple, list, np.ndarray)):
+            return float(v[0]), float(v[1])
+        b = float(default if v is None else v)
+        return -b, b
+
+    lo = np.array(
+        [_bounds(r_range.get("tilt", 30.0), 30.0)[0],
+         _bounds(r_range.get("psi", 45.0), 45.0)[0],
+         _bounds(r_range.get("dy", 5.0), 5.0)[0]], np.float32,
+    )
+    hi = np.array(
+        [_bounds(r_range.get("tilt", 30.0), 30.0)[1],
+         _bounds(r_range.get("psi", 45.0), 45.0)[1],
+         _bounds(r_range.get("dy", 5.0), 5.0)[1]], np.float32,
+    )
+    ch, cc, cv, phc, pv = tables
+    region = jnp.asarray(image_region, jnp.float32)
+    p0 = np.clip(
+        np.broadcast_to(
+            np.array([tilt0, psi0, dy0], np.float32), (n, 3)
+        ),
+        lo, hi,
+    ).copy()
+    scores = np.zeros(n, np.float32)
+    params = np.zeros((n, 3), np.float32)
+    for s in range(0, n, batch_size):
+        e = min(n, s + batch_size)
+        # pad the tail batch to the compiled batch shape
+        pad = batch_size - (e - s)
+        sl = np.r_[np.arange(s, e), np.full(pad, e - 1)] if pad else np.arange(s, e)
+        bp, bs = _refine_batch(
+            geom, cfg, region,
+            jnp.asarray(twists[sl]), jnp.asarray(rise_pixels[sl]),
+            jnp.asarray(ch[sl]), jnp.asarray(cc[sl]), jnp.asarray(cv[sl]),
+            jnp.asarray(phc[sl]), jnp.asarray(pv[sl]),
+            jnp.asarray(p0[sl]), jnp.asarray(lo), jnp.asarray(hi),
+            n_iter=max_iter,
+        )
+        scores[s:e] = np.asarray(bs)[: e - s]
+        params[s:e] = np.asarray(bp)[: e - s]
+    return scores, params

@@ -461,3 +461,59 @@ def test_reg_per_row_matches_static_product():
     s1 = float(solve_candidate(geom, cfg_static, *args, **kw)["score"])
     s2 = float(solve_candidate(geom, cfg_per_row, *args, **kw)["score"])
     assert s1 == pytest.approx(s2, abs=1e-6)
+
+
+def test_refine_mode_all_reference_parity():
+    """refine_mode="all" (VERDICT r3 #5): every candidate GN-refines its
+    own (tilt, psi, dy) inside the scored grid, reference semantics
+    (solver_linear_regression.py:550-841). Starting the grid at a WRONG
+    fixed tilt, refinement must walk the pose back toward the truth and
+    improve the score."""
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=48, nx=96,
+        apix=2.0, rng=0,
+    )))
+    tw = np.asarray([28.0, 30.0], np.float32)
+    ri = np.asarray([5.6, 6.0], np.float32)
+    kw = dict(apix=2.0, twists=tw, rises=ri, tilt=3.0, cg_iters=6,
+              fista_iters=6, power_iters=2, compute_dtype="float32",
+              batch_size=2, return_best_volume=False)
+    fixed = reconstruct_grid(img, **kw)
+    r_all = reconstruct_grid(
+        img, refine_mode="all",
+        refine_tilt_psi_dy_range=dict(tilt=6.0, psi=2.0, dy=1.0, max_iter=4),
+        **kw,
+    )
+    assert np.all(np.isfinite(r_all.scores))
+    assert set(r_all.refined_params) == {0, 1}  # every candidate refined
+    # the matched candidate (30, 6) recovers: tilt moves toward 0 and
+    # the refined score beats the wrong-fixed-pose score
+    assert r_all.scores[1] > fixed.scores[1] + 1e-3
+    assert abs(r_all.refined_params[1][0]) < 2.0
+
+
+def test_golden_amyloid_class_average_recovers_params():
+    """Real-data-style golden regression (VERDICT r3 #8): the committed
+    EMPIAR-10940-style noisy amyloid class average (tests/data/, see
+    make_class_avg_amyloid.py) must rank the true (twist=2.0 deg left,
+    rise=4.75 A) as top-1 over a 45-candidate grid."""
+    import pathlib
+
+    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
+
+    img = np.load(
+        pathlib.Path(__file__).parent / "data" / "class_avg_amyloid.npy"
+    )
+    tw, ri = build_candidate_grid(
+        1.0, 3.0, 0.25, 4.45, 5.06, 0.15, handedness="left"
+    )
+    res = reconstruct_grid(
+        img, apix=2.0, twists=tw, rises=ri, tube_diameter=110.0,
+        cg_iters=10, fista_iters=16, power_iters=2,
+        compute_dtype="float32", batch_size=32, return_best_volume=False,
+    )
+    best_tw, best_ri, _ = res.top(1)[0]
+    assert (best_tw, best_ri) == (2.0, 4.75), res.top(5)
