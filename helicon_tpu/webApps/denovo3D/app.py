@@ -64,6 +64,7 @@ from helicon_tpu.webApps.denovo3D.workflow import (
     estimate_threshold_otsu,
     filter_blank_images,
     preprocess_selected_images,
+    register_and_montage,
     run_grid_incremental,
     score_plot_data,
     symmetrize_projection,
@@ -232,6 +233,11 @@ with ui.sidebar(width="33vw"):
                 "stitch_x_offsets",
                 "Stitching x-offsets (comma-separated, multi-image)",
                 value="",
+            )
+            ui.input_checkbox(
+                "image_stitching",
+                "Feature-registration stitching (2D)",
+                value=False,
             )
             ui.input_action_button("perform_stitching", "Stitch images")
             ui.input_action_button("auto_transform", "Auto transform")
@@ -571,9 +577,13 @@ def _search_image():
         return None
     if len(imgs) == 1:
         return imgs[0]
-    return combine_images_for_display(imgs, stitch_offsets.get()).astype(
-        np.float32
-    )
+    offs = stitch_offsets.get()
+    if input.image_stitching():
+        # 2D feature-registration montage (the reference's ITK
+        # TileMontage option, pipeline.py:500-599)
+        mont, _ = register_and_montage(imgs, offs or None)
+        return mont.astype(np.float32)
+    return combine_images_for_display(imgs, offs).astype(np.float32)
 
 
 @ui.bind_task_button(button_id="run_denovo3D")

@@ -31,6 +31,7 @@ __all__ = [
     "filter_blank_images",
     "preprocess_selected_images",
     "estimate_stitch_offsets",
+    "register_and_montage",
     "symmetrize_projection",
     "score_plot_data",
     "run_grid_incremental",
@@ -147,7 +148,9 @@ def preprocess_selected_images(
     return out, float(apix)
 
 
-def estimate_stitch_offsets(images, max_shift_fraction: float = 0.9):
+def estimate_stitch_offsets(
+    images, max_shift_fraction: float = 0.9, min_overlap: int = 8
+):
     """Auto x-offsets for the multi-image montage: 1D cross-correlation
     of adjacent images' column profiles (the reference's interactive
     "Stitch Images" dialog, app.py perform_stitching; here estimated
@@ -165,19 +168,80 @@ def estimate_stitch_offsets(images, max_shift_fraction: float = 0.9):
         pb = pb - pb.mean()
         n = len(pa) + len(pb) - 1
         corr = np.correlate(pb, pa, mode="full")  # c[k]: sum pb[n+lag]*pa[n]
+        # normalize by the overlap length: a raw dot product lets many
+        # small random covariances at a long wrong overlap outscore the
+        # short true overlap
+        counts = np.correlate(
+            np.ones_like(pb), np.ones_like(pa), mode="full"
+        )
+        corr = corr / np.maximum(counts, 1.0)
         lags = np.arange(n) - (len(pa) - 1)
         # peak lag satisfies pb[n+lag] = pa[n], i.e. b's global start
         # g = -lag; offset convention: b starts at a_end + offset
         cand = -lags - len(pa)
-        # only consider overlaps up to max_shift_fraction of the width
+        # only consider overlaps in [min_overlap, max_shift_fraction *
+        # width]: tiny overlaps are spuriously high after per-sample
+        # normalization (one lucky sample), huge ones are unphysical
         wmax = int(max_shift_fraction * min(len(pa), len(pb)))
-        ok = (cand <= 0) & (cand >= -wmax)
+        ok = (cand <= -min_overlap) & (cand >= -wmax)
         if not ok.any():
             pairwise.append(0.0)
             continue
         best = int(np.argmax(np.where(ok, corr, -np.inf)))
         pairwise.append(float(cand[best]))
     return np.cumsum(pairwise).tolist()
+
+
+def register_and_montage(images, x_offsets=None):
+    """Feature-registration montage: the native equivalent of the
+    reference's ITK TileMontage stitcher (reference
+    webApps/denovo3D/pipeline.py:500-599 itk_stitch). Adjacent tiles are
+    registered by phase cross-correlation over their nominal overlap
+    window — recovering the full 2D (dy, dx) shift, not just the manual
+    x offset — then merged with overlap averaging.
+
+    x_offsets: optional manual x guesses (the stitch_x_offsets
+    convention); the registration refines them. Returns (montage
+    float32, positions [(y, x) int]).
+    """
+    from ...core.alignment import phase_cross_correlation
+
+    if not len(images):
+        return np.zeros((0, 0), np.float32), []
+    images = [np.asarray(im, np.float32) for im in images]
+    if x_offsets is None:
+        # seed positions from the 1D profile correlation (the ITK flow
+        # gets its seed from TileConfiguration.txt)
+        x_offsets = estimate_stitch_offsets(images)
+    xs = image_stitching_x_positions(images, x_offsets)
+    positions = [(0, int(xs[0]))]
+    for i in range(1, len(images)):
+        py, px = positions[i - 1]
+        a, b = images[i - 1], images[i]
+        # nominal overlap window between a's right edge and b's left
+        w = (px + a.shape[1]) - int(xs[i])
+        w = int(np.clip(w, 8, min(a.shape[1], b.shape[1])))
+        h = min(a.shape[0], b.shape[0])
+        win_a = a[:h, -w:]
+        win_b = b[:h, :w]
+        (sy, sx), _, _ = phase_cross_correlation(win_a, win_b)
+        positions.append(
+            (int(py + sy), int(px + a.shape[1] - w + sx))
+        )
+    # merge on a 2D canvas with overlap averaging
+    y0 = min(p[0] for p in positions)
+    x0 = min(p[1] for p in positions)
+    y1 = max(p[0] + im.shape[0] for p, im in zip(positions, images))
+    x1 = max(p[1] + im.shape[1] for p, im in zip(positions, images))
+    acc = np.zeros((y1 - y0, x1 - x0), np.float64)
+    cnt = np.zeros_like(acc)
+    for (py, px), im in zip(positions, images):
+        acc[py - y0 : py - y0 + im.shape[0],
+            px - x0 : px - x0 + im.shape[1]] += im
+        cnt[py - y0 : py - y0 + im.shape[0],
+            px - x0 : px - x0 + im.shape[1]] += 1
+    out = np.divide(acc, cnt, where=cnt > 0, out=np.zeros_like(acc))
+    return out.astype(np.float32), positions
 
 
 def symmetrize_projection(

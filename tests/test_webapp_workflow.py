@@ -300,3 +300,19 @@ class TestKnobSurface:
             compute_dtype="float32", return_best_volume=False,
         )
         assert np.isfinite(res.scores).all()
+
+    def test_register_and_montage_recovers_2d_layout(self):
+        """Native ITK-TileMontage equivalent (reference
+        pipeline.py:500-599): 2D phase-correlation registration recovers
+        both the x overlap and a vertical misalignment, and the merged
+        canvas reproduces the source."""
+        base = np.random.default_rng(5).random((40, 120)).astype(np.float32)
+        t1 = base[2:34, :70]
+        t2 = base[5:37, 50:]  # 20-px x overlap, 3-px y shift
+        mont, pos = workflow.register_and_montage([t1, t2])
+        assert pos == [(0, 0), (3, 50)]
+        assert mont.shape == (35, 120)
+        # overlap-averaged canvas equals the source where only one tile
+        # contributes (and the average where both do, same source data)
+        np.testing.assert_allclose(mont[:32, :50], t1[:, :50], atol=1e-6)
+        np.testing.assert_allclose(mont[3:35, 70:], t2[:, 20:], atol=1e-6)
