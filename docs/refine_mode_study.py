@@ -15,6 +15,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
+OUT = "/tmp/refine_mode_study.json"
+_results = []
+
+
+def _flush(rec):
+    import sys
+
+    _results.append(rec)
+    with open(OUT, "w") as f:
+        json.dump(_results, f, indent=1)
+    print(json.dumps(rec), flush=True)
+    sys.stdout.flush()
+    return rec
+
+
 def run_case(name, img, apix, tw, ri, tilt0, r_range, diameter):
     from helicon_tpu.denovo3d import reconstruct_grid
 
@@ -37,7 +52,7 @@ def run_case(name, img, apix, tw, ri, tilt0, r_range, diameter):
     top_fixed = np.argsort(-fixed.scores)[:10]
     top_all = np.argsort(-r_all.scores)[:10]
     overlap = len(set(top_fixed.tolist()) & set(top_all.tolist()))
-    return dict(
+    return _flush(dict(
         case=name,
         n_candidates=int(len(tw)),
         top1_fixed=[float(fixed.twists[top_fixed[0]]),
@@ -55,7 +70,7 @@ def run_case(name, img, apix, tw, ri, tilt0, r_range, diameter):
         max_score_gain=float(np.max(r_all.scores - fixed.scores)),
         t_fixed_s=round(t_fixed, 1),
         t_all_s=round(t_all, 1),
-    )
+    ))
 
 
 def main():
@@ -66,7 +81,7 @@ def main():
         return np.squeeze(np.asarray(simulate_helical_projection(**kws)))
 
     rng = np.random.default_rng(0)
-    results = []
+    results = _results
 
     # S1: tilted clean helix, grid started at tilt 0
     img = sim(n=1, twist=30.0, rise=6.0, csym=1, helical_diameter=40.0,
@@ -74,10 +89,10 @@ def main():
               apix=2.0, tilt=4.0, rng=0)
     tw, ri = build_candidate_grid(26.0, 34.0, 2.0, 5.4, 6.6, 0.3,
                                   handedness="right")
-    results.append(run_case(
+    run_case(
         "S1 tilt=4 clean", img, 2.0, tw, ri, 0.0,
         dict(tilt=8.0, psi=3.0, dy=1.0, max_iter=3), 44.0,
-    ))
+    )
 
     # S2: tilted + psi + noise
     img = sim(n=1, twist=22.0, rise=5.0, csym=1, helical_diameter=60.0,
@@ -86,10 +101,10 @@ def main():
     img = img + rng.normal(scale=0.2 * img.std(), size=img.shape)
     tw, ri = build_candidate_grid(18.0, 26.0, 2.0, 4.4, 5.6, 0.3,
                                   handedness="right")
-    results.append(run_case(
+    run_case(
         "S2 tilt=6 psi=2 noisy", img.astype(np.float32), 2.0, tw, ri, 0.0,
         dict(tilt=10.0, psi=4.0, dy=1.0, max_iter=3), 66.0,
-    ))
+    )
 
     # S3: wrong fixed tilt (grid run at tilt=3, truth 0)
     img = sim(n=1, twist=50.0, rise=3.2, csym=1, helical_diameter=36.0,
@@ -98,10 +113,10 @@ def main():
     img = img + rng.normal(scale=0.1 * img.std(), size=img.shape)
     tw, ri = build_candidate_grid(44.0, 56.0, 3.0, 2.8, 3.7, 0.2,
                                   handedness="right")
-    results.append(run_case(
+    run_case(
         "S3 wrong tilt0=3", img.astype(np.float32), 2.0, tw, ri, 3.0,
         dict(tilt=6.0, psi=2.0, dy=1.0, max_iter=3), 40.0,
-    ))
+    )
 
     # E1: committed EMPIAR-10940-style amyloid fixture
     import pathlib
@@ -112,14 +127,12 @@ def main():
     )
     tw, ri = build_candidate_grid(1.0, 3.0, 0.5, 4.45, 5.06, 0.15,
                                   handedness="left")
-    results.append(run_case(
+    run_case(
         "E1 amyloid fixture", img, 2.0, tw, ri, 0.0,
         dict(tilt=5.0, psi=2.0, dy=1.0, max_iter=3), 110.0,
-    ))
+    )
 
-    print(json.dumps(results, indent=1))
-    with open("/tmp/refine_mode_study.json", "w") as f:
-        json.dump(results, f, indent=1)
+    print("study complete:", len(results), "cases ->", OUT)
 
 
 if __name__ == "__main__":

@@ -108,22 +108,33 @@ def l1_core_average(x, k=50):
     return best_m, best_sum, xs[best_slice[0] : best_slice[1]]
 
 
-def fit_line_wrapped_by_m_known(x, o, P, m_best):
+def fit_line_wrapped_by_m_known(x, o, P, m_best, fixed: bool = False):
     """Known-slope refit (HOM_containerC.py:894-933): with |m| fixed,
     try both signs, take the closed-form intercept for each, and keep the
-    sign with the lower L1 residual. Returns (m, b, SSE_l1)."""
+    sign with the lower L1 residual. Returns (m, b, SSE_l1).
+
+    fixed=False (default) reproduces the reference's estimator exactly;
+    fixed=True uses the correct unwrapped-mean intercept instead (see
+    the comment below) — the escape hatch for users who want the
+    unbiased estimate rather than bug-for-bug parity.
+    """
     m_abs = abs(float(m_best))
     x = np.asarray(x, float)
     o = np.asarray(o, float)
     best = None
     for m in (m_abs, -m_abs):
         r = unwrap_sequence(o - m * x, P)
-        # mean of the MOD-P residuals, not mean(r) as in
-        # solve_b_given_m_wrapped: faithful to the reference
-        # (HOM_containerC.py:903 uses np.mean(rpos % Period)), which can
-        # place the intercept ~P/2 off when residuals straddle 0/P —
-        # kept for parity
-        b = float(np.mean(r % P))
+        if fixed:
+            # the solve_b_given_m_wrapped estimator: mean of the
+            # UNWRAPPED residual sequence
+            b = float(np.mean(r))
+        else:
+            # mean of the MOD-P residuals, not mean(r) as in
+            # solve_b_given_m_wrapped: faithful to the reference
+            # (HOM_containerC.py:903 uses np.mean(rpos % Period)), which
+            # can place the intercept ~P/2 off when residuals straddle
+            # 0/P — kept for parity
+            b = float(np.mean(r % P))
         d = wrap_sym(o - (m * x + b), P)
         sse = float(np.sum(np.abs(d)))
         if best is None or sse < best[2]:
@@ -261,6 +272,7 @@ def HelicalSegmentConsistency(
     twist_range=(-5.0, 5.0),
     max_error_deg: float = 30.0,
     refit_known_slope: bool = False,
+    fixed_intercept: bool = False,
     fit_error_model: bool = True,
     report_prefix: str = "",
     verbose: int = 0,
@@ -312,6 +324,9 @@ def HelicalSegmentConsistency(
         max_error_deg = float(pd_extra.get("max_error_deg", max_error_deg))
         refit_known_slope = bool(
             int(pd_extra.get("refit_known_slope", refit_known_slope))
+        )
+        fixed_intercept = bool(
+            int(pd_extra.get("fixed_intercept", fixed_intercept))
         )
     required = (
         "rlnHelicalTubeID rlnAngleRot rlnHelicalTrackLengthAngst".split()
@@ -404,7 +419,7 @@ def HelicalSegmentConsistency(
         # (reference's known-slope refit, HOM_containerC.py:894-933)
         for fit in fits:
             m2, b2, _ = fit_line_wrapped_by_m_known(
-                fit["x"], fit["o"], P, consensus
+                fit["x"], fit["o"], P, consensus, fixed=fixed_intercept
             )
             _, abs_err = get_angular_errors(fit["x"], fit["o"], m2, b2, P)
             data.loc[fit["index"], "rlnAngleRotError"] = np.round(abs_err, 2)
@@ -554,6 +569,8 @@ def main(args):
         extras["twist_range"] = tw
     if getattr(args, "refitKnownSlope", 0):
         extras["refit_known_slope"] = True
+    if getattr(args, "fixedIntercept", 0):
+        extras["fixed_intercept"] = True
     data, stats = HelicalSegmentConsistency(
         data,
         convert_path_fn=None,
@@ -589,6 +606,10 @@ def add_args(parser):
                         help="max angular error (deg) for a good segment")
     parser.add_argument("--filterBad", type=int, default=0,
                         help="drop inconsistent segments")
+    parser.add_argument("--fixedIntercept", type=int, default=0,
+                        help="1 = use the corrected unwrapped-mean intercept "
+                             "in the known-slope refit instead of the "
+                             "reference's mod-P mean (bug-for-bug default)")
     parser.add_argument("--refitKnownSlope", type=int, default=0,
                         help="refit each helix with the consensus slope")
     parser.add_argument("--reportPrefix", type=str, default="",
