@@ -840,8 +840,14 @@ def _group_kernel(
 
     if fista_iters > 0:
         # ---- per-candidate Lipschitz power iteration -----------------
-        v = jnp.ones((RL, d3sq), jnp.float32)
-        v = v / tile_r(jnp.maximum(jnp.sqrt(cand_sum(v * v)), 1e-30))
+        # seeded from rhs, NOT the ones vector the XLA path uses
+        # (solver._power_iteration): a constant seed lets Mosaic
+        # constant-fold the normalize chain and its compile crashes with
+        # "limits[i] <= dim(i) (2 vs. 1)" (bisected 2026-08-20, repro in
+        # docs/PROFILE.md); rhs generically overlaps the top eigenvector
+        # of the PSD operator, so the Rayleigh estimate converges the
+        # same and the FISTA margin absorbs the seed difference
+        v = rhs / tile_r(jnp.maximum(jnp.sqrt(cand_sum(rhs * rhs)), 1e-30))
 
         def pow_body(_, v):
             w = matvec(v)
