@@ -574,6 +574,18 @@ def main():
             out["pallas_on_chip"] = validate_on_device()
         except Exception as e:
             out["pallas_on_chip"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # v3 grouped kernel (the production grid path on TPU since
+        # round 4): same standing on-chip validation
+        try:
+            from helicon_tpu.denovo3d.pallas_solver import (
+                validate_grouped_on_device,
+            )
+
+            out["pallas_grouped_on_chip"] = validate_grouped_on_device()
+        except Exception as e:
+            out["pallas_grouped_on_chip"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
         # secondary metrics (VERDICT r2 #8): median-of-5 + IQR, in the
         # same JSON artifact the driver records
         t0 = time.perf_counter()
@@ -642,6 +654,9 @@ def _emit(out):
     pal = out.get("pallas_on_chip", {})
     if isinstance(pal, dict) and "ok" in pal:
         line["pallas_on_chip_ok"] = pal["ok"]
+    pg = out.get("pallas_grouped_on_chip", {})
+    if isinstance(pg, dict) and "ok" in pg:
+        line["pallas_grouped_ok"] = pg["ok"]
     if detail_path:
         line["detail"] = os.path.basename(detail_path)
     print(json.dumps(line))

@@ -598,6 +598,22 @@ def _pallas_group_compat(cfg) -> bool:
     )
 
 
+def _pallas_auto_regime(cfg) -> bool:
+    """Is this config in the fused grouped Pallas kernel's MEASURED-win
+    regime (docs/PROFILE.md round-4 study)? auto mode engages the
+    kernel only here: bf16 compute at production-scale iteration
+    budgets. The accuracy mode (float32, cg=400/fista=2000, matmul
+    precision "highest") must stay on the XLA path — its huge in-kernel
+    fori_loops fail the Mosaic compile helper, and its
+    1e-5-vs-CPU-oracle contract depends on XLA's "highest" matmul
+    precision, which the kernel does not consume. Forced mode
+    (HELICON_PALLAS_GROUPED=1) bypasses this check."""
+    return (
+        jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+        and cfg.cg_iters + cfg.fista_iters + cfg.power_iters <= 128
+    )
+
+
 def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
@@ -646,8 +662,10 @@ def _grouped_scoring(
 
     # HELICON_PALLAS_GROUPED: 1 = force the fused grouped Pallas solve
     # (if the config is compatible and a tile-aligned R fits VMEM),
-    # 0 = never, auto (default) = on-TPU whenever it fits (measured
-    # policy, docs/PROFILE.md round-4 study).
+    # 0 = never, auto (default) = on-TPU whenever it fits. Measured
+    # policy (docs/PROFILE.md round-4 study, 2026-08-20, v5e): toy
+    # 13.0k vs 7.45k cand/s (1.75x, max|dscore| 3.6e-4 bf16); large
+    # geometry fails the VMEM fit and stays on the XLA grouped path.
     dev0 = devices[0] if devices else jax.devices()[0]
     pallas_mode = _os.environ.get("HELICON_PALLAS_GROUPED", "auto")
     use_pallas = False
@@ -667,7 +685,8 @@ def _grouped_scoring(
         if r_try >= 8:
             R_pallas = r_try
             use_pallas = (
-                pallas_mode == "1" or dev0.platform == "tpu"
+                pallas_mode == "1"
+                or (dev0.platform == "tpu" and _pallas_auto_regime(cfg))
             )
 
     r_env = _os.environ.get("HELICON_GRID_GROUP_R", "")

@@ -784,12 +784,19 @@ def _group_kernel(
         return jnp.concatenate(parts, axis=0)
 
     def matvec(X):  # (RL, d3sq) f32 -> (RL, d3sq) f32 = NTN(X) * mask
-        t = _dg(X.astype(cdt), a_topt_ref[:])  # (RL, rows)
-        t_d = t[:, :Dd]
+        # data / symmetry sections as two separate GEMMs against
+        # column-slices of the refs: no (RL, rows) temporary to slice
+        # and no concat+cast of [u, gs] before the transpose GEMM (the
+        # split forms accumulate directly) — measured neutral on the
+        # chip (12.9k vs 13.0k cand/s, inside the tunnel band); kept
+        # because the epilogue's data-only GEMM drops the 35 % of that
+        # dot that the fused form computed and discarded
+        xb = X.astype(cdt)
+        t_d = _dg(xb, a_topt_ref[:, :Dd])
         u = data_mix(t_d)
         # symmetry: per-op z-mix as small block GEMMs, then the exact
         # op-axis graph Laplacian (projector_grouped.NTN derivation)
-        t_s = t[:, Dd:]
+        t_s = _dg(xb, a_topt_ref[:, Dd:])
         vals = jnp.concatenate(
             [
                 _dg(bz_ref[o], t_s[:, o * S1 : (o + 1) * S1])
@@ -816,8 +823,10 @@ def _group_kernel(
             ],
             axis=1,
         )
-        g = jnp.concatenate([u.astype(cdt), gs.astype(cdt)], axis=1)
-        return _dg(g, a_top_ref[:]) * mask
+        y = _dg(u.astype(cdt), a_top_ref[:Dd, :]) + _dg(
+            gs.astype(cdt), a_top_ref[Dd:, :]
+        )
+        return y * mask
 
     # ---- CG from x0 = 0, per-candidate alpha/beta (solver._cg) ------
     def cg_body(_, carry):
@@ -886,8 +895,7 @@ def _group_kernel(
     # cosine score without materializing the reprojection:
     #   num = <P x, b_eff> = <x, rhs>
     #   |P x|^2 = <x, PTP x> = <t_d, Gz-mix(t_d)>   (one GEMM + mix)
-    t = _dg(x.astype(cdt), a_topt_ref[:])
-    t_d = t[:, :Dd]
+    t_d = _dg(x.astype(cdt), a_topt_ref[:, :Dd])  # data section only
     den2 = cand_sum(t_d * data_mix(t_d))
     num = cand_sum(x * rhs)
     den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:, 0:1]
@@ -944,6 +952,71 @@ def solve_group_pallas(
         ),
         interpret=interpret,
     )(*args)
+
+
+def validate_grouped_on_device(interpret: bool = False) -> dict:
+    """Compile + run the v3 grouped kernel (the production grid path on
+    TPU since round 4) against the twist-grouped XLA scorer on a small
+    self-contained group, on the current default device. bench.py
+    records the result next to the v1/v2 validation each round."""
+    from .geometry import estimate_copy_pair_counts, estimate_n_pair_ops
+    from .grid import _group_tables
+    from .solver import SolveConfig, _solve_group_impl
+    from . import ReconstructionGeometry, select_copies
+    from ..helix import simulate_helical_projection
+
+    img = np.asarray(
+        simulate_helical_projection(
+            n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+            ball_radius=6.0, polymer=0, planarity=1.0,
+            ny=64, nx=128, apix=2.0, rng=0,
+        )
+    ).squeeze()
+    geom = ReconstructionGeometry(
+        d2=14, l2=32, d3=12, l3=4, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=0.858, csym=1,
+    )
+    region = img[: geom.d2, : geom.l2].astype(np.float32)
+    rises = np.asarray([1.0, 1.05, 1.1, 1.15, 1.2, 1.25, 1.3, 1.35],
+                       np.float32)
+    twist = 29.4
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(rises.min()), 8, rise_pixel_max=float(rises.max())
+    )
+    n_ops = estimate_n_pair_ops(geom, float(rises.min()))
+    u = set()
+    for r in rises:
+        ch, cc, cv = select_copies(geom, float(r), n_copies)
+        u.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    rp, m, ch_u, cc_u, pidx, pval, rank = _group_tables(
+        geom, twist, rises, n_copies, n_pairs, n_ops, len(u),
+        len(rises), {},
+    )
+    cfg = SolveConfig(
+        interpolation="nn", model="lsq", cg_iters=6, fista_iters=8,
+        power_iters=2, separable=True, compute_dtype="float32",
+    )
+    common = (
+        geom, cfg, jnp.asarray(region), jnp.float32(twist),
+        jnp.asarray(rp), jnp.asarray(m), jnp.asarray(ch_u),
+        jnp.asarray(cc_u), jnp.asarray(pidx), jnp.asarray(pval),
+    )
+    s_xla = np.asarray(
+        _solve_group_impl(*common, n_ops_u=n_ops, fused_ntn=True)
+    )
+    s_pal = np.asarray(
+        _solve_group_impl(
+            *common, n_ops_u=n_ops, use_pallas=True,
+            pallas_interpret=interpret,
+        )
+    )
+    err = float(np.abs(s_xla - s_pal).max())
+    return {
+        "device": str(jax.devices()[0].device_kind),
+        "interpret": bool(interpret),
+        "v3_score_abs_err": err,
+        "ok": bool(err < 5e-3),
+    }
 
 
 def validate_on_device(interpret: bool = False) -> dict:

@@ -97,6 +97,16 @@ def test_validate_on_device_harness():
     assert out["v1_rel_err"] < 1e-4 and out["v2_rel_err"] < 1e-4, out
 
 
+def test_validate_grouped_on_device_harness():
+    """Same standing harness for the v3 grouped kernel (the production
+    TPU grid path since round 4)."""
+    from helicon_tpu.denovo3d.pallas_solver import validate_grouped_on_device
+
+    out = validate_grouped_on_device(interpret=True)
+    assert out["ok"], out
+    assert out["v3_score_abs_err"] < 1e-4, out
+
+
 @pytest.mark.parametrize("interp", ["nn", "linear"])
 def test_grouped_kernel_matches_xla(interp):
     """v3 grouped kernel (whole twist-group CG/power/FISTA fused in one
@@ -221,3 +231,23 @@ def test_full_pipeline_kernel_matches_xla(small_problem):
     )
     assert rel < 1e-4, rel
     assert abs(float(np.asarray(sc)[0, 0]) - score_ref) < 1e-4
+
+
+def test_pallas_auto_regime_policy():
+    """auto mode engages the grouped kernel only in the measured-win
+    regime: bf16 compute, production-scale iteration budgets. The
+    accuracy mode's float32/converged config stays on XLA (its Mosaic
+    compile fails and its 1e-5 oracle contract needs XLA's "highest"
+    matmul precision)."""
+    from helicon_tpu.denovo3d.grid import _pallas_auto_regime
+    from helicon_tpu.denovo3d.solver import SolveConfig
+
+    bench = SolveConfig(cg_iters=10, fista_iters=16, power_iters=2,
+                        compute_dtype="bfloat16", separable=True)
+    assert _pallas_auto_regime(bench)
+    accurate = SolveConfig(cg_iters=400, fista_iters=2000, power_iters=8,
+                           compute_dtype="float32", separable=True)
+    assert not _pallas_auto_regime(accurate)
+    f32_short = SolveConfig(cg_iters=10, fista_iters=16, power_iters=2,
+                            compute_dtype="float32", separable=True)
+    assert not _pallas_auto_regime(f32_short)
