@@ -6,7 +6,11 @@ Run: python docs/refine_mode_study.py   (CPU, ~20 min)
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -675,8 +675,12 @@ def _grouped_scoring(
 
         # the kernel's whole-group state lives in VMEM, so R is bounded
         # by the fit check; its wide layout slices R-row slabs on the
-        # sublane axis, so R must be a multiple of 8
-        r_try = min(64, -(-max_size // 8) * 8, max(8, batch_size))
+        # sublane axis, so R must be a multiple of 8 — batch_size is
+        # floored to a multiple of 8 here (it is only rounded to the
+        # device count upstream), and a batch_size < 8 disables the
+        # kernel rather than dispatch more candidates than the caller's
+        # abort granularity allows
+        r_try = min(64, -(-max_size // 8) * 8, (batch_size // 8) * 8)
         while r_try >= 8 and not fits_vmem_grouped(
             C_u, geom.d2, geom.d3 * geom.d3, int(n_ops), geom.l3,
             r_try, cfg.compute_dtype,
@@ -927,6 +931,7 @@ def reconstruct_grid(
     should_abort=None,
     cost_analysis: bool = False,
     rise_bucket_ratio: float = 1.6,
+    geometry_rise_range: tuple | None = None,
 ) -> GridResult:
     """Score every (twist, rise) candidate for one class-average image.
 
@@ -974,9 +979,9 @@ def reconstruct_grid(
     # within rise_bucket_ratio, derive geometry per bucket (recursing into
     # this function), and merge — the reference's per-candidate
     # reconstruct_length_rise * rise, quantized to a handful of compiles.
-    if rise_bucket_ratio > 1 and float(np.max(rises)) > rise_bucket_ratio * max(
-        float(np.min(rises)), 1e-6
-    ):
+    if geometry_rise_range is None and rise_bucket_ratio > 1 and float(
+        np.max(rises)
+    ) > rise_bucket_ratio * max(float(np.min(rises)), 1e-6):
         # explicit forwarding dict: every reconstruct_grid parameter
         # except the ones the bucket driver owns (image/apix/candidates,
         # progress/abort plumbing, return_best_volume, the ratio itself)
@@ -1024,12 +1029,25 @@ def reconstruct_grid(
                 data
             )
 
-    rise_ref = float(np.max(rises))
+    # geometry_rise_range: derive the reconstruction geometry from an
+    # EXPLICIT rise range instead of this call's candidates — the
+    # multi-host path shards one geometry-consistent candidate set
+    # across processes, and every process must compile the IDENTICAL
+    # geometry regardless of which slice of rises it drew
+    # (parallel/multihost.py); also bypasses rise bucketing above
+    # (the caller took responsibility for geometry consistency).
+    if geometry_rise_range is not None:
+        g_rise_lo = float(geometry_rise_range[0])
+        g_rise_hi = float(geometry_rise_range[1])
+    else:
+        g_rise_lo = float(np.min(rises))
+        g_rise_hi = float(np.max(rises))
+    rise_ref = g_rise_hi
     g = derive_task_geometry(
         (ny0, nx0),
         apix,
         rise_ref,
-        (float(np.min(rises)), float(np.max(rises))),
+        (g_rise_lo, g_rise_hi),
         (-abs(tilt), abs(tilt)),
         tube_length,
         tube_diameter,
@@ -1206,7 +1224,16 @@ def reconstruct_grid(
     )
     copy_cache: dict = {}
 
-    if use_grouped:
+    refine_all_mode = bool(refine_tilt_psi_dy_range) and refine_mode == "all"
+    if refine_all_mode and not incremental_mode and not cost_analysis:
+        # refine_mode="all" replaces EVERY candidate's score with its
+        # refined-pose value and never consumes the fixed-pose ranking,
+        # so the full fixed-pose scoring pass would be pure waste here.
+        # It still runs in incremental mode (progress snapshots need a
+        # coarse ranking to display) and under cost_analysis (which
+        # instruments that pass).
+        aborted, cost_stats, effective = False, None, None
+    elif use_grouped:
         aborted, cost_stats, effective = _grouped_scoring(
             geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs,
             n_ops, pose_args, copy_cache, batch_size,

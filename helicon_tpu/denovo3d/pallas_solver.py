@@ -647,13 +647,15 @@ def fits_vmem_grouped(
     a_top = 2 * rows * S1 * itemsize  # both orientations, lane-padded
     gt = l3 * l3 * R * Dd * 4
     sym_tabs = 3 * RL * n_ops * S1 * 4  # af / deg*mask / af*mask
+    zmix = 2 * n_ops * RL * RL * 4     # bz / bzt z-shift mix operators
+    cnt = RL * max(128, n_ops * n_ops) * 4  # Laplacian count table
     temps = (
         2 * RL * rows * 4          # t, g
         + RL * Dd * 4              # u
         + 4 * RL * n_ops * S1 * 4  # vals/av/cav/L
         + 10 * RL * S1 * 4         # solve state + rhs/mask/out
     )
-    return (a_top + gt + sym_tabs + temps) <= budget_bytes
+    return (a_top + gt + sym_tabs + zmix + cnt + temps) <= budget_bytes
 
 
 def grouped_pallas_inputs(shared, tens, geom, R: int):

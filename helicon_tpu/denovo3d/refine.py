@@ -26,6 +26,26 @@ from .projector import build_problem
 __all__ = ["refine_tilt_psi_dy", "refine_all_candidates"]
 
 
+def _pose_bounds(r_range: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) float32 triples for (tilt, psi, dy) from a refine-range
+    dict: scalar half-width (our grid callers) OR explicit (lo, hi)
+    tuple (the reference's bounds_tilt/psi/dy form)."""
+
+    def one(v, default):
+        if isinstance(v, (tuple, list, np.ndarray)):
+            return float(v[0]), float(v[1])
+        b = float(default if v is None else v)
+        return -b, b
+
+    lo_t, hi_t = one(r_range.get("tilt", 30.0), 30.0)
+    lo_p, hi_p = one(r_range.get("psi", 45.0), 45.0)
+    lo_d, hi_d = one(r_range.get("dy", 5.0), 5.0)
+    return (
+        np.array([lo_t, lo_p, lo_d], np.float32),
+        np.array([hi_t, hi_p, hi_d], np.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("geom", "cfg"))
 def _gn_step(
     geom,
@@ -95,20 +115,7 @@ def refine_tilt_psi_dy(
     from .solver import solve_candidate
 
     max_iter = int(r_range.get("max_iter", 5))
-
-    def _bounds(v, default):
-        # scalar half-width (our grid callers) OR explicit (lo, hi)
-        # tuple (the reference's bounds_tilt/psi/dy form)
-        if isinstance(v, (tuple, list, np.ndarray)):
-            return float(v[0]), float(v[1])
-        b = float(default if v is None else v)
-        return -b, b
-
-    lo_t, hi_t = _bounds(r_range.get("tilt", 30.0), 30.0)
-    lo_p, hi_p = _bounds(r_range.get("psi", 45.0), 45.0)
-    lo_d, hi_d = _bounds(r_range.get("dy", 5.0), 5.0)
-    lo = np.array([lo_t, lo_p, lo_d], np.float32)
-    hi = np.array([hi_t, hi_p, hi_d], np.float32)
+    lo, hi = _pose_bounds(r_range)
 
     params = np.array([tilt0, psi0, dy0], np.float32)
     region = jnp.asarray(image_region, jnp.float32)
@@ -241,23 +248,7 @@ def refine_all_candidates(
     """
     n = len(twists)
     max_iter = int(r_range.get("max_iter", 5))
-
-    def _bounds(v, default):
-        if isinstance(v, (tuple, list, np.ndarray)):
-            return float(v[0]), float(v[1])
-        b = float(default if v is None else v)
-        return -b, b
-
-    lo = np.array(
-        [_bounds(r_range.get("tilt", 30.0), 30.0)[0],
-         _bounds(r_range.get("psi", 45.0), 45.0)[0],
-         _bounds(r_range.get("dy", 5.0), 5.0)[0]], np.float32,
-    )
-    hi = np.array(
-        [_bounds(r_range.get("tilt", 30.0), 30.0)[1],
-         _bounds(r_range.get("psi", 45.0), 45.0)[1],
-         _bounds(r_range.get("dy", 5.0), 5.0)[1]], np.float32,
-    )
+    lo, hi = _pose_bounds(r_range)
     ch, cc, cv, phc, pv = tables
     region = jnp.asarray(image_region, jnp.float32)
     p0 = np.clip(

@@ -10,20 +10,32 @@ communicate, so the multi-host decomposition is embarrassingly clean:
   1. `jax.distributed.initialize()` (or :func:`initialize` below) wires
      the processes into one JAX runtime.
   2. Every process enumerates the full (twist, rise) grid host-side
-     (cheap numpy table building), takes its contiguous slice of the
-     candidate axis (:func:`process_candidate_slice`), and runs the
-     ordinary single-host `reconstruct_grid` on its *local* devices —
-     ICI parallelism inside a host is unchanged.
+     (cheap numpy table building), partitions it into the SAME rise
+     buckets a single-host run would use (geometry consistency is
+     decided by the GLOBAL candidate set, never by a process's slice —
+     each per-bucket call pins the bucket's global rise range via
+     ``reconstruct_grid(geometry_rise_range=...)``), takes its
+     contiguous slice of each bucket, and runs the ordinary single-host
+     `reconstruct_grid` on its *local* devices — ICI parallelism inside
+     a host is unchanged.
   3. The per-candidate score vector (a few KB) is exchanged with ONE
-     all-gather over DCN (:func:`_allgather_f32`). No operator tensors,
-     images, or volumes ever cross hosts; DCN carries only the final
-     scores, exactly the "DCN only for multi-host batch farming" plan
-     of SURVEY.md section 2h.
+     collective per pass (:func:`_psum_exchange`). No operator tensors,
+     images, or volumes ever cross hosts; DCN carries only scores and
+     (when refining) the few refined pose triples, exactly the "DCN
+     only for multi-host batch farming" plan of SURVEY.md section 2h.
+
+Top-k pose refinement keeps single-host semantics: the fixed-pose pass
+runs WITHOUT refinement, scores are gathered, and the GLOBAL per-bucket
+top-k (identical on every process) is then refined by its round-robin
+owner and re-exchanged — a slice-local top-k would refine different
+candidates than a single-host run. refine_mode="all" refines every
+candidate inside the sharded pass directly (slice-independent by
+construction).
 
 This mirrors how the scaling-book treats pure data parallelism: the
 mesh axis that owns independent work items needs collectives only at
 the reduction point, so the slow inter-host links see one small
-message per grid instead of per-step traffic.
+message per pass instead of per-step traffic.
 """
 
 from __future__ import annotations
@@ -94,24 +106,23 @@ def process_candidate_slice(
     return slice(start, stop)
 
 
-def _allgather_f32(local: np.ndarray, n_total: int, sl: slice) -> np.ndarray:
-    """One-collective exchange of per-process score slices.
+def _psum_exchange(contrib: np.ndarray) -> np.ndarray:
+    """One-collective exchange of disjoint per-process contributions.
 
-    Every process scatters its slice into an n_total-long zero vector
-    and the psum over the global mesh reconstructs the full vector —
-    one DCN all-reduce of a float32 vector (the slices are disjoint, so
-    sum == concatenate). Built on shard_map over the global 1D device
-    mesh, which is the supported way to run a cross-process collective.
+    Every process passes a full-shape float32 array that is ZERO
+    everywhere it does not own; the psum over the global mesh
+    reconstructs the combined array (disjoint ownership, so
+    sum == scatter). Built on shard_map over the global 1D device mesh,
+    which is the supported way to run a cross-process collective.
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devices = np.asarray(jax.devices())  # global, all processes
     mesh = Mesh(devices, ("d",))
-    full = np.zeros(n_total, np.float32)
-    full[sl] = local
-    # each local device contributes full/ n_local_devices so the psum
-    # over ALL devices still sums each process's slice exactly once
-    full /= max(1, jax.local_device_count())
+    full = np.asarray(contrib, np.float32)
+    # each local device contributes full / n_local_devices so the psum
+    # over ALL devices still sums each process's contribution exactly once
+    full = full / max(1, jax.local_device_count())
 
     def body(x):
         return jax.lax.psum(x, "d")
@@ -125,23 +136,33 @@ def _allgather_f32(local: np.ndarray, n_total: int, sl: slice) -> np.ndarray:
         out_shardings=NamedSharding(mesh, P()),
     )
     arr = jax.make_array_from_callback(
-        (n_total,), NamedSharding(mesh, P()), lambda idx: full[idx]
+        full.shape, NamedSharding(mesh, P()), lambda idx: full[idx]
     )
     return np.asarray(jax.device_get(fn(arr)))
 
 
 def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
-    """Process-sharded candidate grid: each process scores its slice on
-    its local devices; scores are exchanged with one DCN all-gather.
+    """Process-sharded candidate grid: each process scores its slice of
+    every (globally determined) rise bucket on its local devices; scores
+    are exchanged with one DCN collective per pass.
 
-    Returns the same GridResult as `reconstruct_grid` with the FULL
-    score vector on every process (so ranking/refinement stay
-    reproducible everywhere). best_volume is populated only on the
-    process that owns the argmax candidate (volumes are host-memory
-    heavy; shipping them over DCN is the caller's choice).
+    Semantics match a single-host `reconstruct_grid` call on the full
+    grid: identical rise bucketing, identical per-bucket geometry (the
+    bucket's GLOBAL rise range is pinned via geometry_rise_range, so a
+    process's slice extremes never shift the compiled geometry),
+    global — not slice-local — top-k selection for pose refinement, and
+    the same cross-bucket top-10% re-scoring pass at per-candidate
+    geometry. Batch-mode only: progress_callback / should_abort are not
+    forwarded (partial -inf fills cannot ride a psum exchange).
+
+    Returns the same GridResult with the FULL score vector (and, when
+    refining, the full refined_params dict) on every process, so
+    ranking stays reproducible everywhere. best_volume is populated
+    only on the process that re-solves the winner (volumes are
+    host-memory heavy; shipping them over DCN is the caller's choice).
     """
     from ..denovo3d import reconstruct_grid
-    from ..denovo3d.grid import GridResult
+    from ..denovo3d.grid import GridResult, _rise_buckets
 
     twists = np.asarray(twists, np.float32)
     rises = np.asarray(rises, np.float32)
@@ -149,34 +170,157 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     if not is_distributed():
         return reconstruct_grid(image, apix, twists, rises, **kwargs)
 
-    sl = process_candidate_slice(n)
-    local = reconstruct_grid(
-        image, apix, twists[sl], rises[sl],
-        devices=jax.local_devices(), **kwargs
-    )
-    scores = _allgather_f32(
-        np.asarray(local.scores, np.float32), n, sl
-    )
-    best = int(np.argmax(scores))
-    owns_best = sl.start <= best < sl.stop
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    ratio = float(kwargs.get("rise_bucket_ratio", 1.6))
+    refine_range = kwargs.get("refine_tilt_psi_dy_range")
+    refine_mode = kwargs.get("refine_mode", "topk")
+    refine_top_k = max(1, int(kwargs.get("refine_top_k", 1)))
+    return_best_volume = kwargs.get("return_best_volume", True)
+
+    # GLOBAL bucket partition — pure numpy over the full grid, so every
+    # process computes the identical partition a single-host run would
+    if n and ratio > 1 and float(np.max(rises)) > ratio * max(
+        float(np.min(rises)), 1e-6
+    ):
+        buckets = _rise_buckets(rises, ratio)
+    else:
+        buckets = [np.arange(n)]
+
+    defer_refine = refine_range is not None and refine_mode != "all"
+    local_kw = dict(kwargs)
+    for k in ("return_best_volume", "progress_callback", "should_abort",
+              "devices"):
+        local_kw.pop(k, None)
+    local_kw["return_best_volume"] = False
+    if defer_refine:
+        local_kw["refine_tilt_psi_dy_range"] = None
+
+    def run(cand_idx, rise_range, **overrides):
+        return reconstruct_grid(
+            image, apix, twists[cand_idx], rises[cand_idx],
+            devices=jax.local_devices(),
+            geometry_rise_range=rise_range,
+            **dict(local_kw, **overrides),
+        )
+
+    # pass 1: fixed-pose scoring, sharded within each bucket
+    contrib = np.zeros(n, np.float32)
+    pose_c = np.zeros((n, 3), np.float32)
+    pose_m = np.zeros(n, np.float32)
+    local_sub = None
+    cost = None
+    for idx in buckets:
+        rr = (float(np.min(rises[idx])), float(np.max(rises[idx])))
+        mine = idx[process_candidate_slice(len(idx), n_proc, pid)]
+        if not len(mine):
+            continue
+        sub = run(mine, rr)
+        contrib[mine] = np.asarray(sub.scores, np.float32)
+        if sub.refined_params:  # refine_mode="all": every candidate
+            for k, v in sub.refined_params.items():
+                pose_c[mine[k]] = np.asarray(v, np.float32)
+                pose_m[mine[k]] = 1.0
+        local_sub = sub
+        if cost is None:
+            cost = sub.cost
+    scores = _psum_exchange(contrib)
+
+    refined: dict = {}
+    if refine_mode == "all" and refine_range is not None:
+        pose_all = _psum_exchange(pose_c)
+        mask_all = _psum_exchange(pose_m) > 0
+        refined = {
+            int(i): tuple(map(float, pose_all[i]))
+            for i in np.where(mask_all)[0]
+        }
+
+    # deferred top-k refinement: GLOBAL per-bucket top-k (identical on
+    # every process), each candidate refined by its round-robin owner at
+    # its bucket's geometry, refined scores + poses re-exchanged
+    if defer_refine:
+        tasks = []  # (bucket index, candidate index)
+        for b, idx in enumerate(buckets):
+            k = min(refine_top_k, len(idx))
+            top = idx[np.argsort(-scores[idx])[:k]]
+            tasks.extend((b, int(c)) for c in top)
+        r_s = np.zeros(n, np.float32)
+        r_m = np.zeros(n, np.float32)
+        r_p = np.zeros((n, 3), np.float32)
+        for j, (b, c) in enumerate(tasks):
+            if j % n_proc != pid:
+                continue
+            idx = buckets[b]
+            rr = (float(np.min(rises[idx])), float(np.max(rises[idx])))
+            sub = run(
+                np.asarray([c]), rr,
+                refine_tilt_psi_dy_range=refine_range,
+                refine_top_k=1, batch_size=None,
+            )
+            r_s[c] = float(sub.scores[0])
+            r_m[c] = 1.0
+            if sub.refined_params:
+                r_p[c] = np.asarray(sub.refined_params[0], np.float32)
+        got_s = _psum_exchange(r_s)
+        got_m = _psum_exchange(r_m) > 0
+        got_p = _psum_exchange(r_p)
+        scores[got_m] = got_s[got_m]
+        refined = {
+            int(i): tuple(map(float, got_p[i])) for i in np.where(got_m)[0]
+        }
+
+    # cross-bucket pass: bucket scores are comparable only WITHIN a
+    # bucket (longer volume = more unknowns = better fit); re-score each
+    # bucket's top 10% at per-candidate geometry, exactly like the
+    # single-host bucketed merge, sharded over distinct rise values
+    if len(buckets) > 1:
+        sel_parts = []
+        for idx in buckets:
+            k = max(10, -(-len(idx) // 10))
+            sel_parts.append(idx[np.argsort(-scores[idx])[: min(k, len(idx))]])
+        sel = np.unique(np.concatenate(sel_parts))
+        r_s = np.zeros(n, np.float32)
+        r_m = np.zeros(n, np.float32)
+        for j, r in enumerate(np.unique(rises[sel])):
+            if j % n_proc != pid:
+                continue
+            m = sel[rises[sel] == r]
+            r_s[m] = np.asarray(run(m, None).scores, np.float32)
+            r_m[m] = 1.0
+        got_s = _psum_exchange(r_s)
+        got_m = _psum_exchange(r_m) > 0
+        scores[got_m] = got_s[got_m]
+
+    best = int(np.argmax(scores)) if n else -1
+    owner = best % n_proc if best >= 0 else -1
+    best_volume = None
+    win = None
+    if return_best_volume and best >= 0 and pid == owner:
+        # winner re-solve at its own per-candidate geometry (matching
+        # the single-host bucketed merge); refinement, if configured,
+        # re-runs deterministically on this one candidate
+        win = run(
+            np.asarray([best]), None,
+            return_best_volume=True, batch_size=None,
+            refine_tilt_psi_dy_range=refine_range,
+        )
+        best_volume = win.best_volume
+
+    ref_sub = win if win is not None else local_sub
     return GridResult(
         twists=twists,
         rises=rises,
         scores=scores,
-        geom=local.geom,
-        target_apix2d=local.target_apix2d,
-        target_apix3d=local.target_apix3d,
+        geom=ref_sub.geom if ref_sub is not None else None,
+        target_apix2d=ref_sub.target_apix2d if ref_sub is not None else -1.0,
+        target_apix3d=ref_sub.target_apix3d if ref_sub is not None else -1.0,
         best_index=best,
-        best_volume=local.best_volume if owns_best else None,
-        refined_params=(
-            {k + sl.start: v for k, v in local.refined_params.items()}
-            if local.refined_params
-            else None
-        ),
-        cost=local.cost,
+        best_volume=best_volume,
+        refined_params=refined or None,
+        cost=cost,
         effective=dict(
-            local.effective or {},
-            n_processes=jax.process_count(),
-            process_slice=(sl.start, sl.stop),
+            (local_sub.effective or {}) if local_sub is not None else {},
+            n_processes=n_proc,
+            n_buckets=len(buckets),
         ),
     )

@@ -9,7 +9,12 @@ tiny workload, and writes the full gathered score vector as JSON.
 """
 
 import json
+import os
 import sys
+
+# spawned as `python tests/_mh_worker.py`: sys.path[0] is tests/, so put
+# the repo root on the path regardless of the caller's environment
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -64,7 +69,7 @@ def main():
                 has_volume=res.best_volume is not None,
                 effective={
                     k: res.effective.get(k)
-                    for k in ("n_processes", "process_slice")
+                    for k in ("n_processes", "n_buckets")
                 },
             ),
             f,
