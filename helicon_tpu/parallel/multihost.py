@@ -138,7 +138,9 @@ def _psum_exchange(contrib: np.ndarray) -> np.ndarray:
     arr = jax.make_array_from_callback(
         full.shape, NamedSharding(mesh, P()), lambda idx: full[idx]
     )
-    return np.asarray(jax.device_get(fn(arr)))
+    # writable copy: device_get hands back a read-only buffer view, and
+    # callers scatter refined / re-scored entries into the result
+    return np.array(jax.device_get(fn(arr)), np.float32)
 
 
 def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):

@@ -23,10 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
-def tiny_workload():
+def tiny_workload(bucketed: bool = False):
     """Shared (image, twists, rises, kwargs) for single- and multi-process
     runs — must be identical across processes (candidate slicing assumes
-    every process enumerates the same grid)."""
+    every process enumerates the same grid).
+
+    bucketed=True widens the rise range past rise_bucket_ratio so the
+    grid splits into TWO rise buckets: exercises the multi-host bucketed
+    path (global bucket partition, per-bucket geometry pinning, the
+    cross-bucket top-10% re-scoring pass)."""
     from helicon_tpu.helix import simulate_helical_projection
 
     image = simulate_helical_projection(
@@ -34,8 +39,12 @@ def tiny_workload():
         ball_radius=6.0, polymer=0, planarity=1.0,
         ny=64, nx=128, apix=2.0, rng=0,
     )
-    tw = np.asarray([25.0] * 3 + [29.4] * 3 + [33.0], np.float32)
-    ri = np.asarray([4.3, 4.6, 4.9, 4.4, 4.75, 5.0, 4.75], np.float32)
+    if bucketed:
+        tw = np.asarray([25.0] * 2 + [29.4] * 3 + [33.0], np.float32)
+        ri = np.asarray([3.0, 4.75, 3.2, 4.75, 5.6, 4.75], np.float32)
+    else:
+        tw = np.asarray([25.0] * 3 + [29.4] * 3 + [33.0], np.float32)
+        ri = np.asarray([4.3, 4.6, 4.9, 4.4, 4.75, 5.0, 4.75], np.float32)
     kw = dict(
         apix=2.0, target_apix2d=4.0, tube_diameter=110.0,
         reconstruct_length_rise=3.0, cg_iters=8, fista_iters=8,
@@ -49,6 +58,7 @@ def main():
     pid, nproc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
+    bucketed = len(sys.argv) > 5 and sys.argv[5] == "bucketed"
     from helicon_tpu.parallel import multihost
 
     multihost.initialize(
@@ -58,7 +68,7 @@ def main():
     )
     assert jax.process_count() == nproc, jax.process_count()
 
-    image, tw, ri, kw = tiny_workload()
+    image, tw, ri, kw = tiny_workload(bucketed)
     res = multihost.multihost_reconstruct_grid(image, twists=tw, rises=ri, **kw)
     with open(out_path, "w") as f:
         json.dump(

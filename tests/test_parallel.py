@@ -193,12 +193,9 @@ def test_multi_device_grouped_matches_single_device():
     assert int(np.argmax(got.scores)) == int(np.argmax(ref.scores))
 
 
-@pytest.mark.slow
-def test_multihost_two_process_cpu():
-    """Multi-host (DCN) path: 2 processes x 2 virtual CPU devices each,
-    jax.distributed + Gloo collectives. Every process must end up with
-    the FULL score vector, identical across processes and matching a
-    single-process run of the same workload (tests/_mh_worker.py)."""
+def _spawn_mh_workers(n_proc: int, extra_args=()):
+    """Launch tests/_mh_worker.py n_proc times (Gloo over localhost, 2
+    virtual CPU devices each) and return their parsed result dicts."""
     import json
     import os
     import pathlib
@@ -222,19 +219,29 @@ def test_multihost_two_process_cpu():
     ).strip()
     env.pop("JAX_NUM_PROCESSES", None)
     with tempfile.TemporaryDirectory() as td:
-        outs = [os.path.join(td, f"p{i}.json") for i in range(2)]
+        outs = [os.path.join(td, f"p{i}.json") for i in range(n_proc)]
         procs = [
             subprocess.Popen(
-                [sys.executable, str(worker), str(i), "2", str(port), outs[i]],
+                [sys.executable, str(worker), str(i), str(n_proc),
+                 str(port), outs[i], *extra_args],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True,
             )
-            for i in range(2)
+            for i in range(n_proc)
         ]
         logs = [p.communicate(timeout=420)[0] for p in procs]
         for p, log in zip(procs, logs):
             assert p.returncode == 0, log[-2000:]
-        res = [json.load(open(o)) for o in outs]
+        return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cpu():
+    """Multi-host (DCN) path: 2 processes x 2 virtual CPU devices each,
+    jax.distributed + Gloo collectives. Every process must end up with
+    the FULL score vector, identical across processes and matching a
+    single-process run of the same workload (tests/_mh_worker.py)."""
+    res = _spawn_mh_workers(2)
 
     # identical full score vectors on both processes
     s0 = np.asarray(res[0]["scores"])
@@ -256,6 +263,32 @@ def test_multihost_two_process_cpu():
     image, tw, ri, kw = tiny_workload()
     ref = reconstruct_grid(image, twists=tw, rises=ri, **kw)
     np.testing.assert_allclose(s0, np.asarray(ref.scores), rtol=0, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_bucketed_cpu():
+    """Multi-host with a rise range spanning rise_bucket_ratio: the
+    bucket partition must come from the GLOBAL grid (each per-bucket
+    slice pinned to the bucket's global geometry), and the cross-bucket
+    top-10% re-scoring pass must reproduce the single-host bucketed
+    merge — scores identical across processes AND matching the
+    single-host run of the same wide-rise workload."""
+    res = _spawn_mh_workers(2, ("bucketed",))
+
+    s0 = np.asarray(res[0]["scores"])
+    s1 = np.asarray(res[1]["scores"])
+    np.testing.assert_allclose(s0, s1, rtol=0, atol=1e-6)
+    assert res[0]["best_index"] == res[1]["best_index"]
+    assert res[0]["effective"]["n_buckets"] == 2
+
+    from tests._mh_worker import tiny_workload
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    image, tw, ri, kw = tiny_workload(bucketed=True)
+    ref = reconstruct_grid(image, twists=tw, rises=ri, **kw)
+    np.testing.assert_allclose(s0, np.asarray(ref.scores), rtol=0, atol=2e-5)
+    assert res[0]["best_index"] == int(np.argmax(ref.scores))
 
 
 @pytest.mark.slow
