@@ -84,14 +84,32 @@ def main(args: argparse.Namespace) -> None:
 
 def _search_one(args, img, apix, twists, rises, refine_range, image_index,
                 multi=False):
-    from helicon_tpu.denovo3d import reconstruct_grid
+    from helicon_tpu.denovo3d import (
+        reconstruct_grid,
+        reconstruct_grid_checkpointed,
+    )
     from helicon_tpu.io.mrc import write_mrc
     from helicon_tpu.utils.logging import Timer
 
+    search = reconstruct_grid
+    ckpt_kw = {}
+    if getattr(args, "checkpoint", 0):
+        # per-image checkpoint next to the outputs: a killed run resumes
+        # from the last completed chunk on the exact same command line
+        p = Path(args.output_prefix)
+        if multi:
+            p = p.parent / f"{p.name}_{image_index:03d}"
+        search = reconstruct_grid_checkpointed
+        ckpt_kw = dict(
+            checkpoint_path=str(p) + ".ckpt.npz",
+            chunk=int(args.checkpoint),
+        )
+
     with Timer(f"grid search (image {image_index})", verbose=args.verbose):
-        res = reconstruct_grid(
+        res = search(
             img,
             apix=apix,
+            **ckpt_kw,
             twists=twists,
             rises=rises,
             csym=args.csym,
@@ -201,6 +219,10 @@ def add_args(parser: argparse.ArgumentParser):
                         help="auto = bfloat16 on accelerators (ranking-"
                              "validated), float32 on CPU backends")
     parser.add_argument("--batchSize", type=int, default=0)
+    parser.add_argument("--checkpoint", type=int, default=0,
+                        help="checkpoint the search every N candidates to "
+                        "<prefix>.ckpt.npz; re-running the same command "
+                        "resumes from the last completed chunk (0 = off)")
     parser.add_argument("--topN", type=int, default=10)
     parser.add_argument("--verbose", type=int, default=1)
     return parser

@@ -25,3 +25,4 @@ from .projector import data_operator, sym_operator  # noqa: F401
 from .solver import lsq_reconstruct, solve_candidate  # noqa: F401
 from .pipeline import process_one_task  # noqa: F401
 from .grid import build_candidate_grid, reconstruct_grid  # noqa: F401
+from .checkpoint import reconstruct_grid_checkpointed  # noqa: F401

@@ -1263,11 +1263,24 @@ def reconstruct_grid(
         tabs = _candidate_tables(
             geom, twists, rise_pixels, n_copies, n_pairs, n_ops, copy_cache
         )
+        # footprint-aware batch cap: the non-separable refine path
+        # materializes per-copy sample-index/deposit tensors of
+        # ~n_copies x l2 x d2^2 per candidate under vmap (measured: a
+        # 110 A fixture at d2=56/l2=256/177 copies asked 20.8 GB at
+        # batch 16 on a 16 GB v5e — 1.3 GB/candidate).
+        # HELICON_REFINE_BUDGET_MB overrides the 3 GB default.
+        import os as _os
+
+        est = max(1, n_copies * geom.l2 * geom.d2 * geom.d2 * 8)
+        budget = int(
+            _os.environ.get("HELICON_REFINE_BUDGET_MB", "3072")
+        ) * 1024 * 1024
+        mem_cap = max(1, budget // est)
         r_scores, r_params = refine_all_candidates(
             geom, refine_cfg, region, twists, rise_pixels, tabs[:5],
             float(tilt), float(psi), float(dy / target_apix2d),
             refine_tilt_psi_dy_range,
-            batch_size=min(32, int(batch_size or 32), n_cand),
+            batch_size=min(32, int(batch_size or 32), n_cand, mem_cap),
         )
         scores = r_scores
         refined_params = {i: tuple(map(float, r_params[i])) for i in range(n_cand)}
@@ -1403,6 +1416,37 @@ def _rise_buckets(rises: np.ndarray, ratio: float):
     return buckets
 
 
+def global_rise_buckets(rises, ratio) -> list:
+    """The bucket partition reconstruct_grid applies to this FULL
+    candidate set ([arange(n)] when no bucketing triggers).
+
+    Shared by the multi-host (parallel/multihost.py) and checkpointed
+    (checkpoint.py) drivers: both score SUBSETS of the grid, and their
+    per-subset calls reproduce the one-shot run's geometry only if the
+    partition is computed from the global candidate set and each call
+    pins its bucket's global rise range via geometry_rise_range."""
+    rises = np.asarray(rises)
+    n = len(rises)
+    if (
+        n
+        and ratio
+        and ratio > 1
+        and float(np.max(rises)) > ratio * max(float(np.min(rises)), 1e-6)
+    ):
+        return _rise_buckets(rises, ratio)
+    return [np.arange(n)]
+
+
+def crossbucket_selection(buckets, scores) -> np.ndarray:
+    """Top-10% (at least 10) per bucket — the candidate set the bucketed
+    merge re-scores at per-candidate geometry (second pass below)."""
+    parts = []
+    for idx in buckets:
+        k = max(10, -(-len(idx) // 10))
+        parts.append(idx[np.argsort(-scores[idx])[: min(k, len(idx))]])
+    return np.unique(np.concatenate(parts))
+
+
 def _reconstruct_grid_bucketed(
     image, apix, twists, rises, ratio, kw,
     return_best_volume, progress_callback, should_abort,
@@ -1474,12 +1518,7 @@ def _reconstruct_grid_bucketed(
     # candidates keep their bucket-geometry scores (within-bucket
     # comparable, never ranked above a re-scored candidate here).
     if not aborted and n_cand:
-        sel_parts = []
-        for idx in _rise_buckets(rises, ratio):
-            k = max(10, -(-len(idx) // 10))  # top 10%, at least 10
-            top = idx[np.argsort(-scores[idx])[: min(k, len(idx))]]
-            sel_parts.append(top)
-        sel = np.unique(np.concatenate(sel_parts))
+        sel = crossbucket_selection(_rise_buckets(rises, ratio), scores)
         rkw = dict(
             kw,
             refine_tilt_psi_dy_range=None,  # refine ran in the buckets

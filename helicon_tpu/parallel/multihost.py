@@ -164,7 +164,11 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     host-memory heavy; shipping them over DCN is the caller's choice).
     """
     from ..denovo3d import reconstruct_grid
-    from ..denovo3d.grid import GridResult, _rise_buckets
+    from ..denovo3d.grid import (
+        GridResult,
+        crossbucket_selection,
+        global_rise_buckets,
+    )
 
     twists = np.asarray(twists, np.float32)
     rises = np.asarray(rises, np.float32)
@@ -182,12 +186,7 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
 
     # GLOBAL bucket partition — pure numpy over the full grid, so every
     # process computes the identical partition a single-host run would
-    if n and ratio > 1 and float(np.max(rises)) > ratio * max(
-        float(np.min(rises)), 1e-6
-    ):
-        buckets = _rise_buckets(rises, ratio)
-    else:
-        buckets = [np.arange(n)]
+    buckets = global_rise_buckets(rises, ratio)
 
     defer_refine = refine_range is not None and refine_mode != "all"
     local_kw = dict(kwargs)
@@ -276,11 +275,7 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     # bucket's top 10% at per-candidate geometry, exactly like the
     # single-host bucketed merge, sharded over distinct rise values
     if len(buckets) > 1:
-        sel_parts = []
-        for idx in buckets:
-            k = max(10, -(-len(idx) // 10))
-            sel_parts.append(idx[np.argsort(-scores[idx])[: min(k, len(idx))]])
-        sel = np.unique(np.concatenate(sel_parts))
+        sel = crossbucket_selection(buckets, scores)
         r_s = np.zeros(n, np.float32)
         r_m = np.zeros(n, np.float32)
         for j, r in enumerate(np.unique(rises[sel])):
@@ -298,11 +293,18 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     best_volume = None
     win = None
     if return_best_volume and best >= 0 and pid == owner:
-        # winner re-solve at its own per-candidate geometry (matching
-        # the single-host bucketed merge); refinement, if configured,
-        # re-runs deterministically on this one candidate
+        # winner re-solve: single bucket -> the grid's global geometry
+        # (what a one-shot call solves the volume at); bucketed -> the
+        # winner's own per-candidate geometry (the single-host bucketed
+        # merge's winner call). Refinement, if configured, re-runs
+        # deterministically on this one candidate.
+        win_rr = (
+            (float(np.min(rises)), float(np.max(rises)))
+            if len(buckets) == 1
+            else None
+        )
         win = run(
-            np.asarray([best]), None,
+            np.asarray([best]), win_rr,
             return_best_volume=True, batch_size=None,
             refine_tilt_psi_dy_range=refine_range,
         )
