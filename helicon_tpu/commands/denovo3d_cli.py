@@ -26,6 +26,7 @@ logger = logging.getLogger(__name__)
 def main(args: argparse.Namespace) -> None:
     from helicon_tpu.denovo3d import build_candidate_grid
     from helicon_tpu.io.mrc import mrc_header, read_image_2d
+    from helicon_tpu.parallel import multihost
     from helicon_tpu.utils.logging import log_command_line
 
     log_command_line()
@@ -34,6 +35,17 @@ def main(args: argparse.Namespace) -> None:
         format="%(message)s",
         stream=sys.stdout,
     )
+    # multi-host batch farming: a launcher sets JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID and runs this SAME command on
+    # every host — the candidate grid shards across processes and every
+    # process ends with the full ranking (parallel/multihost.py). A
+    # single process (no coordinator configured) is untouched.
+    multihost.initialize()
+    if multihost.is_distributed() and getattr(args, "checkpoint", 0):
+        raise SystemExit(
+            "--checkpoint and multi-host execution are mutually "
+            "exclusive (each process would fight over the same file)"
+        )
 
     header = mrc_header(args.input_image)
     apix = args.apix if args.apix > 0 else header.apix
@@ -74,7 +86,7 @@ def main(args: argparse.Namespace) -> None:
             multi=len(indices) > 1,
         )
         all_summaries.append(summary)
-    if len(indices) > 1:
+    if len(indices) > 1 and multihost.is_writer():
         # string concat, not with_suffix: a prefix like "run.v2" must
         # not lose its ".v2" component
         batch = Path(str(args.output_prefix) + ".batch.json")
@@ -91,9 +103,13 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
     from helicon_tpu.io.mrc import write_mrc
     from helicon_tpu.utils.logging import Timer
 
+    from helicon_tpu.parallel import multihost
+
     search = reconstruct_grid
     ckpt_kw = {}
-    if getattr(args, "checkpoint", 0):
+    if multihost.is_distributed():
+        search = multihost.multihost_reconstruct_grid
+    elif getattr(args, "checkpoint", 0):
         # per-image checkpoint next to the outputs: a killed run resumes
         # from the last completed chunk on the exact same command line
         p = Path(args.output_prefix)
@@ -135,20 +151,25 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             return_best_volume=True,
         )
 
+    # distributed: every process holds the full ranking; process 0 owns
+    # the table/summary files (same shared path on every host), while the
+    # best volume is written by whichever process re-solved it
+    writer = multihost.is_writer()
     top = res.top(args.topN)
     out_prefix = Path(args.output_prefix)
     if multi:  # per-image outputs in batch mode
         out_prefix = out_prefix.parent / f"{out_prefix.name}_{image_index:03d}"
-    table = Path(str(out_prefix) + ".csv")
-    with open(table, "w") as f:
-        f.write("twist_degree,rise_angstrom,score\n")
-        order = np.argsort(-res.scores)
-        for i in order:
-            f.write(f"{res.twists[i]:.4f},{res.rises[i]:.4f},{res.scores[i]:.6f}\n")
-    logger.info("ranked candidates -> %s", table)
-    print("top candidates (twist deg, rise A, score):")
-    for t, r, s in top:
-        print(f"  {t:10.3f} {r:8.3f} {s:10.6f}")
+    if writer:
+        table = Path(str(out_prefix) + ".csv")
+        with open(table, "w") as f:
+            f.write("twist_degree,rise_angstrom,score\n")
+            order = np.argsort(-res.scores)
+            for i in order:
+                f.write(f"{res.twists[i]:.4f},{res.rises[i]:.4f},{res.scores[i]:.6f}\n")
+        logger.info("ranked candidates -> %s", table)
+        print("top candidates (twist deg, rise A, score):")
+        for t, r, s in top:
+            print(f"  {t:10.3f} {r:8.3f} {s:10.6f}")
     if res.best_volume is not None:
         vol_file = Path(str(out_prefix) + ".best.mrc")
         write_mrc(vol_file, res.best_volume, apix=res.target_apix3d)
@@ -167,8 +188,9 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             refined_psi=float(p_r),
             refined_dy_pixel=float(d_r),
         )
-    Path(str(out_prefix) + ".json").write_text(json.dumps(summary, indent=1))
-    print(json.dumps(summary))
+    if writer:
+        Path(str(out_prefix) + ".json").write_text(json.dumps(summary, indent=1))
+        print(json.dumps(summary))
     return res, summary
 
 

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 __all__ = [
     "initialize",
     "is_distributed",
+    "is_writer",
     "process_candidate_slice",
     "multihost_reconstruct_grid",
 ]
@@ -87,6 +88,13 @@ def initialize(
 
 def is_distributed() -> bool:
     return jax.process_count() > 1
+
+
+def is_writer() -> bool:
+    """Should this process write shared output files? Process 0 owns
+    them under multi-host execution (every process holds the same full
+    ranking, so any single writer produces the complete outputs)."""
+    return not is_distributed() or jax.process_index() == 0
 
 
 def process_candidate_slice(

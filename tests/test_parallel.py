@@ -302,3 +302,90 @@ def test_dryrun_multichip_multiprocess():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4, n_processes=2)  # raises on failure
+
+
+@pytest.mark.slow
+def test_multihost_cli_two_process(tmp_path):
+    """`helicon denovo3d_cli` becomes multi-host aware purely through
+    the JAX_* env vars: two processes run the SAME command line, the
+    grid shards across them, process 0 writes the table/summary, and
+    the summary reports the same winner a single-process run finds."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from helicon_tpu.helix import simulate_helical_projection
+    from helicon_tpu.io.mrc import write_mrc
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=6.0, polymer=0, planarity=1.0,
+        ny=64, nx=128, apix=2.0, rng=0,
+    )))
+    in_mrc = tmp_path / "in.mrc"
+    write_mrc(in_mrc, img[None], apix=2.0)
+    prefix = tmp_path / "mh"
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "").replace(
+                "--xla_force_host_platform_device_count=8", ""
+            ).strip()
+            + " --xla_force_host_platform_device_count=2"
+        ).strip()
+        env.update(
+            HELICON_PLATFORM="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        return env
+
+    cmd = [
+        sys.executable, "-m", "helicon_tpu.commands.helicon", "denovo3d_cli",
+        str(in_mrc), str(prefix),
+        "--twist", "25", "33", "2", "--rise", "4.3", "5.2", "0.3",
+        "--handedness", "right", "--tubeDiameter", "110",
+        "--cgIters", "8", "--fistaIters", "8",
+        "--computeDtype", "float32", "--verbose", "0",
+    ]
+    procs = [
+        subprocess.Popen(
+            cmd, env=env_for(i), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    summary = json.loads((tmp_path / "mh.json").read_text())
+    assert (tmp_path / "mh.csv").exists()
+    # exactly one process re-solved and wrote the winner volume
+    assert (tmp_path / "mh.best.mrc").exists()
+    assert summary["n_candidates"] == 20
+    # single-process reference: same winner
+    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
+
+    tw, ri = build_candidate_grid(25, 33, 2, 4.3, 5.2, 0.3, handedness="right")
+    ref = reconstruct_grid(
+        img, 2.0, tw, ri, tube_diameter=110.0, cg_iters=8, fista_iters=8,
+        compute_dtype="float32", return_best_volume=False,
+    )
+    assert summary["best_twist"] == pytest.approx(
+        float(ref.twists[np.argmax(ref.scores)])
+    )
+    assert summary["best_rise"] == pytest.approx(
+        float(ref.rises[np.argmax(ref.scores)]), abs=1e-5
+    )
