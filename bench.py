@@ -215,22 +215,37 @@ def _guard_backend(timeout_s=240):
     if os.environ.get("HELICON_PLATFORM"):
         return os.environ["HELICON_PLATFORM"]
     timeout_s = int(os.environ.get("HELICON_BENCH_BACKEND_TIMEOUT", timeout_s))
+    retries = int(os.environ.get("HELICON_BENCH_BACKEND_RETRIES", 3))
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('up')"],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-        if proc.returncode == 0 and "up" in proc.stdout:
-            return None  # default backend healthy
-    except subprocess.TimeoutExpired:
-        pass
+    for attempt in range(max(1, retries)):
+        if attempt:
+            # a wedged tunnel usually clears after a few minutes
+            # (observed after a TPU worker crash, 2026-08-21); retry
+            # instead of immediately surrendering the chip
+            sys.stderr.write(
+                f"bench: backend probe attempt {attempt} failed; "
+                "retrying in 60s\n"
+            )
+            time.sleep(60)
+        try:
+            # the probe must EXECUTE an op: after a worker crash,
+            # jax.devices() can come up while the first computation hangs
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print('up', float(jnp.ones((8, 8)).sum()))"],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            if proc.returncode == 0 and "up" in proc.stdout:
+                return None  # default backend healthy
+        except subprocess.TimeoutExpired:
+            pass
     sys.stderr.write(
-        f"bench: default backend failed to initialize within {timeout_s}s; "
-        "falling back to CPU\n"
+        f"bench: default backend failed to initialize within {timeout_s}s "
+        f"x {retries} attempts; falling back to CPU\n"
     )
     import jax
 

@@ -1275,7 +1275,12 @@ def reconstruct_grid(
         budget = int(
             _os.environ.get("HELICON_REFINE_BUDGET_MB", "3072")
         ) * 1024 * 1024
-        mem_cap = max(1, budget // est)
+        # accelerator HBM only — CPU backends page into system RAM
+        mem_cap = (
+            max(1, budget // est)
+            if devices[0].platform != "cpu"
+            else n_cand
+        )
         r_scores, r_params = refine_all_candidates(
             geom, refine_cfg, region, twists, rise_pixels, tabs[:5],
             float(tilt), float(psi), float(dy / target_apix2d),
