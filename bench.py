@@ -34,8 +34,13 @@ if os.environ.get("HELICON_PLATFORM"):
 
 
 def bench_etl():
-    """images2star plugin-pipeline throughput over 100k particles
-    (BASELINE.md benchmark config)."""
+    """images2star+proc3d-style ETL throughput over 100k particles
+    (BASELINE.json configs[4]; the one driver-defined config with a
+    CPU-reference measurement — see BASELINE.md: the ACTUAL reference
+    plugin chain ran the identical 100k-row pipeline at a median
+    28,099 rows/s on this machine's CPU, which is the vs_baseline
+    denominator here). Runs in the default bench secondary stage
+    (VERDICT r4 #4) and standalone via HELICON_BENCH_METRIC=etl."""
     import collections
     import tempfile
     from argparse import Namespace
@@ -74,25 +79,25 @@ def bench_etl():
         ("breakFilaments", "maxSegments=20"),
         ("removeDuplicates", ["rlnImageName"]),
     ]
-    t0 = time.perf_counter()
-    data = df
-    index_d = collections.defaultdict(int)
-    for opt, param in chain:
-        data, index_d = dispatch(opt, data, args, index_d, param)
-    with tempfile.TemporaryDirectory() as td:
-        from helicon_tpu.io.metadata import dataframe2file, star2dataframe
+    from helicon_tpu.io.metadata import dataframe2file, star2dataframe
 
-        out = str(Path(td) / "out.star")
-        dataframe2file(data, out)
-        back = star2dataframe(out, ignore_bad_particle_path=2)
-    dt = time.perf_counter() - t0
-    rate = n / dt
-    print(json.dumps({
-        "metric": "images2star_etl_rows_per_s",
-        "value": round(rate, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(rate / 50_000, 4),  # 100k rows in <2 s target
-    }))
+    def run():
+        t0 = time.perf_counter()
+        data = df
+        index_d = collections.defaultdict(int)
+        for opt, param in chain:
+            data, index_d = dispatch(opt, data, args, index_d, param)
+        with tempfile.TemporaryDirectory() as td:
+            out = str(Path(td) / "out.star")
+            dataframe2file(data, out)
+            star2dataframe(out, ignore_bad_particle_path=2)
+        return n / (time.perf_counter() - t0)
+
+    rates = [run() for _ in range(_secondary_repeats(3))]
+    # baseline: the measured reference-chain CPU rate (BASELINE.md)
+    return _secondary_stats(
+        "images2star_etl_rows_per_s", "rows/s", rates, 28_099
+    )
 
 
 def _secondary_stats(metric, unit, rates, baseline):
@@ -517,7 +522,8 @@ def _config_fields(res, kwargs, n_cand):
 def main():
     metric = os.environ.get("HELICON_BENCH_METRIC", "denovo3d")
     if metric == "etl":
-        return bench_etl()  # pandas-only: never probe/init an accelerator
+        # pandas-only: never probe/init an accelerator
+        return print(json.dumps(bench_etl()))
     platform_note = _guard_backend()
     if metric == "ctf":
         return print(json.dumps(bench_ctf()))
@@ -606,7 +612,7 @@ def main():
         t0 = time.perf_counter()
         out["secondary"] = {}
         for name, fn in (("ctf", bench_ctf), ("hill", bench_hill),
-                         ("xcorr", bench_xcorr)):
+                         ("xcorr", bench_xcorr), ("etl", bench_etl)):
             try:
                 out["secondary"][name] = fn()
             except Exception as e:

@@ -98,8 +98,9 @@ def reconstruct_grid_checkpointed(
     candidates; a killed run resumes from the last completed chunk on
     the next call with the same arguments. `should_abort` (a callable,
     polled between chunks) stops cleanly after the current chunk — the
-    returned GridResult then carries NaN for unscored candidates and no
-    best volume. `progress_callback(done, total, scores)` mirrors
+    returned GridResult then carries -inf for unscored candidates
+    (reconstruct_grid's incremental-mode convention; the on-disk state
+    keeps NaN so resume knows what is missing) and no best volume. `progress_callback(done, total, scores)` mirrors
     reconstruct_grid's incremental protocol at chunk granularity.
 
     All reconstruct_grid kwargs are accepted. Refinement semantics match
@@ -183,12 +184,17 @@ def reconstruct_grid_checkpointed(
         int(i): tuple(map(float, pose[i])) for i in np.where(pose_mask)[0]
     }
     if aborted or np.isnan(scores).any():
-        # partial coarse scores: no merge stages, no winner re-solve —
-        # exactly reconstruct_grid's own abort contract
+        # partial coarse scores: no merge stages, no winner re-solve.
+        # NaN marks "unscored" only in the on-disk state; the returned
+        # GridResult follows reconstruct_grid's incremental/abort
+        # convention and fills unscored entries with -inf so consumers
+        # that sort or argmax (e.g. the CLI's CSV writer) behave
         return GridResult(
             twists=twists,
             rises=rises,
-            scores=scores,
+            scores=np.where(np.isnan(scores), -np.inf, scores).astype(
+                np.float32
+            ),
             geom=local_sub.geom if local_sub is not None else None,
             target_apix2d=(
                 local_sub.target_apix2d if local_sub is not None else -1.0
@@ -207,6 +213,13 @@ def reconstruct_grid_checkpointed(
             ),
         )
 
+    # Merge stages below mutate only the IN-MEMORY score/pose arrays —
+    # the checkpoint file keeps the pure coarse-pass state, so a re-run
+    # of a finished (or merge-interrupted) checkpoint re-derives the
+    # top-k and cross-bucket selections from the same coarse score
+    # vector the one-shot call would use, instead of from
+    # already-refined values.
+
     # deferred top-k refinement at bucket geometry (single-host semantics)
     if defer_refine:
         for idx in buckets:
@@ -223,10 +236,10 @@ def reconstruct_grid_checkpointed(
                 if sub.refined_params:
                     pose[c] = np.asarray(sub.refined_params[0], np.float32)
                     pose_mask[c] = True
-        save()
 
     # cross-bucket pass at per-candidate geometry (see
     # grid._reconstruct_grid_bucketed's second pass)
+    sel = None
     if len(buckets) > 1:
         sel = crossbucket_selection(buckets, scores)
         for r in np.unique(rises[sel]):
@@ -234,12 +247,19 @@ def reconstruct_grid_checkpointed(
             scores[m] = np.asarray(
                 run(m, None, refine_tilt_psi_dy_range=None).scores, np.float32
             )
-        save()
 
     refined = {
         int(i): tuple(map(float, pose[i])) for i in np.where(pose_mask)[0]
     }
-    best = int(np.argmax(scores)) if n else -1
+    # winner restricted to the re-scored set when bucketed, mirroring
+    # _reconstruct_grid_bucketed: un-selected candidates carry
+    # bias-inflated bucket-geometry scores
+    if not n:
+        best = -1
+    elif sel is not None and len(sel):
+        best = int(sel[int(np.argmax(scores[sel]))])
+    else:
+        best = int(np.argmax(scores))
     best_volume = None
     win = None
     if return_best_volume and best >= 0:

@@ -281,7 +281,11 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     # cross-bucket pass: bucket scores are comparable only WITHIN a
     # bucket (longer volume = more unknowns = better fit); re-score each
     # bucket's top 10% at per-candidate geometry, exactly like the
-    # single-host bucketed merge, sharded over distinct rise values
+    # single-host bucketed merge, sharded over distinct rise values.
+    # refine_tilt_psi_dy_range is forced off here for every refine_mode
+    # (the single-host second pass at grid.py's _reconstruct_grid_bucketed
+    # does the same: refinement already ran in the buckets).
+    sel = None
     if len(buckets) > 1:
         sel = crossbucket_selection(buckets, scores)
         r_s = np.zeros(n, np.float32)
@@ -290,13 +294,25 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
             if j % n_proc != pid:
                 continue
             m = sel[rises[sel] == r]
-            r_s[m] = np.asarray(run(m, None).scores, np.float32)
+            r_s[m] = np.asarray(
+                run(m, None, refine_tilt_psi_dy_range=None).scores,
+                np.float32,
+            )
             r_m[m] = 1.0
         got_s = _psum_exchange(r_s)
         got_m = _psum_exchange(r_m) > 0
         scores[got_m] = got_s[got_m]
 
-    best = int(np.argmax(scores)) if n else -1
+    # winner selection mirrors _reconstruct_grid_bucketed: with >1
+    # bucket, only cross-bucket RE-SCORED candidates are eligible —
+    # un-selected candidates keep bias-inflated bucket-geometry scores
+    # and must never outrank a re-scored one
+    if not n:
+        best = -1
+    elif sel is not None and len(sel):
+        best = int(sel[int(np.argmax(scores[sel]))])
+    else:
+        best = int(np.argmax(scores))
     owner = best % n_proc if best >= 0 else -1
     best_volume = None
     win = None

@@ -83,13 +83,16 @@ def test_abort_then_resume(workload, tmp_path_factory):
     )
     assert partial.effective["aborted"]
     assert partial.effective["chunks_run"] == 2
-    done = ~np.isnan(np.asarray(partial.scores))
+    # the returned result follows reconstruct_grid's incremental-mode
+    # convention: unscored candidates are -inf (NaN only lives on disk)
+    assert not np.isnan(np.asarray(partial.scores)).any()
+    done = np.isfinite(np.asarray(partial.scores))
     assert 0 < done.sum() < len(tw)
     assert partial.best_volume is None
-    # the persisted state matches what the partial result reported
+    # the persisted state marks the same candidates as missing (as NaN)
     z = np.load(ck)
     np.testing.assert_array_equal(
-        np.isnan(z["scores"]), np.isnan(np.asarray(partial.scores))
+        np.isnan(z["scores"]), np.isneginf(np.asarray(partial.scores))
     )
 
     # resume: only the missing candidates are recomputed
