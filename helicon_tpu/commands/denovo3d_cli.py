@@ -41,11 +41,11 @@ def main(args: argparse.Namespace) -> None:
     # process ends with the full ranking (parallel/multihost.py). A
     # single process (no coordinator configured) is untouched.
     multihost.initialize()
-    if multihost.is_distributed() and getattr(args, "checkpoint", 0):
-        raise SystemExit(
-            "--checkpoint and multi-host execution are mutually "
-            "exclusive (each process would fight over the same file)"
-        )
+    # --checkpoint composes with multi-host execution: each process
+    # persists its own coarse-pass slice to a per-process shard
+    # (<prefix>.ckpt.p<rank>.npz) and a restarted run recomputes only
+    # the missing candidates of each shard (parallel/multihost.py;
+    # DISTRIBUTED.md "Checkpointing under multi-host").
 
     header = mrc_header(args.input_image)
     apix = args.apix if args.apix > 0 else header.apix
@@ -107,19 +107,27 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
 
     search = reconstruct_grid
     ckpt_kw = {}
-    if multihost.is_distributed():
-        search = multihost.multihost_reconstruct_grid
-    elif getattr(args, "checkpoint", 0):
+    if getattr(args, "checkpoint", 0):
         # per-image checkpoint next to the outputs: a killed run resumes
         # from the last completed chunk on the exact same command line
         p = Path(args.output_prefix)
         if multi:
             p = p.parent / f"{p.name}_{image_index:03d}"
-        search = reconstruct_grid_checkpointed
-        ckpt_kw = dict(
-            checkpoint_path=str(p) + ".ckpt.npz",
-            chunk=int(args.checkpoint),
-        )
+        if multihost.is_distributed():
+            # composed path: per-process shards under the same base name
+            search = multihost.multihost_reconstruct_grid
+            ckpt_kw = dict(
+                checkpoint_path=str(p) + ".ckpt.npz",
+                checkpoint_chunk=int(args.checkpoint),
+            )
+        else:
+            search = reconstruct_grid_checkpointed
+            ckpt_kw = dict(
+                checkpoint_path=str(p) + ".ckpt.npz",
+                chunk=int(args.checkpoint),
+            )
+    elif multihost.is_distributed():
+        search = multihost.multihost_reconstruct_grid
 
     with Timer(f"grid search (image {image_index})", verbose=args.verbose):
         res = search(
@@ -149,6 +157,18 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             compute_dtype=args.computeDtype,
             batch_size=args.batchSize if args.batchSize > 0 else None,
             return_best_volume=True,
+        )
+
+    if args.verbose and res.effective:
+        # which kernel scored this run: the fused grouped Pallas solve
+        # or the XLA grouped/per-candidate path (VERDICT r4 #8 — a
+        # config outside the kernel's envelope falls back silently at
+        # the dispatch level, so surface the resolved choice here)
+        eff = res.effective
+        logger.info(
+            "scoring path: %s (use_pallas=%s, R_pad=%s, n_groups=%s)",
+            eff.get("path", "?"), eff.get("use_pallas", False),
+            eff.get("R_pad", "-"), eff.get("n_groups", "-"),
         )
 
     # distributed: every process holds the full ranking; process 0 owns

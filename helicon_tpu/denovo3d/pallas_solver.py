@@ -40,6 +40,7 @@ __all__ = [
     "score_candidate_pallas",
     "solve_group_pallas",
     "grouped_pallas_inputs",
+    "wide_col",
     "fits_vmem",
     "fits_vmem_grouped",
     "pallas_inputs",
@@ -746,14 +747,21 @@ def grouped_pallas_inputs(shared, tens, geom, R: int):
 def _group_kernel(
     a_top_ref, a_topt_ref, gt_ref, bz_ref, bzt_ref, af_ref, degm_ref,
     afm_ref, cnt_ref, mask_ref, rhs_ref, lb_ref, ub_ref, bn_ref,
+    l1_ref, l2_ref,
     x_ref, score_ref, *,
     R, l3, d3sq, Dd, S1, n_ops,
     cg_iters, fista_iters, power_iters, use_bf16,
+    has_l1, has_l2, with_score,
 ):
     cdt = jnp.bfloat16 if use_bf16 else jnp.float32
     RL = R * l3
     mask = mask_ref[:]
     rhs = rhs_ref[:]
+    # per-candidate regularization columns (lane-replicated like lb/ub);
+    # has_l1/has_l2 are STATIC so the default (unregularized) envelope
+    # compiles the identical kernel it always did
+    l1w = l1_ref[:, 0:1] if has_l1 else None
+    l2w = l2_ref[:, 0:1] if has_l2 else None
 
     def _dg(a, b):
         return jax.lax.dot_general(
@@ -828,6 +836,8 @@ def _group_kernel(
         y = _dg(u.astype(cdt), a_top_ref[:Dd, :]) + _dg(
             gs.astype(cdt), a_top_ref[Dd:, :]
         )
+        if has_l2:  # ridge/elasticnet term (solver: N = N0 + l2_eff v)
+            y = y + l2w * X
         return y * mask
 
     # ---- CG from x0 = 0, per-candidate alpha/beta (solver._cg) ------
@@ -873,14 +883,22 @@ def _group_kernel(
         lips = margin * cand_sum(v * matvec(v))
         etaw = tile_r(1.0 / jnp.maximum(lips, 1e-20))
 
-        # ---- FISTA with box projection (l1 = 0: prox = clip) --------
+        # ---- FISTA with box projection; l1 adds the per-candidate
+        # soft-threshold before the clip (solver._fista's prox) --------
         lb = lb_ref[:, 0:1]
         ub = ub_ref[:, 0:1]
+
+        def prox(v):
+            if has_l1:
+                v = jnp.sign(v) * jnp.maximum(
+                    jnp.abs(v) - etaw * l1w, 0.0
+                )
+            return jnp.clip(v, lb, ub)
 
         def fista_body(_, carry):
             x, y, t = carry
             g = matvec(y) - rhs
-            x_new = jnp.clip(y - etaw * g, lb, ub)
+            x_new = prox(y - etaw * g)
             t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
             y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
             return x_new, y_new, t_new
@@ -894,27 +912,53 @@ def _group_kernel(
 
     x = x * mask
     x_ref[:] = x
-    # cosine score without materializing the reprojection:
-    #   num = <P x, b_eff> = <x, rhs>
-    #   |P x|^2 = <x, PTP x> = <t_d, Gz-mix(t_d)>   (one GEMM + mix)
-    t_d = _dg(x.astype(cdt), a_topt_ref[:, :Dd])  # data section only
-    den2 = cand_sum(t_d * data_mix(t_d))
-    num = cand_sum(x * rhs)
-    den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:, 0:1]
-    score_ref[:] = jnp.broadcast_to(
-        jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0),
-        (R, 128),
+    if with_score:
+        # cosine score without materializing the reprojection:
+        #   num = <P x, b_eff> = <x, rhs>
+        #   |P x|^2 = <x, PTP x> = <t_d, Gz-mix(t_d)>   (one GEMM + mix)
+        t_d = _dg(x.astype(cdt), a_topt_ref[:, :Dd])  # data section only
+        den2 = cand_sum(t_d * data_mix(t_d))
+        num = cand_sum(x * rhs)
+        den = jnp.sqrt(jnp.maximum(den2, 0.0)) * bn_ref[:, 0:1]
+        score_ref[:] = jnp.broadcast_to(
+            jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0),
+            (R, 128),
+        )
+    else:
+        # widened-envelope configs (2D metrics, thresh clip, lreg seed,
+        # l1/l2 retry) score the returned x in XLA — the in-kernel
+        # cosine identity does not hold for them
+        score_ref[:] = jnp.zeros((R, 128), jnp.float32)
+
+
+def wide_col(v, R: int, l3: int):
+    """(R,) per-candidate scalars -> the kernel's lane-replicated
+    (R*l3, 128) column layout (see grouped_pallas_inputs.col_r)."""
+    w = jnp.broadcast_to(jnp.reshape(v, (1, R)), (l3, R)).reshape(
+        R * l3, 1
     )
+    return jnp.broadcast_to(w, (R * l3, 128))
 
 
 def solve_group_pallas(
     args, static: dict,
     cg_iters: int, fista_iters: int, power_iters: int,
     use_bf16: bool = True, interpret: bool = False,
+    l1_col=None, l2_col=None, with_score: bool = True,
 ):
     """Run the fused grouped solve; returns (x (R*l3, d3sq) f32,
     scores (R, 128) f32, lane-replicated — read column 0).
-    args/static from grouped_pallas_inputs."""
+    args/static from grouped_pallas_inputs.
+
+    l1_col / l2_col: optional (R*l3, 128) lane-replicated per-candidate
+    regularization coefficients (wide_col). l2 adds the ridge term to
+    every matvec; l1 adds the soft-threshold to the FISTA prox —
+    together they cover the reference solver zoo's lreg/lasso/
+    elasticnet/ridge objectives (solver_linear_regression.py:205-342).
+    with_score=False skips the in-kernel cosine epilogue (callers score
+    the returned x in XLA — required for 2D metrics, thresh_fraction,
+    and the l1/l2 alpha-decay retry whose kept x may mix scales).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -922,11 +966,15 @@ def solve_group_pallas(
     Dd, S1, n_ops = static["Dd"], static["S1"], static["n_ops"]
     RL = R * l3
     rows = Dd + n_ops * S1
+    has_l1 = l1_col is not None
+    has_l2 = l2_col is not None
+    zc = jnp.zeros((RL, 128), jnp.float32)
     kernel = functools.partial(
         _group_kernel,
         R=R, l3=l3, d3sq=d3sq, Dd=Dd, S1=S1, n_ops=n_ops,
         cg_iters=cg_iters, fista_iters=fista_iters,
         power_iters=power_iters, use_bf16=use_bf16,
+        has_l1=has_l1, has_l2=has_l2, with_score=with_score,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_matvec = cg_iters + (fista_iters + power_iters + 1 if fista_iters else 0)
@@ -939,7 +987,7 @@ def solve_group_pallas(
             # crash the Mosaic output-prep pass; callers take column 0
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
         ),
-        in_specs=[vm] * 14,
+        in_specs=[vm] * 16,
         out_specs=(vm, vm),
         cost_estimate=pl.CostEstimate(
             flops=flops_mv * (n_matvec + 1),
@@ -953,14 +1001,20 @@ def solve_group_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*args)
+    )(*args, l1_col if has_l1 else zc, l2_col if has_l2 else zc)
 
 
 def validate_grouped_on_device(interpret: bool = False) -> dict:
     """Compile + run the v3 grouped kernel (the production grid path on
     TPU since round 4) against the twist-grouped XLA scorer on a small
     self-contained group, on the current default device. bench.py
-    records the result next to the v1/v2 validation each round."""
+    records the result next to the v1/v2 validation each round.
+
+    Since round 5 this validates one row per WIDENED-envelope config
+    (VERDICT r4 #2): default lsq/cosine, ridge (l2 in-matvec), lasso
+    (l1 prox + alpha-decay retry), elasticnet, lreg seed,
+    thresh_fraction clip, and the ssim 2D metric (score-in-XLA path).
+    """
     from .geometry import estimate_copy_pair_counts, estimate_n_pair_ops
     from .grid import _group_tables
     from .solver import SolveConfig, _solve_group_impl
@@ -994,31 +1048,53 @@ def validate_grouped_on_device(interpret: bool = False) -> dict:
         geom, twist, rises, n_copies, n_pairs, n_ops, len(u),
         len(rises), {},
     )
-    cfg = SolveConfig(
-        interpolation="nn", model="lsq", cg_iters=6, fista_iters=8,
-        power_iters=2, separable=True, compute_dtype="float32",
+    configs = dict(
+        default=dict(),
+        ridge=dict(model="ridge", l2_reg=0.05),
+        lasso=dict(model="lasso", l1_reg=1e-4, reg_per_row=True),
+        elasticnet=dict(
+            model="elasticnet", l1_reg=5e-5, l2_reg=5e-5,
+            reg_per_row=True,
+        ),
+        lreg=dict(model="lreg"),
+        thresh=dict(thresh_fraction=0.1),
+        ssim=dict(score_metric="ssim"),
     )
-    common = (
-        geom, cfg, jnp.asarray(region), jnp.float32(twist),
-        jnp.asarray(rp), jnp.asarray(m), jnp.asarray(ch_u),
-        jnp.asarray(cc_u), jnp.asarray(pidx), jnp.asarray(pval),
-    )
-    s_xla = np.asarray(
-        _solve_group_impl(*common, n_ops_u=n_ops, fused_ntn=True)
-    )
-    s_pal = np.asarray(
-        _solve_group_impl(
-            *common, n_ops_u=n_ops, use_pallas=True,
-            pallas_interpret=interpret,
-        )
-    )
-    err = float(np.abs(s_xla - s_pal).max())
-    return {
+    out = {
         "device": str(jax.devices()[0].device_kind),
         "interpret": bool(interpret),
-        "v3_score_abs_err": err,
-        "ok": bool(err < 5e-3),
     }
+    ok = True
+    for name, kw in configs.items():
+        cfg = SolveConfig(
+            interpolation="nn", cg_iters=6, fista_iters=8,
+            power_iters=2, separable=True, compute_dtype="float32",
+            **kw,
+        )
+        common = (
+            geom, cfg, jnp.asarray(region), jnp.float32(twist),
+            jnp.asarray(rp), jnp.asarray(m), jnp.asarray(ch_u),
+            jnp.asarray(cc_u), jnp.asarray(pidx), jnp.asarray(pval),
+            jnp.asarray(rank),
+        )
+        s_xla = np.asarray(
+            _solve_group_impl(*common, n_ops_u=n_ops, fused_ntn=True)
+        )
+        s_pal = np.asarray(
+            _solve_group_impl(
+                *common, n_ops_u=n_ops, use_pallas=True,
+                pallas_interpret=interpret,
+            )
+        )
+        err = float(np.abs(s_xla - s_pal).max())
+        key = (
+            "v3_score_abs_err" if name == "default"
+            else f"v3_{name}_abs_err"
+        )
+        out[key] = err
+        ok = ok and err < 5e-3
+    out["ok"] = bool(ok)
+    return out
 
 
 def validate_on_device(interpret: bool = False) -> dict:

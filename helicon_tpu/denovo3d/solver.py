@@ -563,15 +563,16 @@ def _solve_group_impl(
     if use_pallas:
         # fused grouped Pallas solve: the whole group's CG/power/FISTA
         # runs inside ONE kernel with A_top VMEM-resident
-        # (pallas_solver.solve_group_pallas). Gated by grid.py to the
-        # configurations it implements exactly: cosine score, lsq with
-        # l1 = l2 = 0, no thresh clip, no fsc.
-        assert cfg.score_metric == "cosine"
-        assert cfg.l1_reg == 0.0 and cfg.l2_reg == 0.0
-        assert cfg.thresh_fraction < 0
+        # (pallas_solver.solve_group_pallas). Envelope (grid.py gates,
+        # this is the backstop): everything the XLA grouped path solves
+        # EXCEPT fsc splits — l1/l2 regularization and the alpha-decay
+        # retry run in/around the kernel; thresh_fraction, the lreg
+        # seed, and the 2D score metrics score the kernel's x in XLA.
+        assert cfg.fsc_test == 0 and cfg.model != "ard"
         return _solve_group_pallas(
             shared, geom, cfg, image_region, twist_degree, rises_pixel,
             m_counts, pair_idx, pairs_valid, pallas_interpret,
+            copy_rank=copy_rank,
         )
 
     def one(rise_pixel, m_r, pidx_r, pval_r, rank_r):
@@ -623,13 +624,53 @@ def _solve_group_impl(
 def _solve_group_pallas(
     shared, geom, cfg: SolveConfig, image_region, twist_degree,
     rises_pixel, m_counts, pair_idx, pairs_valid, interpret: bool,
+    copy_rank=None,
 ):
     """Grouped Pallas branch of _solve_group_impl: build the
     per-candidate tensors in XLA (vmapped, sharing the group's
     operators), assemble the wide-layout kernel inputs, and run the
-    fused on-chip solve. Returns scores (R,)."""
-    from .pallas_solver import grouped_pallas_inputs, solve_group_pallas
-    from .projector_grouped import build_candidate_tensors_grouped
+    fused on-chip solve. Returns scores (R,).
+
+    Envelope (VERDICT r4 #2): beyond the original plain-lsq + cosine
+    config, this path now covers the reference solver zoo's
+    default-adjacent configs —
+      * l1/l2 regularization (lreg/lasso/elasticnet/ridge, incl.
+        reg_per_row scaling): per-candidate coefficient columns feed
+        the kernel's matvec ridge term and FISTA soft-threshold; the
+        reference's alpha-decay retry on all-zero fits
+        (solver_linear_regression.py:330-337) runs as a lax.while_loop
+        of whole-group kernel calls with per-candidate first-success
+        freezing — identical per-candidate semantics to the XLA path's
+        vmapped retry.
+      * thresh_fraction >= 0, the lreg center-voxel seed, and the 2D
+        score metrics (ssim/ms_ssim/mutual_information/composite):
+        the SOLVE stays in-kernel; the returned x is scored in XLA via
+        the same build_candidate_problem_grouped closures +
+        _candidate_score the XLA grouped path uses (one extra P
+        application per candidate, ~1/29 of the solve's matvecs).
+    Only fsc splits remain outside (they re-weight data rows by pixel
+    id, which the grouped Gram factorization cannot express — the same
+    reason the XLA grouped path gates them to per-candidate scoring).
+    """
+    from .pallas_solver import (
+        grouped_pallas_inputs,
+        solve_group_pallas,
+        wide_col,
+    )
+    from .projector_grouped import (
+        build_candidate_problem_grouped,
+        build_candidate_tensors_grouped,
+    )
+
+    l3, d3 = geom.l3, geom.d3
+    d3sq = d3 * d3
+    regularized = cfg.l1_reg > 0 or cfg.l2_reg > 0  # static
+    score_in_kernel = (
+        cfg.score_metric == "cosine"
+        and cfg.thresh_fraction < 0
+        and not regularized
+        and cfg.model != "lreg"
+    )
 
     def tensors_one(rise_pixel, m_r, pidx_r, pval_r):
         sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
@@ -650,15 +691,25 @@ def _solve_group_pallas(
         )
         td["lb"] = jnp.where(positive, 0.0, -jnp.inf)
         td["ub"] = jnp.where(positive, td.pop("ub_raw"), jnp.inf)
+        # per-candidate regularization scale (mirrors the XLA branch)
+        reg_scale = (
+            jnp.float32(geom.d2 * geom.l2)
+            * jnp.maximum(1.0, jnp.sum(m_r.astype(jnp.float32)))
+            if cfg.reg_per_row
+            else jnp.float32(1.0)
+        )
+        td["l1_eff"] = cfg.l1_reg * reg_scale
+        td["l2_eff"] = cfg.l2_reg * reg_scale
         return td
 
     tens = jax.vmap(tensors_one)(
         rises_pixel, m_counts, pair_idx, pairs_valid
     )
     R = int(rises_pixel.shape[0])
+    l1v = tens.pop("l1_eff")
+    l2v = tens.pop("l2_eff")
     args, static = grouped_pallas_inputs(shared, tens, geom, R)
-    _, scores = solve_group_pallas(
-        args, static,
+    run_kw = dict(
         cg_iters=cfg.cg_iters, fista_iters=cfg.fista_iters,
         power_iters=cfg.power_iters,
         use_bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
@@ -666,7 +717,105 @@ def _solve_group_pallas(
         # HELICON_PALLAS_GROUPED=1 on CPU) runs the interpreter
         interpret=interpret or jax.default_backend() != "tpu",
     )
-    return scores[:, 0].reshape(R)
+
+    if not regularized:
+        x_w, scores = solve_group_pallas(
+            args, static, with_score=score_in_kernel, **run_kw
+        )
+    else:
+        def solve_at(scale):
+            return solve_group_pallas(
+                args, static, with_score=False,
+                l1_col=(
+                    wide_col(l1v * scale, R, l3) if cfg.l1_reg else None
+                ),
+                l2_col=(
+                    wide_col(l2v * scale, R, l3) if cfg.l2_reg else None
+                ),
+                **run_kw,
+            )[0]
+
+        def nonzero(x_w):  # (R,) any-nonzero per candidate
+            return jnp.any(
+                x_w.reshape(l3, R, d3sq) != 0.0, axis=(0, 2)
+            )
+
+        def tile_found(f):  # (R,) -> (R*l3, 1) wide row mask
+            return jnp.broadcast_to(
+                jnp.reshape(f, (1, R)), (l3, R)
+            ).reshape(R * l3, 1)
+
+        # reference solver:330-337 alpha-decay retry, whole-group form:
+        # every iteration re-solves the group at the decayed scale and
+        # freezes candidates at their FIRST nonzero solution
+        x0 = solve_at(jnp.float32(1.0))
+        found0 = nonzero(x0)
+
+        def cond(c):
+            _, found, scale = c
+            return jnp.logical_and(~jnp.all(found), scale > 1e-7)
+
+        def body(c):
+            x, found, scale = c
+            scale = scale * 0.1
+            x_new = solve_at(scale)
+            x = jnp.where(tile_found(found), x, x_new)
+            return x, found | nonzero(x_new), scale
+
+        x_w, _, _ = jax.lax.while_loop(
+            cond, body, (x0, found0, jnp.float32(1.0))
+        )
+        scores = None
+
+    if cfg.model == "lreg" and not regularized:
+        # reference solver:331-332: lreg seeds the center voxel when
+        # the fit degenerates to all-zero (flat volume index n//2)
+        mid = (l3 * d3sq) // 2
+        seed = (
+            jnp.zeros((l3, d3sq), jnp.float32)
+            .ravel().at[mid].set(1.0).reshape(l3, d3sq)
+        )
+        x_c = x_w.reshape(l3, R, d3sq)
+        nz = jnp.any(x_c != 0.0, axis=(0, 2))  # (R,)
+        x_c = jnp.where(nz[None, :, None], x_c, seed[:, None, :])
+        x_w = x_c.reshape(R * l3, d3sq)
+
+    if score_in_kernel:
+        return scores[:, 0].reshape(R)
+
+    # ---- score the kernel's x in XLA (same code path as the XLA
+    # grouped scorer: weighted P + _candidate_score) ------------------
+    x_cand = jnp.transpose(
+        x_w.reshape(l3, R, d3sq), (1, 0, 2)
+    )  # (R, l3, d3sq)
+    if copy_rank is None:
+        assert cfg.score_metric == "cosine", (
+            "2D score metrics on the grouped Pallas path require "
+            "copy_rank"
+        )
+        copy_rank = jnp.zeros(m_counts.shape, jnp.int32)
+
+    def score_one(x_r, rise_pixel, m_r, pidx_r, pval_r, rank_r):
+        sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
+        ops, rowv_bin = build_candidate_problem_grouped(
+            shared, geom, image_region, rise_pixel, sqrt_m, pidx_r,
+            pval_r,
+        )
+        x_vol = x_r.reshape(l3, d3, d3)
+        pred = ops["P"](x_vol) * rowv_bin
+        if cfg.thresh_fraction >= 0:
+            pred = jnp.clip(pred, 0.0, None)
+        b_eff = ops["b"][None] * ops["row_valid"]
+        inv_w = jnp.where(
+            sqrt_m > 0, 1.0 / jnp.maximum(sqrt_m, 1e-30), 0.0
+        )
+        return _candidate_score(
+            pred, b_eff, ops["b"], ops["row_valid"], cfg, rank_r, inv_w
+        )
+
+    return jax.vmap(score_one)(
+        x_cand, rises_pixel, m_counts, pair_idx, pairs_valid, copy_rank
+    )
 
 
 def _pid_split_masks(geom: ReconstructionGeometry, mode: int, key):

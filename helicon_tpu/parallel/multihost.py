@@ -151,10 +151,38 @@ def _psum_exchange(contrib: np.ndarray) -> np.ndarray:
     return np.array(jax.device_get(fn(arr)), np.float32)
 
 
-def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
+def _shard_checkpoint_path(path: str, pid: int) -> str:
+    """Per-process checkpoint shard name: `run.ckpt.npz` ->
+    `run.ckpt.p0.npz` (VERDICT r4 #5 — each process persists only its
+    own slice, so no two processes ever write the same file)."""
+    if path.endswith(".npz"):
+        return f"{path[:-4]}.p{pid}.npz"
+    return f"{path}.p{pid}"
+
+
+def multihost_reconstruct_grid(
+    image, apix, twists, rises,
+    checkpoint_path: str | None = None, checkpoint_chunk: int = 1024,
+    die_after_chunks: int | None = None,
+    **kwargs,
+):
     """Process-sharded candidate grid: each process scores its slice of
     every (globally determined) rise bucket on its local devices; scores
     are exchanged with one DCN collective per pass.
+
+    checkpoint_path (optional) composes resumability with multi-host
+    execution (VERDICT r4 #5): each process persists ITS OWN coarse-pass
+    slice to a per-process shard (`<path>.p<rank>.npz`, same atomic
+    write + grid-hash validation as the single-host checkpoint layer)
+    after every `checkpoint_chunk` candidates. A killed run restarts
+    with the SAME command on every host; each process recomputes only
+    its shard's missing candidates, then the ordinary score exchange +
+    merge stages run. Only the coarse pass is checkpointed — the merge
+    stages are the same bounded tail work as everywhere else, and they
+    re-derive from the coarse vector (single-host checkpoint semantics).
+    die_after_chunks is a TEST hook: exit the process cleanly after N
+    chunks, BEFORE any collective (simulates a mid-grid kill without
+    deadlocking the surviving processes in the psum barrier).
 
     Semantics match a single-host `reconstruct_grid` call on the full
     grid: identical rise bucketing, identical per-bucket geometry (the
@@ -182,6 +210,14 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
     rises = np.asarray(rises, np.float32)
     n = len(twists)
     if not is_distributed():
+        if checkpoint_path is not None:
+            from ..denovo3d import reconstruct_grid_checkpointed
+
+            return reconstruct_grid_checkpointed(
+                image, apix, twists, rises,
+                checkpoint_path=checkpoint_path,
+                chunk=checkpoint_chunk, **kwargs,
+            )
         return reconstruct_grid(image, apix, twists, rises, **kwargs)
 
     n_proc = jax.process_count()
@@ -213,26 +249,73 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
             **dict(local_kw, **overrides),
         )
 
-    # pass 1: fixed-pose scoring, sharded within each bucket
+    # pass 1: fixed-pose scoring, sharded within each bucket. With a
+    # checkpoint path, this process's completed entries live in its
+    # shard (NaN = not mine / not yet scored) and only the missing ones
+    # of its slice are recomputed — chunked with a save after each
+    # chunk, exactly the single-host checkpoint contract.
     contrib = np.zeros(n, np.float32)
     pose_c = np.zeros((n, 3), np.float32)
     pose_m = np.zeros(n, np.float32)
     local_sub = None
     cost = None
+    chunks_run = 0
+    ck_scores = ck_pose = ck_mask = None
+    shard = None
+    if checkpoint_path is not None:
+        from ..denovo3d.checkpoint import _atomic_save, _load_state
+
+        shard = _shard_checkpoint_path(checkpoint_path, pid)
+        ck_scores, ck_pose, ck_mask = _load_state(shard, twists, rises)
+
+        def save_shard():
+            _atomic_save(
+                shard, version=1, twists=twists, rises=rises,
+                scores=ck_scores, pose=ck_pose, pose_mask=ck_mask,
+            )
+
     for idx in buckets:
         rr = (float(np.min(rises[idx])), float(np.max(rises[idx])))
         mine = idx[process_candidate_slice(len(idx), n_proc, pid)]
         if not len(mine):
             continue
-        sub = run(mine, rr)
-        contrib[mine] = np.asarray(sub.scores, np.float32)
-        if sub.refined_params:  # refine_mode="all": every candidate
-            for k, v in sub.refined_params.items():
-                pose_c[mine[k]] = np.asarray(v, np.float32)
-                pose_m[mine[k]] = 1.0
-        local_sub = sub
-        if cost is None:
-            cost = sub.cost
+        if shard is None:
+            parts = [mine]
+        else:
+            done = mine[~np.isnan(ck_scores[mine])]
+            contrib[done] = ck_scores[done]
+            pose_c[done] = ck_pose[done]
+            pose_m[done] = ck_mask[done].astype(np.float32)
+            todo = mine[np.isnan(ck_scores[mine])]
+            step = max(1, int(checkpoint_chunk))
+            parts = [
+                todo[s : s + step] for s in range(0, len(todo), step)
+            ]
+        for part in parts:
+            if not len(part):
+                continue
+            sub = run(part, rr)
+            contrib[part] = np.asarray(sub.scores, np.float32)
+            if sub.refined_params:  # refine_mode="all": every candidate
+                for k, v in sub.refined_params.items():
+                    pose_c[part[k]] = np.asarray(v, np.float32)
+                    pose_m[part[k]] = 1.0
+            local_sub = sub
+            if cost is None:
+                cost = sub.cost
+            chunks_run += 1
+            if shard is not None:
+                ck_scores[part] = contrib[part]
+                ck_pose[part] = pose_c[part]
+                ck_mask[part] = pose_m[part] > 0
+                save_shard()
+                if (
+                    die_after_chunks is not None
+                    and chunks_run >= die_after_chunks
+                ):
+                    # test hook: simulate a mid-grid kill without ever
+                    # reaching a collective (no deadlock for peers)
+                    os._exit(17)
     scores = _psum_exchange(contrib)
 
     refined: dict = {}
@@ -350,5 +433,10 @@ def multihost_reconstruct_grid(image, apix, twists, rises, **kwargs):
             (local_sub.effective or {}) if local_sub is not None else {},
             n_processes=n_proc,
             n_buckets=len(buckets),
+            **(
+                dict(checkpointed=True, chunks_run=chunks_run)
+                if shard is not None
+                else {}
+            ),
         ),
     )

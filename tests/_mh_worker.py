@@ -58,7 +58,20 @@ def main():
     pid, nproc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
-    bucketed = len(sys.argv) > 5 and sys.argv[5] == "bucketed"
+    # extra args: "bucketed", "ckpt=<base path>", "chunk=<n>",
+    # "die=<k0,k1,...>" (per-rank die_after_chunks test hook)
+    extra = sys.argv[5:]
+    bucketed = "bucketed" in extra
+    mh_kw = {}
+    for a in extra:
+        if a.startswith("ckpt="):
+            mh_kw["checkpoint_path"] = a[5:]
+        elif a.startswith("chunk="):
+            mh_kw["checkpoint_chunk"] = int(a[6:])
+        elif a.startswith("die="):
+            ks = [int(x) for x in a[4:].split(",")]
+            if ks[pid % len(ks)] > 0:
+                mh_kw["die_after_chunks"] = ks[pid % len(ks)]
     from helicon_tpu.parallel import multihost
 
     multihost.initialize(
@@ -69,7 +82,9 @@ def main():
     assert jax.process_count() == nproc, jax.process_count()
 
     image, tw, ri, kw = tiny_workload(bucketed)
-    res = multihost.multihost_reconstruct_grid(image, twists=tw, rises=ri, **kw)
+    res = multihost.multihost_reconstruct_grid(
+        image, twists=tw, rises=ri, **mh_kw, **kw
+    )
     with open(out_path, "w") as f:
         json.dump(
             dict(
@@ -79,7 +94,8 @@ def main():
                 has_volume=res.best_volume is not None,
                 effective={
                     k: res.effective.get(k)
-                    for k in ("n_processes", "n_buckets")
+                    for k in ("n_processes", "n_buckets",
+                              "checkpointed", "chunks_run")
                 },
             ),
             f,

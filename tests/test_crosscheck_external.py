@@ -160,3 +160,180 @@ class TestPtychoVsPy4dstem:
         r, t = r - r.mean(), t - t.mean()
         cc = float((r * t).sum() / np.sqrt((r * r).sum() * (t * t).sum()))
         assert cc > 0.8, cc
+
+
+# ---------------------------------------------------------------------------
+# Always-run ANALYTIC-GOLDEN counterparts (VERDICT r4 #7). The three
+# env-gated tests above can never execute in a zero-egress image, so the
+# native transforms are additionally asserted against expectations that
+# are DERIVABLE by construction — no external package, no skip:
+#   * curvelet: a pure plane wave's band-energy split follows in closed
+#     form from the Meyer-window definition (evaluated here pointwise
+#     with scalar math, independent of the transform's grid/FFT code),
+#     plus exact tight-frame Parseval;
+#   * curvelet denoising: a band-limited signal + white noise has a
+#     derivable post-threshold noise floor (3-sigma hard thresholding
+#     keeps P(|n| > 3 sigma) ~ 0.27% of noise coefficients);
+#   * ptycho: the 4D-STEM fixture's defocus and phase object are known
+#     BY CONSTRUCTION (tests/test_aux_modules._make_ptycho_fixture), so
+#     the native parallax/ePIE pipeline is asserted against those truths.
+# ---------------------------------------------------------------------------
+
+
+def _meyer_band_fractions_pointwise(fy0, fx0, n_scales, n_angles):
+    """Closed-form per-band energy fraction of a pure plane wave at
+    (fy0, fx0) cycles/pixel — scalar evaluation of the documented
+    Meyer-window formula (core/curvelet.py docstring), independent of
+    the transform implementation (no FFT, no window stacks)."""
+    def ramp(t):
+        t = min(max(t, 0.0), 1.0)
+        return t * t * (3 - 2 * t)
+
+    r = np.hypot(fy0, fx0) / 0.5
+    theta = np.arctan2(fy0, fx0)
+    edges = [2.0 ** (-(n_scales - j)) for j in range(n_scales + 1)]
+    raws = [1.0 - ramp((r - 0.5 * edges[0]) / (0.5 * edges[0] + 1e-12))]
+    for j in range(n_scales):
+        lo, hi = edges[j], edges[j + 1]
+        rad = ramp((r - 0.5 * lo) / (0.5 * lo)) * (1.0 - ramp((r - hi) / hi))
+        n_ang = max(1, n_angles * (2 ** (j // 2)))
+        if n_ang == 1:
+            raws.append(rad)
+            continue
+        width = 2 * np.pi / n_ang
+        for a in range(n_ang):
+            center = -np.pi + (a + 0.5) * width
+            d = np.angle(np.exp(1j * (theta - center)))
+            ang = np.cos(np.clip(d / (2 * width), -0.5, 0.5) * np.pi) ** 2
+            d2 = np.angle(np.exp(1j * (theta - center - np.pi)))
+            ang += np.cos(np.clip(d2 / (2 * width), -0.5, 0.5) * np.pi) ** 2
+            raws.append(rad * ang)
+    raw = np.asarray(raws)
+    s = float(np.sum(raw * raw))
+    return raw * raw / max(s, 1e-30)  # tight frame: fractions sum to 1
+
+
+class TestCurveletAnalyticGolden:
+    N, SCALES, ANGLES = 128, 4, 8
+
+    @pytest.mark.parametrize(
+        "cyc_y,cyc_x",
+        [
+            (0, 2),     # deep inside the lowpass
+            (10, 25),   # generic fine-scale wedge interior
+            (40, 0),    # on a wedge symmetry axis
+            (-18, 18),  # diagonal, mid-scale
+        ],
+    )
+    def test_plane_wave_band_energies_match_closed_form(self, cyc_y, cyc_x):
+        from helicon_tpu.core.curvelet import curvelet_transform_2d
+
+        N = self.N
+        y, x = np.mgrid[0:N, 0:N]
+        img = np.cos(2 * np.pi * (cyc_y * y + cyc_x * x) / N)
+        coeffs = np.asarray(
+            curvelet_transform_2d(img, self.SCALES, self.ANGLES)
+        )
+        got = np.sum(np.abs(coeffs) ** 2, axis=(1, 2))
+        got = got / got.sum()
+        want = _meyer_band_fractions_pointwise(
+            cyc_y / N, cyc_x / N, self.SCALES, self.ANGLES
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_tight_frame_parseval_exact(self):
+        from helicon_tpu.core.curvelet import curvelet_transform_2d
+
+        rng = np.random.default_rng(3)
+        img = rng.standard_normal((self.N, self.N)).astype(np.float32)
+        coeffs = np.asarray(
+            curvelet_transform_2d(img, self.SCALES, self.ANGLES)
+        )
+        total = float(np.sum(np.abs(coeffs) ** 2))
+        ref = float(np.sum(img.astype(np.float64) ** 2))
+        assert abs(total - ref) / ref < 1e-5
+
+    def test_denoise_noise_floor_band_limited_signal(self):
+        """Hard 3-sigma thresholding of white noise keeps ~0.27% of
+        noise-only coefficients, so for a signal confined to a few
+        bands the residual is dominated by (a) in-band noise riding on
+        retained coefficients and (b) threshold distortion of the
+        oscillatory low-amplitude parts of the signal's own
+        coefficients — both bounded well below the input noise when the
+        signal bands cover a small area fraction of the frequency
+        plane. Measured ~0.25x on this fixture; the asserted 0.35x
+        bound guards the derivation-level claim (most of the broadband
+        noise must go) without over-fitting the exact figure."""
+        from helicon_tpu.core.curvelet import denoise_curvelet_2d
+
+        N = self.N
+        y, x = np.mgrid[0:N, 0:N]
+        clean = (
+            np.cos(2 * np.pi * (10 * y + 25 * x) / N)
+            + 0.8 * np.cos(2 * np.pi * (0 * y + 2 * x) / N)
+        ).astype(np.float64)
+        rng = np.random.default_rng(5)
+        noise = rng.normal(scale=0.15 * clean.std(), size=clean.shape)
+        noisy = clean + noise
+        out = np.asarray(
+            denoise_curvelet_2d(
+                noisy, threshold_sigma=3.0,
+                n_scales=self.SCALES, n_angles=self.ANGLES,
+            )
+        )
+        mse_in = float(np.mean((noisy - clean) ** 2))
+        mse_out = float(np.mean((out - clean) ** 2))
+        assert mse_out < 0.35 * mse_in, (mse_out, mse_in)
+
+
+class TestPtychoAnalyticGolden:
+    def test_parallax_defocus_matches_construction(self, tmp_path):
+        """The fixture's defocus is a construction parameter: the
+        parallax estimate must recover its sign and magnitude without
+        any external oracle. (test_aux_modules adds center-robustness
+        and 2x-scaling checks on the same fixture.)"""
+        from tests.test_aux_modules import _make_ptycho_fixture
+
+        from helicon_tpu.core.ptycho import (
+            electron_wavelength_angstrom,
+            estimate_defocus_parallax,
+            load_h5_file,
+        )
+
+        f = tmp_path / "scan4d.h5"
+        _make_ptycho_fixture(f, defocus=-600.0)
+        data, vacuum, acc_v, semi, r_pix = load_h5_file(str(f))
+        lam = electron_wavelength_angstrom(acc_v)
+        est = estimate_defocus_parallax(
+            np.asarray(data), lam, semi / 8.0, r_pix, 8.0, (16.0, 16.0)
+        )
+        assert est == pytest.approx(-600.0, rel=0.40)
+
+    @pytest.mark.slow
+    def test_reconstruction_matches_construction_potential(self, tmp_path):
+        """ePIE must recover the phase object the fixture was BUILT
+        from — the same assertion the skipped py4DSTEM test applies,
+        but against construction truth."""
+        from tests.test_aux_modules import _make_ptycho_fixture
+
+        from helicon_tpu.core.ptycho import reconstruct_ptychography
+
+        f = tmp_path / "scan4d.h5"
+        V, pad_gen = _make_ptycho_fixture(f, defocus=-600.0)
+        scan, step_px, det = 12, 2, 32
+        pot = reconstruct_ptychography(
+            str(f), com_rotation_force=0.0, crop_margin=0,
+            num_iter=50, step_size=1.0, batch_size=1,
+        )
+        tru = np.zeros_like(pot)
+        oy, ox = V.shape
+        tru[16 - pad_gen : 16 - pad_gen + oy,
+            16 - pad_gen : 16 - pad_gen + ox] = V
+        span = (scan - 1) * step_px + det
+        m = 10
+        r = pot[16 + m : 16 + span - m, 16 + m : 16 + span - m]
+        t = tru[16 + m : 16 + span - m, 16 + m : 16 + span - m]
+        r, t = r - r.mean(), t - t.mean()
+        cc = float((r * t).sum() / np.sqrt((r * r).sum() * (t * t).sum()))
+        assert cc > 0.8, cc

@@ -251,3 +251,119 @@ def test_pallas_auto_regime_policy():
     f32_short = SolveConfig(cg_iters=10, fista_iters=16, power_iters=2,
                             compute_dtype="float32", separable=True)
     assert not _pallas_auto_regime(f32_short)
+
+
+# ---- widened grouped-kernel envelope (VERDICT r4 #2) ---------------------
+
+
+def _grouped_case():
+    """Shared group problem for the envelope parity tests (mirrors
+    test_grouped_kernel_matches_xla's setup, returns rank too)."""
+    from helicon_tpu.denovo3d.geometry import (
+        estimate_copy_pair_counts,
+        estimate_n_pair_ops,
+    )
+    from helicon_tpu.denovo3d.grid import _group_tables
+    from helicon_tpu.helix import simulate_helical_projection
+
+    img = np.asarray(
+        simulate_helical_projection(
+            n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+            ball_radius=6.0, polymer=0, planarity=1.0,
+            ny=64, nx=128, apix=2.0, rng=0,
+        )
+    ).squeeze()
+    geom = ReconstructionGeometry(
+        d2=14, l2=32, d3=12, l3=4, rmin=0.0, rmax=5.0,
+        scale2d_to_3d=0.858, csym=1,
+    )
+    region = img[: geom.d2, : geom.l2].astype(np.float32)
+    rises = np.asarray([1.0, 1.1, 1.2], np.float32)
+    twist = 29.4
+    n_copies, n_pairs = estimate_copy_pair_counts(
+        geom, float(rises.min()), 8, rise_pixel_max=float(rises.max())
+    )
+    n_ops = estimate_n_pair_ops(geom, float(rises.min()))
+    u = set()
+    for r in rises:
+        ch, cc, cv = select_copies(geom, float(r), n_copies)
+        u.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+    rp, m, ch_u, cc_u, pidx, pval, rank = _group_tables(
+        geom, twist, rises, n_copies, n_pairs, n_ops, len(u), 8, {}
+    )
+    common = (
+        geom, jnp.asarray(region), jnp.float32(twist),
+        jnp.asarray(rp), jnp.asarray(m), jnp.asarray(ch_u),
+        jnp.asarray(cc_u), jnp.asarray(pidx), jnp.asarray(pval),
+    )
+    return common, jnp.asarray(rank), n_ops
+
+
+ENVELOPE_CONFIGS = dict(
+    ridge=dict(model="ridge", l2_reg=0.05),
+    lasso=dict(model="lasso", l1_reg=1e-4, reg_per_row=True),
+    elasticnet=dict(
+        model="elasticnet", l1_reg=5e-5, l2_reg=5e-5, reg_per_row=True
+    ),
+    lreg=dict(model="lreg"),
+    thresh=dict(thresh_fraction=0.1),
+    ssim=dict(score_metric="ssim"),
+    mutual_information=dict(score_metric="mutual_information"),
+)
+
+
+@pytest.mark.parametrize("name", sorted(ENVELOPE_CONFIGS))
+def test_grouped_kernel_widened_envelope_matches_xla(name):
+    """Every widened-envelope config (l1/l2 solver zoo, thresh clip,
+    lreg seed, 2D metrics) score-matches the XLA grouped path in
+    interpret mode — the kernel solves, XLA scores where the in-kernel
+    cosine identity does not hold."""
+    from helicon_tpu.denovo3d.solver import SolveConfig, _solve_group_impl
+
+    common, rank, n_ops = _grouped_case()
+    geom = common[0]
+    cfg = SolveConfig(
+        interpolation="nn", cg_iters=6, fista_iters=8, power_iters=2,
+        separable=True, compute_dtype="float32",
+        **ENVELOPE_CONFIGS[name],
+    )
+    args = (geom, cfg) + common[1:]
+    s_xla = np.asarray(
+        _solve_group_impl(*args, rank, n_ops_u=n_ops, fused_ntn=True)
+    )
+    s_pal = np.asarray(
+        _solve_group_impl(
+            *args, rank, n_ops_u=n_ops, use_pallas=True,
+            pallas_interpret=True,
+        )
+    )
+    assert np.all(np.isfinite(s_pal)), s_pal
+    # iterative solves + reassociated scoring: small float drift only
+    assert np.abs(s_xla - s_pal).max() < 5e-4, (name, s_xla, s_pal)
+
+
+def test_pallas_group_compat_envelope():
+    """The gate accepts the widened solver-zoo configs and still
+    rejects fsc/ard/non-separable."""
+    from helicon_tpu.denovo3d.grid import _pallas_group_compat
+    from helicon_tpu.denovo3d.solver import SolveConfig
+
+    for kw in ENVELOPE_CONFIGS.values():
+        assert _pallas_group_compat(SolveConfig(separable=True, **kw)), kw
+    assert not _pallas_group_compat(SolveConfig(separable=True, fsc_test=2))
+    assert not _pallas_group_compat(SolveConfig(separable=True, model="ard"))
+    assert not _pallas_group_compat(SolveConfig(separable=False))
+
+
+def test_pallas_fallback_is_logged(caplog):
+    """VERDICT r4 #2: falling off the fused kernel is never silent."""
+    import logging
+
+    from helicon_tpu.denovo3d import grid as grid_mod
+
+    grid_mod._pallas_fallback_logged.clear()
+    with caplog.at_level(logging.INFO, logger="helicon"):
+        grid_mod._log_pallas_fallback("test-reason")
+        grid_mod._log_pallas_fallback("test-reason")  # deduplicated
+    msgs = [r for r in caplog.records if "test-reason" in r.message]
+    assert len(msgs) == 1
