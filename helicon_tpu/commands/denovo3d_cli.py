@@ -152,6 +152,7 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             fsc_test=args.fscTest,
             refine_tilt_psi_dy_range=refine_range,
             refine_top_k=args.refineTopK,
+            refine_mode=getattr(args, "refineMode", "topk"),
             cg_iters=args.cgIters,
             fista_iters=args.fistaIters,
             compute_dtype=args.computeDtype,
@@ -254,6 +255,13 @@ def add_args(parser: argparse.ArgumentParser):
                              "(deg, deg, pixel); 0 disables an axis")
     parser.add_argument("--refineTopK", type=int, default=1,
                         help="refine this many top candidates")
+    parser.add_argument("--refineMode", type=str, default="topk",
+                        choices=["topk", "all"],
+                        help="topk = score fixed-pose grid, refine the "
+                             "winners; all = reference per-task "
+                             "semantics (every candidate GN-refined "
+                             "inside the grid; runs on the native C++ "
+                             "engine for the default config)")
     parser.add_argument("--cgIters", type=int, default=100)
     parser.add_argument("--fistaIters", type=int, default=40)
     parser.add_argument("--computeDtype", type=str, default="auto",

@@ -110,6 +110,10 @@ class GridResult:
     # R_pad, group_chunk, g_call, n_groups, fused_ntn, ...) so bench
     # JSONs record the configuration that produced the number
     effective: dict | None = None
+    # densify_padding=True: {twists, rises (Angstrom), scores} of the
+    # EXTRA candidates scored in otherwise-padded kernel slots —
+    # informational (never part of winner selection; VERDICT r4 #3)
+    extras: dict | None = None
 
     def top(self, n: int = 10):
         """(twist, rise, score) rows of the n best candidates."""
@@ -633,6 +637,7 @@ def _grouped_scoring(
     geom, cfg, scores, twists, rise_pixels, n_copies, n_pairs, n_ops,
     pose_args, copy_cache, batch_size,
     progress_callback, should_abort, cost_analysis, devices=None,
+    densify_padding: bool = False,
 ):
     """Twist-grouped scoring dispatch (see projector_grouped.py).
 
@@ -736,11 +741,68 @@ def _grouped_scoring(
         cap = max(16, min(64, 1024 // max(1, geom.l3)))
         cap = min(cap, max_size, batch_size)
         R_pad = -(-max_size // -(-max_size // max(1, cap)))
-    groups = []  # (twist, candidate indices) with len(idx) <= R_pad
+    groups = []  # (twist, candidate indices, extra rises) per sub-group
     for t, g in raw_groups:
         for s in range(0, len(g), R_pad):
-            groups.append((t, g[s : s + R_pad]))
-    group_idx = [g for _, g in groups]
+            groups.append((t, g[s : s + R_pad], None))
+
+    # ---- padding densification (VERDICT r4 #3) ----------------------
+    # A group smaller than R_pad would pad by repeating its last
+    # candidate — computed and thrown away. densify_padding=True fills
+    # those slots with REAL rises instead (iterative midpoints of the
+    # group's largest rise gaps: same geometry envelope, so bucketing /
+    # compiled shapes are untouched), and their scores come back in
+    # GridResult.extras — a finer rise grid at zero extra device work.
+    # Padded slots within a twist whose rises are all identical keep
+    # the repeat padding (no gap to subdivide).
+    n_extras = 0
+    if densify_padding:
+        dens = []
+        for t, g, _ in groups:
+            k = R_pad - len(g)
+            ext = None
+            if k > 0:
+                uniq = np.unique(rise_pixels[g].astype(np.float64))
+                if len(uniq) >= 2:
+                    vals = list(uniq)
+                    new = []
+                    for _i in range(k):
+                        gaps = np.diff(vals)
+                        j = int(np.argmax(gaps))
+                        mid = 0.5 * (vals[j] + vals[j + 1])
+                        new.append(mid)
+                        vals.insert(j + 1, mid)
+                    ext = np.asarray(new, np.float32)
+                    n_extras += len(new)
+            dens.append((t, g, ext))
+        if n_extras:
+            groups = dens
+            # the extras' copy selections may widen the canonical union
+            u_ext = set(u_all)
+            for _t, _g, ext in groups:
+                if ext is None:
+                    continue
+                for r in ext:
+                    r = float(r)
+                    if r not in copy_cache:
+                        copy_cache[r] = select_copies(geom, r, n_copies)
+                    ch, cc, cv = copy_cache[r]
+                    u_ext.update(zip(ch[cv].tolist(), cc[cv].tolist()))
+            if len(u_ext) != C_u:
+                if use_pallas:
+                    from .pallas_solver import fits_vmem_grouped
+
+                    if not fits_vmem_grouped(
+                        len(u_ext), geom.d2, geom.d3 * geom.d3,
+                        int(n_ops), geom.l3, R_pad, cfg.compute_dtype,
+                    ):
+                        # widened table breaks the kernel fit: keep the
+                        # kernel, drop densification
+                        groups = [(t, g, None) for t, g, _ in groups]
+                        n_extras = 0
+                if n_extras:
+                    C_u = len(u_ext)
+    group_idx = [g for _, g, _ in groups]
 
     chunk_env = _os.environ.get("HELICON_GRID_GROUP_CHUNK", "")
     if chunk_env:
@@ -786,12 +848,14 @@ def _grouped_scoring(
     # full-grid call; the tail padding is the cheaper evil)
 
     fused = _use_fused_ntn()
+    extra_rows: list = []
     effective = dict(
         path="grouped", R_pad=int(R_pad), group_chunk=int(group_chunk),
         g_call=int(g_call), n_groups=int(n_groups), C_u=int(C_u),
         n_devices=int(n_dev), fused_ntn=bool(fused),
         use_pallas=bool(use_pallas),
         pad_fraction=round(1.0 - n_cand / (len(groups) * R_pad), 4),
+        densified=int(n_extras),
     )
     run = _vgsolve_cached(
         geom, cfg, int(n_ops), group_chunk,
@@ -818,15 +882,17 @@ def _grouped_scoring(
         pad = g_call - len(gs)
         rows = [
             _group_tables(
-                geom, t, rise_pixels[g],
+                geom, t,
+                rise_pixels[g] if ext is None
+                else np.concatenate([rise_pixels[g], ext]),
                 n_copies, n_pairs, n_ops, C_u, R_pad, copy_cache,
             )
-            for t, g in gs
+            for t, g, ext in gs
         ]
         if pad:
             rows.extend([rows[-1]] * pad)
         tws = np.asarray(
-            [t for t, _ in gs] + [gs[-1][0]] * pad, np.float32
+            [t for t, _, _ in gs] + [gs[-1][0]] * pad, np.float32
         )
         stack = [np.stack([r[k] for r in rows]) for k in range(7)]
         # device_put HERE, on the producer thread: the host->device
@@ -902,19 +968,35 @@ def _grouped_scoring(
             s = run(*args)
             if incremental:
                 s_np = np.asarray(s)
-                for i, g in enumerate(group_idx[sl]):
+                for i, (t, g, ext) in enumerate(groups[sl]):
                     scores[g] = s_np[i, : len(g)]
                     done += len(g)
+                    if ext is not None:
+                        for j, r in enumerate(ext):
+                            extra_rows.append(
+                                (t, float(r), float(s_np[i, len(g) + j]))
+                            )
                 if progress_callback is not None:
                     progress_callback(done, n_cand, scores)
             else:
                 pending.append((sl, s))
         for sl, s in pending:
             s_np = np.asarray(s)
-            for i, g in enumerate(group_idx[sl]):
+            for i, (t, g, ext) in enumerate(groups[sl]):
                 scores[g] = s_np[i, : len(g)]
+                if ext is not None:
+                    for j, r in enumerate(ext):
+                        extra_rows.append(
+                            (t, float(r), float(s_np[i, len(g) + j]))
+                        )
     finally:
         executor.shutdown(wait=True, cancel_futures=True)
+    if extra_rows:
+        effective["extras"] = dict(
+            twists=np.asarray([e[0] for e in extra_rows], np.float32),
+            rise_pixels=np.asarray([e[1] for e in extra_rows], np.float32),
+            scores=np.asarray([e[2] for e in extra_rows], np.float32),
+        )
     return aborted, cost_stats, effective
 
 
@@ -959,6 +1041,7 @@ def reconstruct_grid(
     cost_analysis: bool = False,
     rise_bucket_ratio: float = 1.6,
     geometry_rise_range: tuple | None = None,
+    densify_padding: bool = False,
 ) -> GridResult:
     """Score every (twist, rise) candidate for one class-average image.
 
@@ -984,6 +1067,13 @@ def reconstruct_grid(
         inside the scored grid (vmapped batches) and ranked by its
         refined score. ~max_iter x the cost of "topk".
     docs/PARITY.md records a ranking study comparing the two modes.
+
+    densify_padding=True (VERDICT r4 #3) turns the grouped scorer's
+    repeat-padding slots (a twist group's candidate count rounded up to
+    the kernel's R_pad) into REAL interpolated rises; their scores come
+    back in GridResult.extras (twists/rises/scores arrays) — a finer
+    rise grid at zero extra device work. The requested candidates'
+    scores and winner selection are unchanged.
     """
     algorithm = algorithm or dict(model="lsq")
     twists = np.asarray(twists, np.float32)
@@ -1278,6 +1368,7 @@ def reconstruct_grid(
             n_ops, pose_args, copy_cache, batch_size,
             progress_callback, should_abort, cost_analysis,
             devices=tuple(devices) if n_dev > 1 else None,
+            densify_padding=densify_padding,
         )
     else:
         aborted, cost_stats, effective = _percand_scoring(
@@ -1370,6 +1461,15 @@ def reconstruct_grid(
             scores[idx] = float(out["score"])
             refined_params[idx] = (t_r, p_r, d_r)
 
+    extras = None
+    if effective and effective.get("extras"):
+        ee = effective.pop("extras")
+        extras = dict(
+            twists=ee["twists"],
+            # user-facing rises in Angstrom (the scorer works in pixels)
+            rises=ee["rise_pixels"] * np.float32(target_apix3d),
+            scores=ee["scores"],
+        )
     result = GridResult(
         twists=twists,
         rises=rises,
@@ -1380,6 +1480,7 @@ def reconstruct_grid(
         refined_params=refined_params,
         cost=cost_stats,
         effective=effective,
+        extras=extras,
     )
     result.best_index = int(np.argmax(scores))
     if return_best_volume and n_cand:

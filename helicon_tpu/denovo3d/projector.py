@@ -42,6 +42,31 @@ import numpy as np
 __all__ = ["build_problem", "data_operator", "sym_operator"]
 
 
+def _use_remat() -> bool:
+    """Should the per-copy/per-pair scan bodies be jax.checkpoint'ed?
+
+    Differentiating through the scans (the PT/ST vjps and the refine
+    path's pose Jacobian) stores every step's (l2, d2, d2)
+    coordinate/weight intermediates — measured ~1.3 GB per candidate at
+    the amyloid-fixture geometry, which capped TPU refine batches at 2
+    and could OOM-crash the worker. Remat recomputes the ~20-flop
+    coordinate math in the backward pass instead: measured +47 % wall
+    on the CPU backend (gather-paced, memory-rich) but the enabler for
+    real refine batches on accelerators. Policy: on for accelerator
+    backends, off on CPU; HELICON_PROJECTOR_REMAT=1/0 overrides.
+    Read at trace time."""
+    import os
+
+    v = os.environ.get("HELICON_PROJECTOR_REMAT", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _maybe_checkpoint(fn):
+    return jax.checkpoint(fn) if _use_remat() else fn
+
+
 def _rot_yx_inv(tilt_deg, psi_deg):
     """Transpose of scipy R.from_euler('yx', (tilt, psi)) as a 3x3."""
     t = jnp.deg2rad(tilt_deg)
@@ -187,6 +212,9 @@ def data_operator(
     def P(x_vol):
         xf = x_vol.reshape(-1)
 
+        # see _use_remat: keeps the PT vjp / pose Jacobian from
+        # storing per-copy coordinate intermediates on accelerators
+        @_maybe_checkpoint
         def one(carry, tdc):
             th, dzc, cv = tdc
             Z, Y, X = copy_coords(th, dzc)
@@ -252,6 +280,8 @@ def sym_operator(
     def S(x_vol):
         xf = x_vol.reshape(-1)
 
+        # same rationale as data_operator.P (see _use_remat)
+        @_maybe_checkpoint
         def one(carry, hp):
             hc, pv = hp[0], hp[1]
             v1, ok1 = op_sample(xf, hc[0], hc[1])

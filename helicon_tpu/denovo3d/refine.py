@@ -227,6 +227,87 @@ def _refine_batch(
     return jax.vmap(one)(tw, ri, ch, cc, cv, phc, pv, p0)
 
 
+def _native_refine_eligible(cfg) -> bool:
+    """Configs the C++ engine (native/refine_engine.cpp) implements
+    exactly: the nn-interpolation lsq + cosine default. Everything else
+    keeps the JAX loop (full model/metric surface)."""
+    import os
+
+    if os.environ.get("HELICON_NATIVE_REFINE", "auto") == "0":
+        return False
+    return (
+        cfg.score_metric == "cosine"
+        and cfg.model == "lsq"
+        and cfg.l1_reg == 0.0
+        and cfg.l2_reg == 0.0
+        and cfg.thresh_fraction < 0
+        and cfg.fsc_test == 0
+        and not cfg.interpolation.startswith("linear")
+    )
+
+
+def _refine_all_native(
+    lib, geom, cfg, image_region, twists, rise_pixels, tables,
+    tilt0, psi0, dy0, r_range,
+):
+    """Drive the C++ GN engine per candidate (host CPU; see
+    refine_engine.cpp for why this beats both XLA backends here).
+    Returns (scores (n,), params (n, 3)) like the JAX loop."""
+    import ctypes
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def fp(a):
+        return a.ctypes.data_as(f32p)
+
+    n = len(twists)
+    max_iter = int(r_range.get("max_iter", 5))
+    lo, hi = _pose_bounds(r_range)
+    ch, cc, cv, phc, pv = (np.asarray(t) for t in tables)
+    region = np.ascontiguousarray(image_region, np.float32)
+    mask = np.ascontiguousarray(
+        np.asarray(geom.cylindrical_mask(), np.float32)
+    )
+    cellok = np.ascontiguousarray(
+        np.asarray(geom.cell_valid_mask(), np.float32)
+    )
+    lo_c = np.ascontiguousarray(lo, np.float32)
+    hi_c = np.ascontiguousarray(hi, np.float32)
+    p0 = np.clip(np.array([tilt0, psi0, dy0], np.float32), lo, hi)
+    scores = np.zeros(n, np.float32)
+    params = np.zeros((n, 3), np.float32)
+    out_pose = np.zeros(3, np.float32)
+    out_score = np.zeros(1, np.float32)
+    for idx in range(n):
+        ch_i = np.ascontiguousarray(ch[idx], np.int32)
+        cc_i = np.ascontiguousarray(cc[idx], np.int32)
+        cv_i = np.ascontiguousarray(cv[idx], np.uint8)
+        phc_i = np.ascontiguousarray(phc[idx], np.int32)
+        pv_i = np.ascontiguousarray(pv[idx], np.uint8)
+        rc = lib.helicon_refine_candidate(
+            fp(region), fp(mask), fp(cellok),
+            int(geom.d2), int(geom.l2), int(geom.d3), int(geom.l3),
+            float(geom.scale2d_to_3d), int(geom.csym),
+            float(twists[idx]), float(rise_pixels[idx]),
+            ch_i.ctypes.data_as(i32p), cc_i.ctypes.data_as(i32p),
+            cv_i.ctypes.data_as(u8p), int(ch_i.shape[0]),
+            phc_i.ctypes.data_as(i32p), pv_i.ctypes.data_as(u8p),
+            int(phc_i.shape[0]),
+            int(cfg.cg_iters), int(cfg.fista_iters),
+            int(cfg.power_iters), int(cfg.positive_constraint),
+            float(p0[0]), float(p0[1]), float(p0[2]),
+            fp(lo_c), fp(hi_c), max_iter,
+            fp(out_pose), fp(out_score),
+        )
+        if rc != 0:
+            raise RuntimeError(f"native refine engine failed (rc={rc})")
+        scores[idx] = out_score[0]
+        params[idx] = out_pose
+    return scores, params
+
+
 def refine_all_candidates(
     geom,
     cfg,
@@ -245,7 +326,23 @@ def refine_all_candidates(
 
     tables: (ch, cc, cv, phc, pv) per-candidate arrays (leading axis n)
     from grid._candidate_tables. Returns (scores (n,), params (n, 3)).
+
+    Dispatch: the nn-lsq-cosine default runs on the native C++ engine
+    when it compiles (helicon_tpu/native/refine_engine.cpp — per-pose
+    CSR sampling tables + dynamic validity pruning + analytic pose
+    Jacobian; HELICON_NATIVE_REFINE=0 disables); every other config, or
+    a missing toolchain, takes the vmapped JAX loop below.
     """
+    if _native_refine_eligible(cfg):
+        from ..native import load_refine_engine
+
+        lib = load_refine_engine()
+        if lib is not None:
+            return _refine_all_native(
+                lib, geom, cfg, np.asarray(image_region, np.float32),
+                twists, rise_pixels, tables, tilt0, psi0, dy0, r_range,
+            )
+
     n = len(twists)
     max_iter = int(r_range.get("max_iter", 5))
     lo, hi = _pose_bounds(r_range)

@@ -24,6 +24,7 @@ import threading
 
 _LOCK = threading.Lock()
 _CODEC: object = None  # None = untried, False = unavailable, CDLL = loaded
+_REFINE: object = None  # same tri-state for the GN refine engine
 
 
 def _compile(src: pathlib.Path) -> pathlib.Path | None:
@@ -44,7 +45,8 @@ def _compile(src: pathlib.Path) -> pathlib.Path | None:
         if so.exists():
             return so
         tmp = so.with_suffix(f".{os.getpid()}.tmp")
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+               "-std=c++17", "-shared", "-fPIC",
                "-o", str(tmp), str(src)]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)  # atomic: concurrent builders race benignly
@@ -101,3 +103,43 @@ def load_star_codec():
                 except OSError:
                     _CODEC = False
         return _CODEC or None
+
+
+def load_refine_engine():
+    """ctypes handle to the GN pose-refinement engine
+    (refine_engine.cpp), or None — callers fall back to the JAX loop.
+    Same build/caching/fallback model as the STAR codec."""
+    global _REFINE
+    if os.environ.get("HELICON_NO_NATIVE", "").lower() not in ("", "0", "false"):
+        return None
+    with _LOCK:
+        if _REFINE is None:
+            _REFINE = False
+            src = pathlib.Path(__file__).parent / "refine_engine.cpp"
+            so = _compile(src) if src.exists() else None
+            if so is not None:
+                try:
+                    lib = ctypes.CDLL(str(so))
+                    f32p = ctypes.POINTER(ctypes.c_float)
+                    i32p = ctypes.POINTER(ctypes.c_int32)
+                    u8p = ctypes.POINTER(ctypes.c_uint8)
+                    lib.helicon_refine_candidate.restype = ctypes.c_int
+                    lib.helicon_refine_candidate.argtypes = [
+                        f32p, f32p, f32p,                     # region/mask/cellok
+                        ctypes.c_int, ctypes.c_int,            # d2, l2
+                        ctypes.c_int, ctypes.c_int,            # d3, l3
+                        ctypes.c_float, ctypes.c_int,          # scale, csym
+                        ctypes.c_float, ctypes.c_float,        # twist, rise_px
+                        i32p, i32p, u8p, ctypes.c_int,         # copies
+                        i32p, u8p, ctypes.c_int,               # pairs
+                        ctypes.c_int, ctypes.c_int,            # cg, fista
+                        ctypes.c_int, ctypes.c_int,            # power, positive
+                        ctypes.c_float, ctypes.c_float,        # tilt0, psi0
+                        ctypes.c_float,                        # dy0
+                        f32p, f32p, ctypes.c_int,              # lo, hi, max_iter
+                        f32p, f32p,                            # out pose, score
+                    ]
+                    _REFINE = lib
+                except OSError:
+                    _REFINE = False
+        return _REFINE or None

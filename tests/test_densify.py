@@ -1,0 +1,98 @@
+"""densify_padding (VERDICT r4 #3): the grouped scorer's repeat-padding
+slots become REAL interpolated rises whose scores return in
+GridResult.extras — the requested candidates' scores, ranking, and
+winner must be untouched, and each extra's score must equal a direct
+re-score of that (twist, rise).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def image():
+    from helicon_tpu.helix import simulate_helical_projection
+
+    return np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=29.4, rise=4.75, csym=1, helical_diameter=100.0,
+        ball_radius=6.0, polymer=0, planarity=1.0,
+        ny=64, nx=128, apix=2.0, rng=0,
+    )))
+
+
+KW = dict(
+    apix=2.0, target_apix2d=4.0, tube_diameter=110.0,
+    cg_iters=8, fista_iters=10, power_iters=2, compute_dtype="float32",
+    batch_size=16, return_best_volume=False,
+)
+
+
+def _grid13():
+    # 13 rises/twist: the bench's padded regime once R_pad = 16
+    rises_1 = np.linspace(4.45, 5.05, 13).astype(np.float32)
+    tw = np.repeat(np.asarray([28.0, 29.4, 31.0], np.float32), 13)
+    return tw, np.tile(rises_1, 3)
+
+
+def test_densify_fills_padding_with_real_candidates(image, monkeypatch):
+    from helicon_tpu.denovo3d.grid import reconstruct_grid
+
+    monkeypatch.setenv("HELICON_GRID_GROUP_R", "16")
+    tw, ri = _grid13()
+    base = reconstruct_grid(image, twists=tw, rises=ri, **KW)
+    dens = reconstruct_grid(
+        image, twists=tw, rises=ri, densify_padding=True, **KW
+    )
+    assert dens.effective["R_pad"] == 16
+    assert dens.effective["densified"] == 9  # 3 padded slots x 3 groups
+    # requested candidates: bit-for-bit the same run
+    np.testing.assert_allclose(dens.scores, base.scores, atol=2e-5)
+    assert dens.best_index == base.best_index
+    ex = dens.extras
+    assert ex is not None and len(ex["scores"]) == 9
+    assert np.all(np.isfinite(ex["scores"]))
+    # extras stay inside the grid's rise envelope (same geometry)
+    assert ex["rises"].min() >= ri.min() - 1e-4
+    assert ex["rises"].max() <= ri.max() + 1e-4
+
+    # an extra's score equals a direct re-score of that (twist, rise)
+    t0, r0 = float(ex["twists"][0]), float(ex["rises"][0])
+    chk = reconstruct_grid(
+        image,
+        twists=np.asarray([t0] * 3, np.float32),
+        rises=np.asarray([r0, r0 + 0.15, r0 - 0.15], np.float32),
+        **KW,
+    )
+    assert abs(float(chk.scores[0]) - float(ex["scores"][0])) < 5e-3
+
+
+def test_densify_noop_without_padding(image, monkeypatch):
+    """Groups that already fill R_pad have no slots to densify."""
+    from helicon_tpu.denovo3d.grid import reconstruct_grid
+
+    monkeypatch.setenv("HELICON_GRID_GROUP_R", "13")
+    tw, ri = _grid13()
+    dens = reconstruct_grid(
+        image, twists=tw, rises=ri, densify_padding=True, **KW
+    )
+    assert dens.effective["densified"] == 0
+    assert dens.extras is None
+
+
+def test_densify_single_rise_groups_keep_repeat_padding(image, monkeypatch):
+    """A twist whose rises are all identical has no gap to subdivide:
+    its padded slots keep the repeat padding (no bogus extras)."""
+    from helicon_tpu.denovo3d.grid import reconstruct_grid
+
+    monkeypatch.setenv("HELICON_GRID_GROUP_R", "8")
+    tw = np.asarray([28.0] * 3 + [31.0] * 3, np.float32)
+    ri = np.asarray([4.75] * 3 + [4.6, 4.75, 4.9], np.float32)
+    dens = reconstruct_grid(
+        image, twists=tw, rises=ri, densify_padding=True, **KW
+    )
+    ex = dens.extras
+    # only the 31.0 group (3 distinct rises) densifies its 5 slots
+    assert dens.effective["densified"] == 5
+    assert np.allclose(ex["twists"], 31.0)
