@@ -591,10 +591,21 @@ def _pallas_group_compat(cfg) -> bool:
     """Configurations the fused grouped Pallas solve implements exactly
     (solver._solve_group_pallas). Since round 5 that is the full
     grouped envelope — every score metric, l1/l2 regularization with
-    the alpha-decay retry, thresh_fraction, the lreg seed — except the
-    fsc half-set splits and ard (the same two the XLA grouped path
-    excludes, for the same row-reweighting reason)."""
-    return cfg.separable and cfg.fsc_test == 0 and cfg.model != "ard"
+    the alpha-decay retry, thresh_fraction, the lreg seed, and fsc
+    half-set splits (three kernel solves with j-dependent z-Grams, the
+    default lsq+cosine config) — except ard (unweighted equation
+    counting keeps it per-candidate)."""
+    if not cfg.separable or cfg.model == "ard":
+        return False
+    if cfg.fsc_test != 0:
+        return (
+            cfg.model == "lsq"
+            and cfg.score_metric == "cosine"
+            and cfg.l1_reg == 0.0
+            and cfg.l2_reg == 0.0
+            and cfg.thresh_fraction < 0
+        )
+    return True
 
 
 _pallas_fallback_logged: set = set()
@@ -1285,15 +1296,17 @@ def reconstruct_grid(
     use_grouped = (
         grouped_env != 0
         and cfg.separable
-        and cfg.fsc_test == 0
         and cfg.model != "ard"
+        # grouped fsc (round 5): unregularized models only — the half
+        # solves bypass the sqrt-multiplicity reg_scale bookkeeping
+        and not (cfg.fsc_test != 0 and (cfg.l1_reg or cfg.l2_reg))
     )
     if not use_grouped and grouped_env != 0 and devices[0].platform == "tpu":
         # VERDICT r4 #2: never a silent fall-off from the fused kernel —
         # these configs take the per-candidate path (grouped AND Pallas
         # are both out of envelope for the same row-semantics reasons)
         why = (
-            "fsc_test re-weights data rows by pixel id"
+            "fsc_test with l1/l2 regularization"
             if cfg.fsc_test != 0
             else "model='ard' counts unweighted equations"
             if cfg.model == "ard"

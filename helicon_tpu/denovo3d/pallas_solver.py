@@ -688,12 +688,21 @@ def grouped_pallas_inputs(shared, tens, geom, R: int):
     a_top = jnp.concatenate([w_rows, m_rows], axis=0).astype(cdt)
     a_topt = jnp.transpose(a_top, (1, 0))
 
-    # GT[(m*l3+n)*R + r, c*d2+j] = Gz[r, c, m, n] (broadcast over j)
-    gz = tens["Gz"]  # (R, C_u, l3, l3) f32
-    gt = jnp.broadcast_to(
-        jnp.transpose(gz, (2, 3, 0, 1))[..., None],
-        (l3, l3, R, C_u, d2),
-    ).reshape(l3 * l3 * R, C_u * d2)
+    # GT[(m*l3+n)*R + r, c*d2+j] = Gz[r, c, m, n] (broadcast over j) —
+    # or, for the fsc half-set solves, the j-DEPENDENT Gram
+    # Gz_j[r, c, m, n, j] (build_candidate_tensors_grouped(pid_mask=...));
+    # the kernel consumes both identically: its gt layout always has
+    # the j axis
+    gz = tens["Gz"]  # (R, C_u, l3, l3) or (R, C_u, l3, l3, d2) f32
+    if gz.ndim == 5:
+        gt = jnp.transpose(gz, (2, 3, 0, 1, 4)).reshape(
+            l3 * l3 * R, C_u * d2
+        )
+    else:
+        gt = jnp.broadcast_to(
+            jnp.transpose(gz, (2, 3, 0, 1))[..., None],
+            (l3, l3, R, C_u, d2),
+        ).reshape(l3 * l3 * R, C_u * d2)
     gt = jnp.pad(gt, ((0, 0), (0, Dd - C_u * d2)))
 
     # BZ[o, m*R+r, n*R+r'] = delta_rr' Mz_ops[r, o, m, n]; BZT swaps m/n
@@ -1050,6 +1059,7 @@ def validate_grouped_on_device(interpret: bool = False) -> dict:
     )
     configs = dict(
         default=dict(),
+        fsc=dict(fsc_test=2),
         ridge=dict(model="ridge", l2_reg=0.05),
         lasso=dict(model="lasso", l1_reg=1e-4, reg_per_row=True),
         elasticnet=dict(

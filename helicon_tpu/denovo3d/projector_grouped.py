@@ -351,6 +351,7 @@ def build_candidate_problem_grouped(
         # so both formulations consume identical inputs
         grouped_factors=dict(
             Gz=Gz.astype(jnp.float32),      # (C_u, l3, l3), m-weighted
+            Mz_w=Mz_w,                      # (C_u, l2, l3) cdt, m-weighted
             Mz_ops=Mz_ops_raw,              # (O_u, l3, l3) f32
             a_f=a_f,                        # (O_u, l3, d3^2) f32
             Cn=Cn,                          # (O_u, O_u) f32
@@ -368,6 +369,7 @@ def build_candidate_tensors_grouped(
     sqrt_m,
     pair_idx,
     pairs_valid,
+    pid_mask=None,
 ):
     """Array-only variant of build_candidate_problem_grouped for the
     grouped Pallas kernel: returns the per-candidate tensors of the fused
@@ -375,6 +377,15 @@ def build_candidate_tensors_grouped(
     over the group's candidates. The rhs is computed with the SAME
     weighted-P vjp the XLA path uses, so both paths solve the identical
     system.
+
+    pid_mask (l2, d2) 0/1 float (optional): a data-row pixel-id split
+    mask (solver._pid_split_masks) — the fsc half-set weighting. The
+    data-term z-Gram then becomes j-DEPENDENT:
+        Gz_j[c, m, n, j] = sum_i pid_mask[i, j] Mz_w[c, i, m] Mz_w[c, i, n]
+    returned as a 4D `Gz` (the Pallas kernel's wide gt layout has a j
+    axis anyway — the unmasked path merely broadcasts over it), with
+    rhs/b_norm computed on the masked rows. The box upper bound stays
+    the FULL-row one (reference: halves reuse the full ub_val).
     """
     ops, rowv_bin = build_candidate_problem_grouped(
         shared, geom, image_region, rise_pixel, sqrt_m, pair_idx,
@@ -383,11 +394,20 @@ def build_candidate_tensors_grouped(
     l3 = geom.l3
     d3sq = geom.d3 * geom.d3
     mask_f = shared["mask_f"]
-    b_eff = ops["b"][None] * ops["row_valid"]
-    rhs = (ops["PT"](b_eff) * mask_f).reshape(l3, d3sq)
     gf = ops["grouped_factors"]
+    if pid_mask is None:
+        b_eff = ops["b"][None] * ops["row_valid"]
+        gz_out = gf["Gz"]
+    else:
+        w = jnp.asarray(pid_mask, jnp.float32).reshape(
+            geom.l2, geom.d2
+        )
+        b_eff = ops["b"][None] * ops["row_valid"] * w[None]
+        mzw = gf["Mz_w"].astype(jnp.float32)  # (C_u, l2, l3)
+        gz_out = jnp.einsum("cim,cin,ij->cmnj", mzw, mzw, w)
+    rhs = (ops["PT"](b_eff) * mask_f).reshape(l3, d3sq)
     return dict(
-        Gz=gf["Gz"],
+        Gz=gz_out,
         Mz_ops=gf["Mz_ops"],
         a_f=gf["a_f"],
         Cn=gf["Cn"],

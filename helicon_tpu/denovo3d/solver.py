@@ -522,13 +522,19 @@ def _solve_group_impl(
 
     Restricted to the configurations where sqrt(multiplicity) row
     weighting is exactly the duplicated-row semantics (see
-    projector_grouped.py): any score metric, but no fsc split (it
-    re-weights rows by pixel id) and not ard (its row count reads
-    unweighted equations). grid.py gates accordingly; the asserts here
-    are the backstop.
+    projector_grouped.py): any score metric; fsc half-set splits run
+    grouped since round 5 (the pixel-id mask multiplies the z-Gram
+    j-dependently for the normal operator, and the half solves use the
+    explicit P/PT closures — unregularized models only); ard stays
+    per-candidate (its row count reads unweighted equations). grid.py
+    gates accordingly; the asserts here are the backstop.
     """
     assert cfg.separable, "grouped path requires tilt = psi = 0"
-    assert cfg.fsc_test == 0 and cfg.model != "ard"
+    assert cfg.model != "ard"
+    if cfg.fsc_test != 0:
+        assert cfg.l1_reg == 0.0 and cfg.l2_reg == 0.0, (
+            "grouped fsc supports unregularized models only"
+        )
     assert n_ops_u > 0, "grid.py must pass the canonical op-table size"
     from .projector_grouped import (
         build_candidate_problem_grouped,
@@ -564,15 +570,29 @@ def _solve_group_impl(
         # fused grouped Pallas solve: the whole group's CG/power/FISTA
         # runs inside ONE kernel with A_top VMEM-resident
         # (pallas_solver.solve_group_pallas). Envelope (grid.py gates,
-        # this is the backstop): everything the XLA grouped path solves
-        # EXCEPT fsc splits — l1/l2 regularization and the alpha-decay
-        # retry run in/around the kernel; thresh_fraction, the lreg
-        # seed, and the 2D score metrics score the kernel's x in XLA.
-        assert cfg.fsc_test == 0 and cfg.model != "ard"
+        # this is the backstop): everything the XLA grouped path solves —
+        # l1/l2 regularization and the alpha-decay retry run in/around
+        # the kernel; thresh_fraction, the lreg seed, and the 2D score
+        # metrics score the kernel's x in XLA; fsc half-set splits run
+        # as three kernel solves with j-dependent z-Grams (default
+        # lsq+cosine config only — grid gates the rest to XLA grouped).
+        assert cfg.model != "ard"
+        if cfg.fsc_test != 0:
+            assert (
+                cfg.model == "lsq" and cfg.score_metric == "cosine"
+                and cfg.l1_reg == 0.0 and cfg.l2_reg == 0.0
+                and cfg.thresh_fraction < 0
+            ), "pallas fsc covers the default lsq+cosine config only"
         return _solve_group_pallas(
             shared, geom, cfg, image_region, twist_degree, rises_pixel,
             m_counts, pair_idx, pairs_valid, pallas_interpret,
             copy_rank=copy_rank,
+        )
+
+    fsc_masks = None
+    if cfg.fsc_test >= 1:
+        fsc_masks = _pid_split_masks(
+            geom, cfg.fsc_test, jax.random.PRNGKey(0)
         )
 
     def one(rise_pixel, m_r, pidx_r, pval_r, rank_r):
@@ -607,7 +627,50 @@ def _solve_group_impl(
             pred_rowv=rowv_bin, copy_rank=rank_r, inv_w=inv_w,
             fused_ntn=fused_ntn,
         )
-        return score
+        if fsc_masks is None:
+            return score
+
+        # fsc half-set solves at grouped weighting: the grouped P/PT
+        # carry sqrt(multiplicity) ONCE each, so the half's normal
+        # operator uses the BINARY row mask x pid split (two sqrt_m
+        # factors -> m), while rhs/b_eff take the sqrt_m-weighted rows
+        # x pid split (A'^T b' = A^T m b). Mirrors the per-candidate
+        # half solves (solver:953-962) under the duplicated-row
+        # equivalence.
+        lb_h = jnp.where(positive, 0.0, -jnp.inf)
+        ub_h = jnp.where(positive, ub_val, jnp.inf)
+        P, PT, S, ST = ops["P"], ops["PT"], ops["S"], ops["ST"]
+
+        def solve_half(mh):
+            rv_bin_h = rowv_bin * mh
+            b_eff_h = ops["b"][None] * rowv_w * mh
+            rhs = PT(b_eff_h) * mask_f
+
+            def N(v):
+                return (PT(P(v) * rv_bin_h) + ST(S(v))) * mask_f
+
+            x = (
+                _cg(N, rhs, cfg.cg_iters)
+                if cfg.cg_iters > 0
+                else jnp.zeros_like(rhs)
+            )
+            if cfg.fista_iters > 0:
+                L = _power_iteration(N, rhs.shape, cfg.power_iters)
+                x = _fista(N, rhs, x, lb_h, ub_h, 0.0, cfg.fista_iters, L)
+            else:
+                x = jnp.clip(x, lb_h, ub_h)
+            x = x * mask_f
+            pred = P(x) * rv_bin_h
+            if cfg.thresh_fraction >= 0:
+                pred = jnp.clip(pred, 0.0, None)
+            return _candidate_score(
+                pred, b_eff_h, ops["b"], rowv_w * mh, cfg, rank_r, inv_w
+            )
+
+        s1 = solve_half(fsc_masks[0])
+        s2 = solve_half(fsc_masks[1])
+        # reference combined score (solver:527-530)
+        return score / 2 + (s1 + s2) / 4
 
     if copy_rank is None:
         # cosine never reads ranks; the 2D metrics need the true Halton
@@ -672,11 +735,11 @@ def _solve_group_pallas(
         and cfg.model != "lreg"
     )
 
-    def tensors_one(rise_pixel, m_r, pidx_r, pval_r):
+    def tensors_one(rise_pixel, m_r, pidx_r, pval_r, pid_mask=None):
         sqrt_m = jnp.sqrt(m_r.astype(jnp.float32))
         td = build_candidate_tensors_grouped(
             shared, geom, image_region, rise_pixel, sqrt_m, pidx_r,
-            pval_r,
+            pval_r, pid_mask=pid_mask,
         )
         pitch_pixel = jnp.round(
             rise_pixel * 360.0 / jnp.abs(twist_degree)
@@ -717,6 +780,37 @@ def _solve_group_pallas(
         # HELICON_PALLAS_GROUPED=1 on CPU) runs the interpreter
         interpret=interpret or jax.default_backend() != "tpu",
     )
+
+    if cfg.fsc_test >= 1:
+        # three kernel solves: full + two pixel-id half-sets. The ONLY
+        # input difference per half is the j-dependent z-Gram (gt), the
+        # rhs, and b_norm (build_candidate_tensors_grouped(pid_mask=));
+        # lb/ub stay the full-row bounds, matching the per-candidate
+        # halves. Scores combine per the reference (solver:527-530).
+        _, s_full = solve_group_pallas(
+            args, static, with_score=True, **run_kw
+        )
+        m1, m2 = _pid_split_masks(
+            geom, cfg.fsc_test, jax.random.PRNGKey(0)
+        )
+        halves = []
+        for mh in (m1, m2):
+            w = mh.reshape(geom.l2, geom.d2)
+            tens_h = jax.vmap(
+                functools.partial(tensors_one, pid_mask=w)
+            )(rises_pixel, m_counts, pair_idx, pairs_valid)
+            tens_h.pop("l1_eff")
+            tens_h.pop("l2_eff")
+            args_h, static_h = grouped_pallas_inputs(
+                shared, tens_h, geom, R
+            )
+            _, s_h = solve_group_pallas(
+                args_h, static_h, with_score=True, **run_kw
+            )
+            halves.append(s_h[:, 0].reshape(R))
+        return (
+            s_full[:, 0].reshape(R) / 2 + (halves[0] + halves[1]) / 4
+        )
 
     if not regularized:
         x_w, scores = solve_group_pallas(

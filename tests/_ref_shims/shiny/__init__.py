@@ -227,6 +227,16 @@ class Tag:
     def __repr__(self):
         return f"<tag {self.name} ({len(self.children)} children)>"
 
+    def __str__(self):
+        # htmltools renders tags to HTML on str(); tests (incl. the
+        # reference's own suite) assert on the rendered content
+        inner = "".join(str(c) for c in self.children)
+        attrs = "".join(
+            f' {k}="{v}"' for k, v in self.attrs.items()
+            if isinstance(v, (str, int, float))
+        )
+        return f"<{self.name}{attrs}>{inner}</{self.name}>"
+
 
 class _TagFactory:
     def __getattr__(self, name):

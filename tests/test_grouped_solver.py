@@ -166,9 +166,11 @@ def test_grouped_matches_percandidate_2d_metrics(image, metric, monkeypatch):
 
 
 def test_ineligible_configs_use_percandidate_path(image, monkeypatch):
-    """fsc splits re-weight rows by pixel id and ard counts unweighted
-    equations — the grid must keep them on the per-candidate path even
-    when grouping is force-enabled."""
+    """ard counts unweighted equations and REGULARIZED fsc bypasses the
+    grouped reg_scale bookkeeping — the grid must keep those on the
+    per-candidate path even when grouping is force-enabled.
+    (Unregularized fsc runs GROUPED since round 5 — covered by
+    test_grouped_fsc_matches_percandidate.)"""
     from helicon_tpu.denovo3d import grid as grid_mod
 
     def _boom(*a, **k):  # pragma: no cover - failure reporter
@@ -178,13 +180,33 @@ def test_ineligible_configs_use_percandidate_path(image, monkeypatch):
     monkeypatch.setenv("HELICON_GRID_GROUPED", "1")
     tw = np.repeat([29.4], 2).astype(np.float32)
     ri = np.asarray([4.6, 4.9], np.float32)
-    r = reconstruct_grid(image, twists=tw, rises=ri, fsc_test=2, **GRID_KW)
+    r = reconstruct_grid(
+        image, twists=tw, rises=ri, fsc_test=2,
+        algorithm=dict(model="ridge", alpha=0.05), **GRID_KW,
+    )
     assert np.all(np.isfinite(r.scores))
     r = reconstruct_grid(
         image, twists=tw, rises=ri,
         algorithm=dict(model="ard"), **GRID_KW,
     )
     assert np.all(np.isfinite(r.scores))
+
+
+def test_grouped_fsc_matches_percandidate(image, monkeypatch):
+    """fsc half-set splits run grouped since round 5: the pixel-id mask
+    enters the normal operator through a j-dependent z-Gram / explicit
+    P-PT closures. Scores must match the per-candidate fsc path."""
+    tw = np.repeat([27.0, 29.4], 3).astype(np.float32)
+    ri = np.tile([4.5, 4.75, 5.0], 2).astype(np.float32)
+    for mode in (2, 3):
+        r0 = _run(image, tw, ri, False, monkeypatch, fsc_test=mode)
+        r1 = _run(image, tw, ri, True, monkeypatch, fsc_test=mode)
+        np.testing.assert_allclose(
+            r1.scores, r0.scores, atol=5e-4, err_msg=f"mode {mode}"
+        )
+        assert np.array_equal(
+            np.argsort(-r0.scores), np.argsort(-r1.scores)
+        ), f"mode {mode}"
 
 
 def test_auto_mode_skips_grouping_for_unique_twists(image, monkeypatch):

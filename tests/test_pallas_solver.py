@@ -300,6 +300,7 @@ def _grouped_case():
 
 
 ENVELOPE_CONFIGS = dict(
+    fsc=dict(fsc_test=2),
     ridge=dict(model="ridge", l2_reg=0.05),
     lasso=dict(model="lasso", l1_reg=1e-4, reg_per_row=True),
     elasticnet=dict(
@@ -350,7 +351,13 @@ def test_pallas_group_compat_envelope():
 
     for kw in ENVELOPE_CONFIGS.values():
         assert _pallas_group_compat(SolveConfig(separable=True, **kw)), kw
-    assert not _pallas_group_compat(SolveConfig(separable=True, fsc_test=2))
+    # fsc rides the kernel only on the default lsq+cosine config
+    assert not _pallas_group_compat(
+        SolveConfig(separable=True, fsc_test=2, model="ridge", l2_reg=0.1)
+    )
+    assert not _pallas_group_compat(
+        SolveConfig(separable=True, fsc_test=2, score_metric="ssim")
+    )
     assert not _pallas_group_compat(SolveConfig(separable=True, model="ard"))
     assert not _pallas_group_compat(SolveConfig(separable=False))
 
