@@ -158,6 +158,11 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             compute_dtype=args.computeDtype,
             batch_size=args.batchSize if args.batchSize > 0 else None,
             return_best_volume=True,
+            **(
+                dict(densify_padding=True)
+                if getattr(args, "densifyPadding", 0)
+                else {}
+            ),
         )
 
     if args.verbose and res.effective:
@@ -188,6 +193,20 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             for i in order:
                 f.write(f"{res.twists[i]:.4f},{res.rises[i]:.4f},{res.scores[i]:.6f}\n")
         logger.info("ranked candidates -> %s", table)
+        if getattr(res, "extras", None):
+            ex = res.extras
+            extras_csv = Path(str(out_prefix) + ".extras.csv")
+            with open(extras_csv, "w") as f:
+                f.write("twist_degree,rise_angstrom,score\n")
+                order = np.argsort(-ex["scores"])
+                for i in order:
+                    f.write(
+                        f"{ex['twists'][i]:.4f},{ex['rises'][i]:.4f},"
+                        f"{ex['scores'][i]:.6f}\n"
+                    )
+            logger.info(
+                "%d densified extras -> %s", len(ex["scores"]), extras_csv
+            )
         print("top candidates (twist deg, rise A, score):")
         for t, r, s in top:
             print(f"  {t:10.3f} {r:8.3f} {s:10.6f}")
@@ -269,6 +288,11 @@ def add_args(parser: argparse.ArgumentParser):
                         help="auto = bfloat16 on accelerators (ranking-"
                              "validated), float32 on CPU backends")
     parser.add_argument("--batchSize", type=int, default=0)
+    parser.add_argument("--densifyPadding", type=int, default=0,
+                        help="1 = fill the grouped kernel's padding "
+                             "slots with real interpolated rises (free "
+                             "finer grid; extras land in "
+                             "<prefix>.extras.csv)")
     parser.add_argument("--checkpoint", type=int, default=0,
                         help="checkpoint the search every N candidates to "
                         "<prefix>.ckpt.npz; re-running the same command "

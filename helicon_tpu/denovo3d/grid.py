@@ -1288,8 +1288,10 @@ def reconstruct_grid(
     # share the big Wsum/Mxy operator tensors and their GEMMs fuse across
     # the group's rise axis (N = R*l3 instead of l3). All score metrics
     # run grouped (the 2D metrics unweight rows and scatter by Halton
-    # rank — see _candidate_score); fsc splits re-weight rows by pixel id
-    # and ard counts unweighted equations, so those keep the
+    # rank — see _candidate_score), and since round 5 so do fsc half-set
+    # splits (pixel-id mask as a j-dependent z-Gram; unregularized
+    # models). ard counts unweighted equations and regularized fsc
+    # bypasses the grouped reg bookkeeping — those keep the
     # per-candidate path. HELICON_GRID_GROUPED: -1 auto (on when twists
     # repeat), 0 off, 1 force.
     grouped_env = int(_os.environ.get("HELICON_GRID_GROUPED", "-1"))

@@ -366,7 +366,12 @@ def test_bench_script_runs_small(tmp_path):
                HELICON_BENCH_POWER="2", HELICON_BENCH_REPEATS="1",
                JAX_PLATFORMS="cpu")
     r = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True,
+        # --json: keep the smoke run's detail OUT of the repo's real
+        # BENCH_DETAIL.json (a concurrent/subsequent driver bench run
+        # must never be clobbered by a CPU smoke number)
+        [sys.executable, "bench.py", "--json",
+         str(tmp_path / "bench_smoke.json")],
+        capture_output=True, text=True,
         env=env, cwd="/root/repo", timeout=900,
     )
     assert r.returncode == 0, r.stderr
