@@ -214,6 +214,26 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
         vol_file = Path(str(out_prefix) + ".best.mrc")
         write_mrc(vol_file, res.best_volume, apix=res.target_apix3d)
         logger.info("best reconstruction -> %s", vol_file)
+    if res.best_index < 0:
+        # partial result (aborted / interrupted checkpointed run):
+        # best_index=-1 must NOT be used as a Python index — that would
+        # fabricate the LAST grid candidate as the winner
+        summary = dict(
+            image_index=int(image_index),
+            aborted=True,
+            n_scored=int(np.count_nonzero(np.isfinite(res.scores))),
+            n_candidates=int(len(twists)),
+        )
+        logger.warning(
+            "partial result (no winner): %d/%d candidates scored",
+            summary["n_scored"], summary["n_candidates"],
+        )
+        if writer:
+            Path(str(out_prefix) + ".json").write_text(
+                json.dumps(summary, indent=1)
+            )
+            print(json.dumps(summary))
+        return res, summary
     summary = dict(
         image_index=int(image_index),
         best_twist=float(res.twists[res.best_index]),

@@ -155,6 +155,7 @@ def reconstruct_grid_checkpointed(
     chunks_run = 0
     local_sub = None
     cost = None
+    extra_parts: list = []  # densify extras from chunks run THIS call
     for idx in buckets:
         rr = (float(np.min(rises[idx])), float(np.max(rises[idx])))
         todo = idx[np.isnan(scores[idx])]
@@ -165,6 +166,8 @@ def reconstruct_grid_checkpointed(
             m = todo[s : s + max(1, int(chunk))]
             sub = run(m, rr)
             scores[m] = np.asarray(sub.scores, np.float32)
+            if sub.extras:  # densify_padding extras (this invocation's
+                extra_parts.append(sub.extras)  # recomputed chunks only)
             if sub.refined_params:  # refine_mode="all"
                 for k, v in sub.refined_params.items():
                     pose[m[k]] = np.asarray(v, np.float32)
@@ -179,6 +182,17 @@ def reconstruct_grid_checkpointed(
                 progress_callback(done, n, scores)
         if aborted:
             break
+
+    if local_sub is None and n and not aborted and not np.isnan(scores).any():
+        # fully-resumed run: nothing was recomputed, but callers still
+        # need geom/target_apix metadata — one single-candidate solve
+        # supplies it (scores untouched)
+        idx0 = buckets[0]
+        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
+        local_sub = run(
+            idx0[:1], rr0, batch_size=None,
+            refine_tilt_psi_dy_range=None, densify_padding=False,
+        )
 
     refined = {
         int(i): tuple(map(float, pose[i])) for i in np.where(pose_mask)[0]
@@ -231,6 +245,7 @@ def reconstruct_grid_checkpointed(
                     np.asarray([c]), rr,
                     refine_tilt_psi_dy_range=refine_range,
                     refine_top_k=1, batch_size=None,
+                    densify_padding=False,
                 )
                 scores[c] = float(sub.scores[0])
                 if sub.refined_params:
@@ -245,7 +260,11 @@ def reconstruct_grid_checkpointed(
         for r in np.unique(rises[sel]):
             m = sel[rises[sel] == r]
             scores[m] = np.asarray(
-                run(m, None, refine_tilt_psi_dy_range=None).scores, np.float32
+                run(
+                    m, None, refine_tilt_psi_dy_range=None,
+                    densify_padding=False,
+                ).scores,
+                np.float32,
             )
 
     refined = {
@@ -275,9 +294,16 @@ def reconstruct_grid_checkpointed(
             np.asarray([best]), win_rr,
             return_best_volume=True, batch_size=None,
             refine_tilt_psi_dy_range=refine_range,
+            densify_padding=False,
         )
         best_volume = win.best_volume
 
+    extras = None
+    if extra_parts:
+        extras = {
+            k: np.concatenate([e[k] for e in extra_parts])
+            for k in ("twists", "rises", "scores")
+        }
     ref_sub = win if win is not None else local_sub
     return GridResult(
         twists=twists,
@@ -296,4 +322,5 @@ def reconstruct_grid_checkpointed(
             chunks_run=chunks_run,
             n_buckets=len(buckets),
         ),
+        extras=extras,
     )

@@ -1132,6 +1132,7 @@ def reconstruct_grid(
             fista_iters=fista_iters, power_iters=power_iters,
             compute_dtype=compute_dtype, batch_size=batch_size,
             devices=devices, cost_analysis=cost_analysis,
+            densify_padding=densify_padding,
         )
         return _reconstruct_grid_bucketed(
             image, apix, twists, rises, rise_bucket_ratio, fwd,
@@ -1306,17 +1307,25 @@ def reconstruct_grid(
     if not use_grouped and grouped_env != 0 and devices[0].platform == "tpu":
         # VERDICT r4 #2: never a silent fall-off from the fused kernel —
         # these configs take the per-candidate path (grouped AND Pallas
-        # are both out of envelope for the same row-semantics reasons)
+        # are both out of envelope for the same row-semantics reasons).
+        # Reason order: ard first — an ard+fsc config is out because of
+        # ard, not the fsc/regularization combination.
         why = (
-            "fsc_test with l1/l2 regularization"
-            if cfg.fsc_test != 0
-            else "model='ard' counts unweighted equations"
+            "model='ard' counts unweighted equations"
             if cfg.model == "ard"
+            else "fsc_test with l1/l2 regularization"
+            if cfg.fsc_test != 0
             else "non-separable pose (tilt/psi != 0)"
         )
         _log_pallas_fallback(why + " — per-candidate XLA path")
     if use_grouped and grouped_env == -1:
         use_grouped = n_cand >= 2 * len(np.unique(twists))
+        if not use_grouped and devices[0].platform == "tpu":
+            _log_pallas_fallback(
+                "grid has < 2 candidates per twist: operator sharing "
+                "buys nothing — per-candidate XLA path (set "
+                "HELICON_GRID_GROUPED=1 to force grouping)"
+            )
     # Operator-residency budget. The grouped path materializes, per live
     # group, A_top = [Wsum; Mxy] stacked (plus the unstacked Mxy/Wsum
     # copies) in the compute dtype; production-scale geometries (d3 ~ 64,
@@ -1627,6 +1636,7 @@ def _reconstruct_grid_bucketed(
         n_cand, -np.inf if incremental_mode else 0.0, np.float32
     )
     merged_refined: dict = {}
+    merged_extras: list = []  # densify_padding extras across buckets
     best_sub = None
     best_score = -np.inf
     best_global_idx = -1
@@ -1658,6 +1668,8 @@ def _reconstruct_grid_bucketed(
         done_off += len(idx)
         if cost is None:
             cost = sub.cost
+        if sub.extras:
+            merged_extras.append(sub.extras)
         if sub.refined_params:
             for k, v in sub.refined_params.items():
                 merged_refined[int(idx[k])] = v
@@ -1683,6 +1695,8 @@ def _reconstruct_grid_bucketed(
             kw,
             refine_tilt_psi_dy_range=None,  # refine ran in the buckets
             cost_analysis=False,
+            # re-scoring known candidates must not mint duplicate extras
+            densify_padding=False,
         )
         best_score = -np.inf
         for r in np.unique(rises[sel]):
@@ -1710,6 +1724,12 @@ def _reconstruct_grid_bucketed(
         if progress_callback is not None:
             progress_callback(n_cand, n_cand, scores)
 
+    extras = None
+    if merged_extras:
+        extras = {
+            k: np.concatenate([e[k] for e in merged_extras])
+            for k in ("twists", "rises", "scores")
+        }
     result = GridResult(
         twists=twists,
         rises=rises,
@@ -1720,6 +1740,7 @@ def _reconstruct_grid_bucketed(
         refined_params=merged_refined or None,
         cost=cost,
         effective=best_sub.effective if best_sub is not None else None,
+        extras=extras,
     )
     result.best_index = best_global_idx if best_global_idx >= 0 else int(np.argmax(scores))
     if aborted:
@@ -1728,7 +1749,7 @@ def _reconstruct_grid_bucketed(
         # one single-candidate pass on the winner (its own bucket's
         # geometry) for the volume; refinement (if configured) re-runs
         # deterministically on this one candidate
-        win_kw = dict(kw, batch_size=None)  # 1 candidate: autosize, don't
+        win_kw = dict(kw, batch_size=None, densify_padding=False)  # 1 candidate: autosize, don't
         # pad the winner to the caller's full scoring batch
         win = reconstruct_grid(
             image,

@@ -738,13 +738,11 @@ def grouped_pallas_inputs(shared, tens, geom, R: int):
     # per-candidate scalars ride as 128-lane-replicated VMEM arrays:
     # narrow (x, 1) VMEM operands/outputs crash the Mosaic pipeline
     # ("limits[i] <= dim(i)" in the custom-call output prep), and the
-    # minimum f32 tile is (8, 128) anyway — replication costs nothing
-    def col_r(v):  # (R,) -> (RL, 128), broadcast over z slabs + lanes
-        w = jnp.broadcast_to(v.reshape(1, R), (l3, R)).reshape(RL, 1)
-        return jnp.broadcast_to(w, (RL, 128))
-
-    lb_w = col_r(tens["lb"])
-    ub_w = col_r(tens["ub"])
+    # minimum f32 tile is (8, 128) anyway — replication costs nothing.
+    # wide_col (module level) is the ONE implementation of this layout;
+    # the l1/l2 regularization columns use it too.
+    lb_w = wide_col(tens["lb"], R, l3)
+    ub_w = wide_col(tens["ub"], R, l3)
     bn = jnp.broadcast_to(tens["b_norm"].reshape(R, 1), (R, 128))
 
     args = (a_top, a_topt, gt, bz, bzt, af_w, degm_w, afm_w, cnt,

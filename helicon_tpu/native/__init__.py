@@ -40,7 +40,21 @@ def _compile(src: pathlib.Path) -> pathlib.Path | None:
         )
         cache.mkdir(parents=True, exist_ok=True)
         code = src.read_bytes()
-        tag = hashlib.sha256(code).hexdigest()[:16]
+        # key on source AND host ISA: -march=native binaries must never
+        # be shared across CPUs (e.g. a shared NFS $HOME in a multi-host
+        # launch would SIGILL on the weaker machine), and flag changes
+        # must invalidate older caches
+        try:
+            cpu = pathlib.Path("/proc/cpuinfo").read_bytes()
+            flags = next(
+                (ln for ln in cpu.split(b"\n") if ln.startswith(b"flags")),
+                b"",
+            )
+        except OSError:
+            flags = os.uname().machine.encode()
+        tag = hashlib.sha256(
+            code + b"|march-native|" + flags
+        ).hexdigest()[:16]
         so = cache / f"{src.stem}-{tag}.so"
         if so.exists():
             return so

@@ -141,7 +141,6 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
                        std::fabs(R[2][1]) * (s * h2 + std::fabs(pose.dy)) +
                        0.5f + 1e-3f;
 
-  std::vector<float> bx(d2 * d2), by(d2 * d2), bz0(d2 * d2);
   for (int t = 0; t < tb.n_copies; ++t) {
     if (!tb.cv[t]) continue;
     const float th = (float)((twist_deg * tb.ch[t] +
@@ -185,7 +184,6 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
       }
     }
   }
-  (void)bx; (void)by; (void)bz0;
 }
 
 // ---------------------------------------------------------------------
@@ -573,8 +571,11 @@ int helicon_refine_candidate(
     Pose pose{p[0], p[1], p[2]};
     build_data_csr(g, tb, twist_deg, rise_px, pose, b.data(), mask, csr);
     Solver sv{&csr, &sym, vol};
-    // box bounds: lb = 0 / ub = max(b_eff) when positive (solver flow)
-    float ub = -1e30f;
+    // box bounds: lb = 0 / ub = max(b_eff) when positive (solver flow).
+    // The JAX ub_val maxes over the FULL padded (C, l2, d2) tensor,
+    // whose invalid entries are 0 — so its ub is never negative even
+    // for an all-negative region; clamp to match.
+    float ub = 0.0f;
     for (int64_t r = 0; r < csr.n_rows; ++r)
       ub = std::fmax(ub, csr.bvec[r]);
     const float lb_v = positive ? 0.0f : -1e30f;

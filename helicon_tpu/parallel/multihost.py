@@ -238,6 +238,16 @@ def multihost_reconstruct_grid(
               "devices"):
         local_kw.pop(k, None)
     local_kw["return_best_volume"] = False
+    if local_kw.pop("densify_padding", False):
+        # extras would be rank-local (each process densifies only its
+        # own slice's padding and nothing exchanges them) — dropping the
+        # flag with a note beats returning different extras per rank
+        import logging as _logging
+
+        _logging.getLogger("helicon").info(
+            "denovo3d: densify_padding is not supported under "
+            "multi-host execution — ignored"
+        )
     if defer_refine:
         local_kw["refine_tilt_psi_dy_range"] = None
 
@@ -317,6 +327,17 @@ def multihost_reconstruct_grid(
                     # reaching a collective (no deadlock for peers)
                     os._exit(17)
     scores = _psum_exchange(contrib)
+
+    if local_sub is None and n:
+        # this rank scored nothing (empty slice, or a fully-resumed
+        # checkpoint shard) — one single-candidate solve supplies the
+        # geom/target_apix metadata callers read off the result
+        idx0 = buckets[0]
+        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
+        local_sub = run(
+            idx0[:1], rr0, batch_size=None,
+            refine_tilt_psi_dy_range=None,
+        )
 
     refined: dict = {}
     if refine_mode == "all" and refine_range is not None:

@@ -96,3 +96,26 @@ def test_densify_single_rise_groups_keep_repeat_padding(image, monkeypatch):
     # only the 31.0 group (3 distinct rises) densifies its 5 slots
     assert dens.effective["densified"] == 5
     assert np.allclose(ex["twists"], 31.0)
+
+
+def test_densify_extras_survive_bucketing(image, monkeypatch):
+    """densify_padding must flow through the bucketed driver: extras
+    from every bucket's sub-run are merged into the final result (the
+    re-scoring second pass and winner re-solve mint none)."""
+    from helicon_tpu.denovo3d.grid import reconstruct_grid
+
+    monkeypatch.setenv("HELICON_GRID_GROUP_R", "8")
+    # wide rise range -> 2 buckets; per-bucket groups of < 8 rises
+    tw = np.asarray([28.0] * 3 + [28.0] * 3, np.float32)
+    ri = np.asarray([2.0, 2.4, 2.8, 6.0, 6.8, 7.6], np.float32)
+    dens = reconstruct_grid(
+        image, twists=tw, rises=ri, densify_padding=True, **KW
+    )
+    ex = dens.extras
+    assert ex is not None and len(ex["scores"]) > 0
+    assert np.all(np.isfinite(ex["scores"]))
+    # every extra's rise lies inside ONE bucket's envelope
+    assert (
+        ((ex["rises"] >= 2.0 - 1e-4) & (ex["rises"] <= 2.8 + 1e-4))
+        | ((ex["rises"] >= 6.0 - 1e-4) & (ex["rises"] <= 7.6 + 1e-4))
+    ).all()

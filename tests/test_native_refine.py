@@ -142,3 +142,44 @@ def test_refine_all_fallback_without_native(refine_problem, monkeypatch):
     )
     assert np.all(np.isfinite(scores))
     assert params.shape == (2, 3)
+
+
+def test_native_matches_jax_from_offset_start_pose(refine_problem):
+    """The analytic rotation-derivative matrices must agree with the
+    autodiff Jacobian away from the origin too: start the GN loop at a
+    deliberately wrong, NONZERO pose (3 deg tilt, 1 deg psi, 0.5 px dy)
+    so the linearization point exercises all three derivative paths at
+    finite angles."""
+    from helicon_tpu.denovo3d.refine import (
+        _pose_bounds,
+        _refine_all_native,
+        _refine_batch,
+    )
+    from helicon_tpu.native import load_refine_engine
+
+    c = refine_problem
+    lib = load_refine_engine()
+    geom, cfg = c["geom"], c["cfg"]
+    region = np.asarray(c["region"], np.float32)
+    B = 4
+    sl = np.arange(B)
+    tabs = tuple(np.asarray(t)[sl] for t in c["tables"])
+    s_nat, p_nat = _refine_all_native(
+        lib, geom, cfg, region, c["twists"][sl], c["rises"][sl], tabs,
+        3.0, 1.0, 0.5, c["rr"],
+    )
+    lo, hi = _pose_bounds(c["rr"])
+    p0 = np.clip(
+        np.broadcast_to(np.array([3.0, 1.0, 0.5], np.float32), (B, 3)),
+        lo, hi,
+    ).copy()
+    ch, cc, cv, phc, pv = tabs
+    p_jax, s_jax = _refine_batch(
+        geom, cfg, jnp.asarray(region),
+        jnp.asarray(c["twists"][sl]), jnp.asarray(c["rises"][sl]),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        jnp.asarray(p0), jnp.asarray(lo), jnp.asarray(hi), n_iter=3,
+    )
+    np.testing.assert_allclose(p_nat, np.asarray(p_jax), atol=2e-2)
+    np.testing.assert_allclose(s_nat, np.asarray(s_jax), atol=1e-3)
