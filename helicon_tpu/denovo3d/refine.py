@@ -111,11 +111,39 @@ def refine_tilt_psi_dy(
 
     r_range keys as the reference (solver:383-424): tilt/psi/dy bounds,
     max_iter (outer iterations, default 5).
+
+    The nn-lsq-cosine default runs on the native C++ engine when
+    available (same dispatch as refine_all_candidates — this is the
+    winner-refinement path of refine_mode="topk" and the web app's
+    per-task refinement, where the engine's ~75x matters for
+    interactivity). The engine's fixed-iteration loop additionally
+    scores the final GN iterate (the Python loop stops at its early-
+    exit check), which can only improve the returned best pose.
     """
     from .solver import solve_candidate
 
     max_iter = int(r_range.get("max_iter", 5))
     lo, hi = _pose_bounds(r_range)
+
+    if _native_refine_eligible(cfg):
+        from ..native import load_refine_engine
+
+        lib = load_refine_engine()
+        if lib is not None:
+            ch, cc, cv = (np.asarray(a) for a in copies)
+            phc, pv = (np.asarray(a) for a in pairs)
+            _, params1 = _refine_all_native(
+                lib, geom, cfg, np.asarray(image_region, np.float32),
+                np.asarray([twist_degree], np.float32),
+                np.asarray([rise_pixel], np.float32),
+                (ch[None], cc[None], cv[None], phc[None], pv[None]),
+                tilt0, psi0, dy0, r_range,
+            )
+            return (
+                float(params1[0, 0]),
+                float(params1[0, 1]),
+                float(params1[0, 2]),
+            )
 
     params = np.array([tilt0, psi0, dy0], np.float32)
     region = jnp.asarray(image_region, jnp.float32)
