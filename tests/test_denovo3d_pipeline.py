@@ -517,3 +517,32 @@ def test_golden_amyloid_class_average_recovers_params():
     )
     best_tw, best_ri, _ = res.top(1)[0]
     assert (best_tw, best_ri) == (2.0, 4.75), res.top(5)
+
+
+def test_golden_amyloid_refine_all_recovers_params():
+    """Same committed amyloid golden through refine_mode="all" (the
+    reference's per-task semantics, VERDICT r4 #6): with the native
+    engine this costs ~the fixed-pose grid, so the full
+    refine-every-candidate pipeline gets real-data regression coverage
+    too — top-1 must still be the true (2.0 deg left, 4.75 A)."""
+    import pathlib
+
+    from helicon_tpu.denovo3d import build_candidate_grid, reconstruct_grid
+
+    img = np.load(
+        pathlib.Path(__file__).parent / "data" / "class_avg_amyloid.npy"
+    )
+    tw, ri = build_candidate_grid(
+        1.0, 3.0, 0.5, 4.45, 5.06, 0.15, handedness="left"
+    )
+    res = reconstruct_grid(
+        img, apix=2.0, twists=tw, rises=ri, tube_diameter=110.0,
+        cg_iters=8, fista_iters=10, power_iters=2,
+        compute_dtype="float32", batch_size=16, return_best_volume=False,
+        refine_mode="all",
+        refine_tilt_psi_dy_range=dict(tilt=5.0, psi=2.0, dy=1.0, max_iter=3),
+    )
+    best_tw, best_ri, _ = res.top(1)[0]
+    assert (best_tw, best_ri) == (2.0, 4.75), res.top(5)
+    # every candidate carries a refined pose
+    assert set(res.refined_params) == set(range(len(tw)))
