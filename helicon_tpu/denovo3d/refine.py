@@ -257,8 +257,9 @@ def _refine_batch(
 
 def _native_refine_eligible(cfg) -> bool:
     """Configs the C++ engine (native/refine_engine.cpp) implements
-    exactly: the nn-interpolation lsq + cosine default. Everything else
-    keeps the JAX loop (full model/metric surface)."""
+    exactly: the lsq + cosine default, both interpolation modes (nn and
+    trilinear — the reference UI's default). Everything else keeps the
+    JAX loop (full model/metric surface)."""
     import os
 
     if os.environ.get("HELICON_NATIVE_REFINE", "auto") == "0":
@@ -270,7 +271,6 @@ def _native_refine_eligible(cfg) -> bool:
         and cfg.l2_reg == 0.0
         and cfg.thresh_fraction < 0
         and cfg.fsc_test == 0
-        and not cfg.interpolation.startswith("linear")
     )
 
 
@@ -323,6 +323,7 @@ def _refine_all_native(
             cv_i.ctypes.data_as(u8p), int(ch_i.shape[0]),
             phc_i.ctypes.data_as(i32p), pv_i.ctypes.data_as(u8p),
             int(phc_i.shape[0]),
+            int(cfg.interpolation.startswith("linear")),
             int(cfg.cg_iters), int(cfg.fista_iters),
             int(cfg.power_iters), int(cfg.positive_constraint),
             float(p0[0]), float(p0[1]), float(p0[2]),

@@ -146,6 +146,7 @@ def load_refine_engine():
                         ctypes.c_float, ctypes.c_float,        # twist, rise_px
                         i32p, i32p, u8p, ctypes.c_int,         # copies
                         i32p, u8p, ctypes.c_int,               # pairs
+                        ctypes.c_int,                          # interp_linear
                         ctypes.c_int, ctypes.c_int,            # cg, fista
                         ctypes.c_int, ctypes.c_int,            # power, positive
                         ctypes.c_float, ctypes.c_float,        # tilt0, psi0

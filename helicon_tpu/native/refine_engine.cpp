@@ -88,20 +88,55 @@ static void rot_yx_inv_dpsi(float tilt_deg, float psi_deg, float m[3][3]) {
   m[2][0] = 0; m[2][1] = -ct * cp * k; m[2][2] = -ct * sp * k;
 }
 
-// Per-pose compressed nn data-projector: for every surviving
-// (copy, i, j) row, the flat voxel indices of its valid samples.
+// Per-pose compressed data-projector: for every surviving (copy, i, j)
+// row, the valid samples' voxel indices — plus, for LINEAR
+// interpolation, the trilinear cell fractions (wz, wy, wx) per sample
+// (cols then holds the cell BASE corner; nn leaves w empty).
 struct DataCSR {
   // rows kept in (copy-order, i, j) traversal order
   std::vector<int64_t> row_ptr;   // n_rows + 1
-  std::vector<int32_t> cols;      // voxel index per sample
+  std::vector<int32_t> cols;      // voxel (nn) / cell base (linear)
+  std::vector<float> w;           // linear: 3 fractions per sample
   std::vector<float> bvec;        // b_eff value of the row (b * rowv)
   int64_t n_rows = 0;
+  bool linear = false;
 };
 
 struct SymPairs {
-  // ST(S(x)) entries: d = x[a] - x[b]; acc[a] += d; acc[b] -= d
+  // nn: ST(S(x)) entries: d = x[a] - x[b]; acc[a] += d; acc[b] -= d.
+  // linear: a/b hold the two cell BASES, wa/wb the two fraction triples.
   std::vector<int32_t> a, b;
+  std::vector<float> wa, wb;  // linear: 3 per entry
+  bool linear = false;
 };
+
+// trilinear sample of x at cell base `base` with fractions (wz, wy, wx)
+static inline float tri_sample(const float* x, int32_t base, int d3,
+                               float wz, float wy, float wx) {
+  const int dzs = d3 * d3;
+  const float c00 = x[base] * (1 - wx) + x[base + 1] * wx;
+  const float c01 = x[base + d3] * (1 - wx) + x[base + d3 + 1] * wx;
+  const float c10 = x[base + dzs] * (1 - wx) + x[base + dzs + 1] * wx;
+  const float c11 =
+      x[base + dzs + d3] * (1 - wx) + x[base + dzs + d3 + 1] * wx;
+  return (c00 * (1 - wy) + c01 * wy) * (1 - wz) +
+         (c10 * (1 - wy) + c11 * wy) * wz;
+}
+
+// scatter-add v into the 8 corners of the cell at `base`
+static inline void tri_scatter(float* acc, int32_t base, int d3,
+                               float wz, float wy, float wx, float v) {
+  const int dzs = d3 * d3;
+  const float v0 = v * (1 - wz), v1 = v * wz;
+  acc[base] += v0 * (1 - wy) * (1 - wx);
+  acc[base + 1] += v0 * (1 - wy) * wx;
+  acc[base + d3] += v0 * wy * (1 - wx);
+  acc[base + d3 + 1] += v0 * wy * wx;
+  acc[base + dzs] += v1 * (1 - wy) * (1 - wx);
+  acc[base + dzs + 1] += v1 * (1 - wy) * wx;
+  acc[base + dzs + d3] += v1 * wy * (1 - wx);
+  acc[base + dzs + d3 + 1] += v1 * wy * wx;
+}
 
 struct Tables {
   const int32_t* ch;
@@ -114,13 +149,13 @@ struct Tables {
 };
 
 // ---------------------------------------------------------------------
-// data CSR build (nn interpolation, solve path)
+// data CSR build (solve path; nn or linear interpolation)
 // ---------------------------------------------------------------------
 static void build_data_csr(const Geometry& g, const Tables& tb,
                            float twist_deg, float rise_px, const Pose& pose,
-                           const float* b,        // (l2, d2): b[i*d2+j]
-                           const float* mask,     // (l3*d3*d3)
-                           DataCSR& out) {
+                           const float* b,     // (l2, d2): b[i*d2+j]
+                           const float* aux,   // mask (nn) / cellok (linear)
+                           bool linear, DataCSR& out) {
   const int d2 = g.d2, l2 = g.l2, d3 = g.d3, l3 = g.l3;
   const float s = g.scale;
   const int h3 = d3 / 2, hl = l3 / 2, h2 = d2 / 2;
@@ -129,9 +164,11 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
 
   out.row_ptr.clear();
   out.cols.clear();
+  out.w.clear();
   out.bvec.clear();
   out.row_ptr.push_back(0);
   out.n_rows = 0;
+  out.linear = linear;
 
   // base coordinates u = R * (x0, y0, z0); x0 = -s*kc, y0 = s*jc - dy,
   // z0 = s*ic (refine path: dy rides in the pose triple)
@@ -139,7 +176,7 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
   // |R20*x0 + R21*y0| <= |R20|*s*h2 + |R21|*(s*h2 + |dy|)
   const float zslack = std::fabs(R[2][0]) * s * h2 +
                        std::fabs(R[2][1]) * (s * h2 + std::fabs(pose.dy)) +
-                       0.5f + 1e-3f;
+                       (linear ? 1.5f : 0.5f) + 1e-3f;
 
   for (int t = 0; t < tb.n_copies; ++t) {
     if (!tb.cv[t]) continue;
@@ -149,12 +186,12 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
     const float dzc = tb.ch[t] * rise_px;
     for (int i = 0; i < l2; ++i) {
       const float z0 = s * (i - l2 / 2);
-      // prune: can any sample of this (copy, i) land in z in [0, l3-1]?
+      // prune: can any sample of this (copy, i) land in the valid z band?
       const float bz_c = R[2][2] * z0;
       const float zlo = bz_c - zslack - dzc + hl;
       const float zhi = bz_c + zslack - dzc + hl;
-      if (zhi < -0.5f || zlo > l3 - 0.5f) continue;
-      // row block (i, all j): precompute the (j, k) plane of coords
+      if (zhi < -0.5f || zlo > (float)l3) continue;
+      // row block (i, all j): coords computed per tap
       for (int j = 0; j < d2; ++j) {
         const float y0 = s * (j - h2) - pose.dy;
         int64_t start = (int64_t)out.cols.size();
@@ -166,15 +203,30 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
           const float X = (ux * cth + uy * sth) + h3;
           const float Y = (-ux * sth + uy * cth) + h3;
           const float Z = (uz - dzc) + hl;
-          const int zi = (int)std::nearbyintf(Z);
-          const int yi = (int)std::nearbyintf(Y);
-          const int xi = (int)std::nearbyintf(X);
-          if (zi < 0 || zi > l3 - 1 || yi < 0 || yi > d3 - 1 ||
-              xi < 0 || xi > d3 - 1)
-            continue;
-          const int32_t idx = (zi * d3 + yi) * d3 + xi;
-          if (mask[idx] <= 0.5f) continue;
-          out.cols.push_back(idx);
+          if (linear) {
+            const float zf = std::floor(Z), yf = std::floor(Y),
+                        xf = std::floor(X);
+            const int zi = (int)zf, yi = (int)yf, xi = (int)xf;
+            if (zi < 0 || zi > l3 - 2 || yi < 0 || yi > d3 - 2 ||
+                xi < 0 || xi > d3 - 2)
+              continue;
+            const int32_t base = (zi * d3 + yi) * d3 + xi;
+            if (aux[base] <= 0.5f) continue;
+            out.cols.push_back(base);
+            out.w.push_back(Z - zf);
+            out.w.push_back(Y - yf);
+            out.w.push_back(X - xf);
+          } else {
+            const int zi = (int)std::nearbyintf(Z);
+            const int yi = (int)std::nearbyintf(Y);
+            const int xi = (int)std::nearbyintf(X);
+            if (zi < 0 || zi > l3 - 1 || yi < 0 || yi > d3 - 1 ||
+                xi < 0 || xi > d3 - 1)
+              continue;
+            const int32_t idx = (zi * d3 + yi) * d3 + xi;
+            if (aux[idx] <= 0.5f) continue;
+            out.cols.push_back(idx);
+          }
         }
         if ((int64_t)out.cols.size() > start) {
           out.row_ptr.push_back((int64_t)out.cols.size());
@@ -187,17 +239,24 @@ static void build_data_csr(const Geometry& g, const Tables& tb,
 }
 
 // ---------------------------------------------------------------------
-// sym pair table build (nn; pose-independent -> once per candidate)
+// sym pair table build (pose-independent -> once per candidate)
 // ---------------------------------------------------------------------
 static void build_sym_pairs(const Geometry& g, const Tables& tb,
                             float twist_deg, float rise_px,
-                            const float* mask, SymPairs& out) {
+                            const float* mask,  // voxel_in_mask test
+                            const float* aux,   // mask (nn) / cellok (linear)
+                            bool linear, SymPairs& out) {
   const int d3 = g.d3, l3 = g.l3;
   const int h3 = d3 / 2, hl = l3 / 2;
   out.a.clear();
   out.b.clear();
+  out.wa.clear();
+  out.wb.clear();
+  out.linear = linear;
 
-  auto op_index = [&](int h, int c, int z, int y, int x, int32_t* idx) {
+  // idx = voxel (nn) / cell base (linear); w3 = fractions (linear)
+  auto op_index = [&](int h, int c, int z, int y, int x, int32_t* idx,
+                      float* w3) {
     const float th = (float)((twist_deg * h + 360.0 * c / g.csym) *
                              kDegToRad);
     const float cs = std::cos(th), sn = std::sin(th);
@@ -206,6 +265,20 @@ static void build_sym_pairs(const Geometry& g, const Tables& tb,
     const float X = X0 * cs - Y0 * sn + h3;
     const float Y = X0 * sn + Y0 * cs + h3;
     const float Z = Z0 + h * rise_px + hl;
+    if (linear) {
+      const float zf = std::floor(Z), yf = std::floor(Y),
+                  xf = std::floor(X);
+      const int zi = (int)zf, yi = (int)yf, xi = (int)xf;
+      if (zi < 0 || zi > l3 - 2 || yi < 0 || yi > d3 - 2 || xi < 0 ||
+          xi > d3 - 2)
+        return false;
+      *idx = (zi * d3 + yi) * d3 + xi;
+      if (aux[*idx] <= 0.5f) return false;
+      w3[0] = Z - zf;
+      w3[1] = Y - yf;
+      w3[2] = X - xf;
+      return true;
+    }
     const int zi = (int)std::nearbyintf(Z);
     const int yi = (int)std::nearbyintf(Y);
     const int xi = (int)std::nearbyintf(X);
@@ -213,7 +286,7 @@ static void build_sym_pairs(const Geometry& g, const Tables& tb,
         xi > d3 - 1)
       return false;
     *idx = (zi * d3 + yi) * d3 + xi;
-    return mask[*idx] > 0.5f;
+    return aux[*idx] > 0.5f;
   };
 
   for (int p = 0; p < tb.n_pairs; ++p) {
@@ -226,10 +299,15 @@ static void build_sym_pairs(const Geometry& g, const Tables& tb,
           const int32_t v = (z * d3 + y) * d3 + x;
           if (mask[v] <= 0.5f) continue;
           int32_t ia, ib;
-          if (!op_index(h1, c1, z, y, x, &ia)) continue;
-          if (!op_index(h2_, c2, z, y, x, &ib)) continue;
+          float wa3[3] = {0, 0, 0}, wb3[3] = {0, 0, 0};
+          if (!op_index(h1, c1, z, y, x, &ia, wa3)) continue;
+          if (!op_index(h2_, c2, z, y, x, &ib, wb3)) continue;
           out.a.push_back(ia);
           out.b.push_back(ib);
+          if (linear) {
+            out.wa.insert(out.wa.end(), wa3, wa3 + 3);
+            out.wb.insert(out.wb.end(), wb3, wb3 + 3);
+          }
         }
   }
 }
@@ -241,36 +319,75 @@ struct Solver {
   const DataCSR* csr;
   const SymPairs* sym;
   int64_t vol;
+  int d3;
 
-  // y = N(v) = PT(P(v)) + ST(S(v)); samples only touch masked voxels
-  void apply_N(const float* v, float* y) const {
-    std::memset(y, 0, sizeof(float) * vol);
+  // row sum of P(v) for row r (nn: plain gather-sum; linear: trilinear)
+  inline float row_apply(const float* v, int64_t r) const {
     const auto& rp = csr->row_ptr;
     const auto& cols = csr->cols;
-    for (int64_t r = 0; r < csr->n_rows; ++r) {
-      const int64_t s0 = rp[r], s1 = rp[r + 1];
-      float acc = 0.0f;
+    const int64_t s0 = rp[r], s1 = rp[r + 1];
+    float acc = 0.0f;
+    if (csr->linear) {
+      const float* w = csr->w.data();
+      for (int64_t s = s0; s < s1; ++s)
+        acc += tri_sample(v, cols[s], d3, w[3 * s], w[3 * s + 1],
+                          w[3 * s + 2]);
+    } else {
       for (int64_t s = s0; s < s1; ++s) acc += v[cols[s]];
-      for (int64_t s = s0; s < s1; ++s) y[cols[s]] += acc;
     }
+    return acc;
+  }
+
+  // scatter r_val through row r's samples into acc (the PT side)
+  inline void row_scatter(float* acc, int64_t r, float r_val) const {
+    const auto& rp = csr->row_ptr;
+    const auto& cols = csr->cols;
+    const int64_t s0 = rp[r], s1 = rp[r + 1];
+    if (csr->linear) {
+      const float* w = csr->w.data();
+      for (int64_t s = s0; s < s1; ++s)
+        tri_scatter(acc, cols[s], d3, w[3 * s], w[3 * s + 1],
+                    w[3 * s + 2], r_val);
+    } else {
+      for (int64_t s = s0; s < s1; ++s) acc[cols[s]] += r_val;
+    }
+  }
+
+  // y = N(v) = PT(P(v)) + ST(S(v))
+  void apply_N(const float* v, float* y) const {
+    std::memset(y, 0, sizeof(float) * vol);
+    for (int64_t r = 0; r < csr->n_rows; ++r)
+      row_scatter(y, r, row_apply(v, r));
     const auto& a = sym->a;
     const auto& b = sym->b;
     const size_t n = a.size();
-    for (size_t s = 0; s < n; ++s) {
-      const float d = v[a[s]] - v[b[s]];
-      y[a[s]] += d;
-      y[b[s]] -= d;
+    if (sym->linear) {
+      const float* wa = sym->wa.data();
+      const float* wb = sym->wb.data();
+      for (size_t s = 0; s < n; ++s) {
+        const float d =
+            tri_sample(v, a[s], d3, wa[3 * s], wa[3 * s + 1],
+                       wa[3 * s + 2]) -
+            tri_sample(v, b[s], d3, wb[3 * s], wb[3 * s + 1],
+                       wb[3 * s + 2]);
+        tri_scatter(y, a[s], d3, wa[3 * s], wa[3 * s + 1], wa[3 * s + 2],
+                    d);
+        tri_scatter(y, b[s], d3, wb[3 * s], wb[3 * s + 1], wb[3 * s + 2],
+                    -d);
+      }
+    } else {
+      for (size_t s = 0; s < n; ++s) {
+        const float d = v[a[s]] - v[b[s]];
+        y[a[s]] += d;
+        y[b[s]] -= d;
+      }
     }
   }
 
   void rhs(float* out) const {
     std::memset(out, 0, sizeof(float) * vol);
-    const auto& rp = csr->row_ptr;
-    const auto& cols = csr->cols;
-    for (int64_t r = 0; r < csr->n_rows; ++r) {
-      const float bv = csr->bvec[r];
-      for (int64_t s = rp[r]; s < rp[r + 1]; ++s) out[cols[s]] += bv;
-    }
+    for (int64_t r = 0; r < csr->n_rows; ++r)
+      row_scatter(out, r, csr->bvec[r]);
   }
 
   double dot(const float* x, const float* y) const {
@@ -281,12 +398,9 @@ struct Solver {
 
   // cosine(P(x), b_eff) without materializing pred
   double cosine(const float* x) const {
-    const auto& rp = csr->row_ptr;
-    const auto& cols = csr->cols;
     double num = 0, pp = 0, bb = 0;
     for (int64_t r = 0; r < csr->n_rows; ++r) {
-      float acc = 0.0f;
-      for (int64_t s = rp[r]; s < rp[r + 1]; ++s) acc += x[cols[s]];
+      const float acc = row_apply(x, r);
       const double bv = csr->bvec[r];
       num += acc * bv;
       pp += (double)acc * acc;
@@ -531,6 +645,7 @@ int helicon_refine_candidate(
     const int32_t* copies_h, const int32_t* copies_c,
     const uint8_t* copies_valid, int n_copies,
     const int32_t* pairs_hc, const uint8_t* pairs_valid, int n_pairs,
+    int interp_linear,  // 0 = nearest-neighbor solve, 1 = trilinear
     int cg_iters, int fista_iters, int power_iters,
     int positive_mode,  // SolveConfig.positive_constraint: <0 auto, 0 off, >0 on
     float tilt0, float psi0, float dy0,
@@ -553,8 +668,10 @@ int helicon_refine_candidate(
   const bool positive =
       positive_mode > 0 || (positive_mode < 0 && pitch_px > 2.0f * l3);
 
+  const bool linear = interp_linear != 0;
+  const float* aux = linear ? cellok : mask;
   SymPairs sym;
-  build_sym_pairs(g, tb, twist_deg, rise_px, mask, sym);
+  build_sym_pairs(g, tb, twist_deg, rise_px, mask, aux, linear, sym);
 
   float params[3] = {tilt0, psi0, dy0};
   float best_p[3] = {tilt0, psi0, dy0};
@@ -569,8 +686,9 @@ int helicon_refine_candidate(
 
   auto solve_and_score = [&](const float* p, float* xv) -> double {
     Pose pose{p[0], p[1], p[2]};
-    build_data_csr(g, tb, twist_deg, rise_px, pose, b.data(), mask, csr);
-    Solver sv{&csr, &sym, vol};
+    build_data_csr(g, tb, twist_deg, rise_px, pose, b.data(), aux,
+                   linear, csr);
+    Solver sv{&csr, &sym, vol, d3};
     // box bounds: lb = 0 / ub = max(b_eff) when positive (solver flow).
     // The JAX ub_val maxes over the FULL padded (C, l2, d2) tensor,
     // whose invalid entries are 0 — so its ub is never negative even

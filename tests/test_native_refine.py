@@ -183,3 +183,40 @@ def test_native_matches_jax_from_offset_start_pose(refine_problem):
     )
     np.testing.assert_allclose(p_nat, np.asarray(p_jax), atol=2e-2)
     np.testing.assert_allclose(s_nat, np.asarray(s_jax), atol=1e-3)
+
+
+def test_native_matches_jax_linear_interpolation(refine_problem):
+    """The engine's trilinear CSR path (interp_linear=1) — the
+    reference UI's DEFAULT interpolation — must match the JAX loop with
+    cfg.interpolation='linear' (solve and Jacobian both trilinear)."""
+    from helicon_tpu.denovo3d.refine import (
+        _pose_bounds,
+        _refine_all_native,
+        _refine_batch,
+    )
+    from helicon_tpu.native import load_refine_engine
+
+    c = refine_problem
+    lib = load_refine_engine()
+    geom = c["geom"]
+    cfg = c["cfg"]._replace(interpolation="linear")
+    region = np.asarray(c["region"], np.float32)
+    B = 4
+    sl = np.arange(B)
+    tabs = tuple(np.asarray(t)[sl] for t in c["tables"])
+    s_nat, p_nat = _refine_all_native(
+        lib, geom, cfg, region, c["twists"][sl], c["rises"][sl], tabs,
+        0.0, 0.0, 0.0, c["rr"],
+    )
+    lo, hi = _pose_bounds(c["rr"])
+    ch, cc, cv, phc, pv = tabs
+    p_jax, s_jax = _refine_batch(
+        geom, cfg, jnp.asarray(region),
+        jnp.asarray(c["twists"][sl]), jnp.asarray(c["rises"][sl]),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        jnp.asarray(np.zeros((B, 3), np.float32)),
+        jnp.asarray(lo), jnp.asarray(hi), n_iter=3,
+    )
+    np.testing.assert_allclose(p_nat, np.asarray(p_jax), atol=1e-2)
+    np.testing.assert_allclose(s_nat, np.asarray(s_jax), atol=1e-3)
