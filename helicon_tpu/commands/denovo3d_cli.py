@@ -158,11 +158,7 @@ def _search_one(args, img, apix, twists, rises, refine_range, image_index,
             compute_dtype=args.computeDtype,
             batch_size=args.batchSize if args.batchSize > 0 else None,
             return_best_volume=True,
-            **(
-                dict(densify_padding=True)
-                if getattr(args, "densifyPadding", 0)
-                else {}
-            ),
+            densify_padding=bool(getattr(args, "densifyPadding", 0)),
         )
 
     if args.verbose and res.effective:

@@ -60,8 +60,9 @@ def _load_state(path, twists, rises):
     scores = np.full(n, np.nan, np.float32)
     pose = np.zeros((n, 3), np.float32)
     pose_mask = np.zeros(n, bool)
+    empty = np.zeros(0, np.float32)
     if not os.path.exists(path):
-        return scores, pose, pose_mask
+        return scores, pose, pose_mask, (empty, empty, empty)
     z = np.load(path)
     if int(z.get("version", -1)) != _STATE_VERSION:
         raise HeliconError(
@@ -74,10 +75,17 @@ def _load_state(path, twists, rises):
             f"checkpoint {path} was written for a different candidate "
             "grid — delete it (or change --checkpoint) to start fresh"
         )
+    # densify extras (optional keys: absent in shards written before
+    # round 5's densify persistence)
+    extras = tuple(
+        np.array(z[k], np.float32) if k in z.files else empty
+        for k in ("extra_twists", "extra_rises", "extra_scores")
+    )
     return (
         np.array(z["scores"], np.float32),
         np.array(z["pose"], np.float32),
         np.array(z["pose_mask"], bool),
+        extras,
     )
 
 
@@ -123,7 +131,9 @@ def reconstruct_grid_checkpointed(
     defer_refine = refine_range is not None and refine_mode != "all"
 
     buckets = global_rise_buckets(rises, ratio)
-    scores, pose, pose_mask = _load_state(checkpoint_path, twists, rises)
+    scores, pose, pose_mask, loaded_extras = _load_state(
+        checkpoint_path, twists, rises
+    )
 
     sub_kw = dict(kwargs)
     for k in ("return_best_volume", "progress_callback", "should_abort"):
@@ -139,7 +149,18 @@ def reconstruct_grid_checkpointed(
             **dict(sub_kw, **overrides),
         )
 
+    def _extras_arrays():
+        if not extra_parts:
+            e = np.zeros(0, np.float32)
+            return e, e, e
+        return (
+            np.concatenate([p["twists"] for p in extra_parts]),
+            np.concatenate([p["rises_A"] for p in extra_parts]),
+            np.concatenate([p["scores"] for p in extra_parts]),
+        )
+
     def save():
+        et, er, es = _extras_arrays()
         _atomic_save(
             checkpoint_path,
             version=_STATE_VERSION,
@@ -148,6 +169,9 @@ def reconstruct_grid_checkpointed(
             scores=scores,
             pose=pose,
             pose_mask=pose_mask,
+            extra_twists=et,
+            extra_rises=er,
+            extra_scores=es,
         )
 
     # coarse pass: chunked over each bucket's still-unscored candidates
@@ -155,7 +179,17 @@ def reconstruct_grid_checkpointed(
     chunks_run = 0
     local_sub = None
     cost = None
-    extra_parts: list = []  # densify extras from chunks run THIS call
+    # densify extras: seeded from the persisted shard (so a resumed run
+    # keeps the completed chunks' extras) and extended per new chunk;
+    # stored uniformly as {'twists','rises_A','scores'} with rises in
+    # ANGSTROM (GridResult.extras already converts from pixels)
+    extra_parts: list = []
+    if len(loaded_extras[0]):
+        extra_parts.append(dict(
+            twists=loaded_extras[0],
+            rises_A=loaded_extras[1],
+            scores=loaded_extras[2],
+        ))
     for idx in buckets:
         rr = (float(np.min(rises[idx])), float(np.max(rises[idx])))
         todo = idx[np.isnan(scores[idx])]
@@ -166,8 +200,12 @@ def reconstruct_grid_checkpointed(
             m = todo[s : s + max(1, int(chunk))]
             sub = run(m, rr)
             scores[m] = np.asarray(sub.scores, np.float32)
-            if sub.extras:  # densify_padding extras (this invocation's
-                extra_parts.append(sub.extras)  # recomputed chunks only)
+            if sub.extras:  # densify_padding extras (persisted in the
+                extra_parts.append(dict(  # shard by save() below)
+                    twists=sub.extras["twists"],
+                    rises_A=sub.extras["rises"],
+                    scores=sub.extras["scores"],
+                ))
             if sub.refined_params:  # refine_mode="all"
                 for k, v in sub.refined_params.items():
                     pose[m[k]] = np.asarray(v, np.float32)
@@ -183,17 +221,6 @@ def reconstruct_grid_checkpointed(
         if aborted:
             break
 
-    if local_sub is None and n and not aborted and not np.isnan(scores).any():
-        # fully-resumed run: nothing was recomputed, but callers still
-        # need geom/target_apix metadata — one single-candidate solve
-        # supplies it (scores untouched)
-        idx0 = buckets[0]
-        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
-        local_sub = run(
-            idx0[:1], rr0, batch_size=None,
-            refine_tilt_psi_dy_range=None, densify_padding=False,
-        )
-
     refined = {
         int(i): tuple(map(float, pose[i])) for i in np.where(pose_mask)[0]
     }
@@ -203,11 +230,15 @@ def reconstruct_grid_checkpointed(
         # GridResult follows reconstruct_grid's incremental/abort
         # convention and fills unscored entries with -inf so consumers
         # that sort or argmax (e.g. the CLI's CSV writer) behave
+        et, er, es = _extras_arrays()
         return GridResult(
             twists=twists,
             rises=rises,
             scores=np.where(np.isnan(scores), -np.inf, scores).astype(
                 np.float32
+            ),
+            extras=(
+                dict(twists=et, rises=er, scores=es) if len(et) else None
             ),
             geom=local_sub.geom if local_sub is not None else None,
             target_apix2d=(
@@ -300,11 +331,21 @@ def reconstruct_grid_checkpointed(
 
     extras = None
     if extra_parts:
-        extras = {
-            k: np.concatenate([e[k] for e in extra_parts])
-            for k in ("twists", "rises", "scores")
-        }
+        et, er, es = _extras_arrays()
+        extras = dict(twists=et, rises=er, scores=es)
     ref_sub = win if win is not None else local_sub
+    if ref_sub is None and n:
+        # fully-resumed run without a winner re-solve (e.g.
+        # return_best_volume=False): nothing was recomputed, but callers
+        # still read geom/target_apix metadata off the result — one
+        # single-candidate solve supplies it (scores untouched). Skipped
+        # whenever the winner re-solve already provided ref_sub.
+        idx0 = buckets[0]
+        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
+        local_sub = ref_sub = run(
+            idx0[:1], rr0, batch_size=None,
+            refine_tilt_psi_dy_range=None, densify_padding=False,
+        )
     return GridResult(
         twists=twists,
         rises=rises,

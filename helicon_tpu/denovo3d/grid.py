@@ -1314,13 +1314,16 @@ def reconstruct_grid(
             "model='ard' counts unweighted equations"
             if cfg.model == "ard"
             else "fsc_test with l1/l2 regularization"
-            if cfg.fsc_test != 0
+            if cfg.fsc_test != 0 and (cfg.l1_reg or cfg.l2_reg)
             else "non-separable pose (tilt/psi != 0)"
         )
         _log_pallas_fallback(why + " — per-candidate XLA path")
     if use_grouped and grouped_env == -1:
         use_grouped = n_cand >= 2 * len(np.unique(twists))
-        if not use_grouped and devices[0].platform == "tpu":
+        # n_cand > 1: the drivers' own internal single-candidate calls
+        # (winner re-solve, cross-bucket re-score, topk refinement)
+        # must not emit a user-facing diagnostic about "the grid"
+        if not use_grouped and n_cand > 1 and devices[0].platform == "tpu":
             _log_pallas_fallback(
                 "grid has < 2 candidates per twist: operator sharing "
                 "buys nothing — per-candidate XLA path (set "

@@ -125,7 +125,14 @@ def refine_tilt_psi_dy(
     max_iter = int(r_range.get("max_iter", 5))
     lo, hi = _pose_bounds(r_range)
 
-    if _native_refine_eligible(cfg):
+    p0_in_bounds = bool(
+        np.all((np.asarray([tilt0, psi0, dy0]) >= lo)
+               & (np.asarray([tilt0, psi0, dy0]) <= hi))
+    )
+    # out-of-bounds start poses stay on the Python loop: it scores the
+    # UNCLIPPED initial pose (and may return it), while the engine
+    # clips first — dispatching would change the result
+    if _native_refine_eligible(cfg) and p0_in_bounds:
         from ..native import load_refine_engine
 
         lib = load_refine_engine()

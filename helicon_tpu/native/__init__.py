@@ -40,10 +40,13 @@ def _compile(src: pathlib.Path) -> pathlib.Path | None:
         )
         cache.mkdir(parents=True, exist_ok=True)
         code = src.read_bytes()
-        # key on source AND host ISA: -march=native binaries must never
-        # be shared across CPUs (e.g. a shared NFS $HOME in a multi-host
-        # launch would SIGILL on the weaker machine), and flag changes
-        # must invalidate older caches
+        compile_flags = ["-O3", "-march=native", "-funroll-loops",
+                         "-std=c++17", "-shared", "-fPIC"]
+        # key on source AND host ISA AND the actual compile flags:
+        # -march=native binaries must never be shared across CPUs (a
+        # shared NFS $HOME in a multi-host launch would SIGILL on the
+        # weaker machine), and editing the flag list must invalidate
+        # older caches
         try:
             cpu = pathlib.Path("/proc/cpuinfo").read_bytes()
             flags = next(
@@ -53,15 +56,13 @@ def _compile(src: pathlib.Path) -> pathlib.Path | None:
         except OSError:
             flags = os.uname().machine.encode()
         tag = hashlib.sha256(
-            code + b"|march-native|" + flags
+            code + b"|" + " ".join(compile_flags).encode() + b"|" + flags
         ).hexdigest()[:16]
         so = cache / f"{src.stem}-{tag}.so"
         if so.exists():
             return so
         tmp = so.with_suffix(f".{os.getpid()}.tmp")
-        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
-               "-std=c++17", "-shared", "-fPIC",
-               "-o", str(tmp), str(src)]
+        cmd = ["g++", *compile_flags, "-o", str(tmp), str(src)]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)  # atomic: concurrent builders race benignly
         return so

@@ -244,9 +244,9 @@ def multihost_reconstruct_grid(
         # flag with a note beats returning different extras per rank
         import logging as _logging
 
-        _logging.getLogger("helicon").info(
+        _logging.getLogger("helicon").warning(
             "denovo3d: densify_padding is not supported under "
-            "multi-host execution — ignored"
+            "multi-host execution — ignored (no extras will be produced)"
         )
     if defer_refine:
         local_kw["refine_tilt_psi_dy_range"] = None
@@ -327,17 +327,6 @@ def multihost_reconstruct_grid(
                     # reaching a collective (no deadlock for peers)
                     os._exit(17)
     scores = _psum_exchange(contrib)
-
-    if local_sub is None and n:
-        # this rank scored nothing (empty slice, or a fully-resumed
-        # checkpoint shard) — one single-candidate solve supplies the
-        # geom/target_apix metadata callers read off the result
-        idx0 = buckets[0]
-        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
-        local_sub = run(
-            idx0[:1], rr0, batch_size=None,
-            refine_tilt_psi_dy_range=None,
-        )
 
     refined: dict = {}
     if refine_mode == "all" and refine_range is not None:
@@ -439,6 +428,17 @@ def multihost_reconstruct_grid(
         best_volume = win.best_volume
 
     ref_sub = win if win is not None else local_sub
+    if ref_sub is None and n:
+        # this rank scored nothing (empty slice, or a fully-resumed
+        # checkpoint shard) and did not re-solve the winner — one
+        # single-candidate solve supplies the geom/target_apix metadata
+        # callers read off the result (scores untouched)
+        idx0 = buckets[0]
+        rr0 = (float(np.min(rises[idx0])), float(np.max(rises[idx0])))
+        local_sub = ref_sub = run(
+            idx0[:1], rr0, batch_size=None,
+            refine_tilt_psi_dy_range=None,
+        )
     return GridResult(
         twists=twists,
         rises=rises,

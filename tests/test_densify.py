@@ -119,3 +119,50 @@ def test_densify_extras_survive_bucketing(image, monkeypatch):
         ((ex["rises"] >= 2.0 - 1e-4) & (ex["rises"] <= 2.8 + 1e-4))
         | ((ex["rises"] >= 6.0 - 1e-4) & (ex["rises"] <= 7.6 + 1e-4))
     ).all()
+
+
+def test_densify_extras_persist_across_checkpoint_resume(
+    image, monkeypatch, tmp_path
+):
+    """Checkpointed densified searches must not lose extras from chunks
+    completed before a kill: extras are persisted in the shard and a
+    kill+resume run ends with the same extras as an uninterrupted
+    checkpointed run (same chunk layout)."""
+    from helicon_tpu.denovo3d import reconstruct_grid_checkpointed
+
+    monkeypatch.setenv("HELICON_GRID_GROUP_R", "16")
+    tw, ri = _grid13()
+    kw = dict(KW, densify_padding=True)
+
+    ref = reconstruct_grid_checkpointed(
+        image, twists=tw, rises=ri,
+        checkpoint_path=str(tmp_path / "a.ckpt.npz"), chunk=13, **kw
+    )
+    assert ref.extras is not None and len(ref.extras["scores"]) == 9
+
+    # interrupted run: abort after the first chunk, then resume
+    calls = {"n": 0}
+
+    def abort_after_one():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    ck = str(tmp_path / "b.ckpt.npz")
+    partial = reconstruct_grid_checkpointed(
+        image, twists=tw, rises=ri, checkpoint_path=ck, chunk=13,
+        should_abort=abort_after_one, **kw
+    )
+    assert partial.effective["aborted"]
+    n_partial = (
+        0 if partial.extras is None else len(partial.extras["scores"])
+    )
+    assert 0 < n_partial < 9  # first chunk's extras only
+    got = reconstruct_grid_checkpointed(
+        image, twists=tw, rises=ri, checkpoint_path=ck, chunk=13, **kw
+    )
+    assert got.extras is not None
+    assert len(got.extras["scores"]) == len(ref.extras["scores"])
+    # same extras content (order may differ across chunk scheduling)
+    ref_set = sorted(zip(ref.extras["twists"], ref.extras["rises"]))
+    got_set = sorted(zip(got.extras["twists"], got.extras["rises"]))
+    np.testing.assert_allclose(got_set, ref_set, atol=1e-5)
