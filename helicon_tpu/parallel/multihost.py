@@ -276,7 +276,9 @@ def multihost_reconstruct_grid(
         from ..denovo3d.checkpoint import _atomic_save, _load_state
 
         shard = _shard_checkpoint_path(checkpoint_path, pid)
-        ck_scores, ck_pose, ck_mask = _load_state(shard, twists, rises)
+        # (the trailing densify-extras tuple is unused here: multi-host
+        # drops densify_padding above)
+        ck_scores, ck_pose, ck_mask, _ = _load_state(shard, twists, rises)
 
         def save_shard():
             _atomic_save(

@@ -238,6 +238,15 @@ def _spawn_mh_workers(n_proc: int, extra_args=(), expect_rc=0):
         ok_rcs = expect_rc if isinstance(expect_rc, set) else {expect_rc}
         for p, log in zip(procs, logs):
             assert p.returncode in ok_rcs, (p.returncode, log[-2000:])
+            if p.returncode == 1:
+                # rc 1 is acceptable ONLY as the grpc fallout of a
+                # killed coordinator — a Python traceback is a real
+                # bug the tolerant rc set must not swallow (it did
+                # once: an API change crashed both workers with rc 1
+                # and the test still passed its rc check)
+                assert "Traceback (most recent call last)" not in log, (
+                    log[-2000:]
+                )
         return [json.load(open(o)) for o in outs if os.path.exists(o)]
 
 
