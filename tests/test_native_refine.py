@@ -220,3 +220,74 @@ def test_native_matches_jax_linear_interpolation(refine_problem):
     )
     np.testing.assert_allclose(p_nat, np.asarray(p_jax), atol=1e-2)
     np.testing.assert_allclose(s_nat, np.asarray(s_jax), atol=1e-3)
+
+
+def test_native_matches_jax_with_csym2():
+    """csym > 1 exercises the engine's 360*c/csym angle terms in both
+    the data-copy and symmetry-op builds — untouched by the csym=1
+    fixtures above."""
+    import helicon_tpu.denovo3d.refine as R
+    from helicon_tpu.denovo3d import build_candidate_grid
+    from helicon_tpu.denovo3d.grid import reconstruct_grid
+    from helicon_tpu.denovo3d.refine import (
+        _pose_bounds,
+        _refine_all_native,
+        _refine_batch,
+    )
+    from helicon_tpu.helix import simulate_helical_projection
+    from helicon_tpu.native import load_refine_engine
+
+    img = np.squeeze(np.asarray(simulate_helical_projection(
+        n=1, twist=30.0, rise=6.0, csym=2, helical_diameter=40.0,
+        ball_radius=5.0, polymer=0, planarity=1.0, ny=48, nx=96,
+        apix=2.0, tilt=3.0, rng=0,
+    )))
+    tw, ri = build_candidate_grid(28.0, 32.0, 2.0, 5.7, 6.3, 0.3,
+                                  handedness="right")
+    captured = {}
+    orig = R.refine_all_candidates
+
+    def spy(geom, cfg, region, twists, rises, tables, t0, p0, d0, rr,
+            batch_size=32):
+        captured.update(geom=geom, cfg=cfg, region=region, twists=twists,
+                        rises=rises, tables=tables, rr=rr)
+        n = len(twists)
+        return np.zeros(n, np.float32), np.zeros((n, 3), np.float32)
+
+    R.refine_all_candidates = spy
+    try:
+        reconstruct_grid(
+            img, apix=2.0, twists=tw, rises=ri, csym=2, tilt=0.0,
+            tube_diameter=44.0, cg_iters=8, fista_iters=10,
+            power_iters=2, compute_dtype="float32", batch_size=8,
+            return_best_volume=False, refine_mode="all",
+            refine_tilt_psi_dy_range=dict(
+                tilt=6.0, psi=2.0, dy=1.0, max_iter=2
+            ),
+        )
+    finally:
+        R.refine_all_candidates = orig
+    assert captured["geom"].csym == 2
+    lib = load_refine_engine()
+    B = 4
+    sl = np.arange(B)
+    tabs = tuple(np.asarray(t)[sl] for t in captured["tables"])
+    region = np.asarray(captured["region"], np.float32)
+    s_nat, p_nat = _refine_all_native(
+        lib, captured["geom"], captured["cfg"], region,
+        captured["twists"][sl], captured["rises"][sl], tabs,
+        0.0, 0.0, 0.0, captured["rr"],
+    )
+    lo, hi = _pose_bounds(captured["rr"])
+    ch, cc, cv, phc, pv = tabs
+    p_jax, s_jax = _refine_batch(
+        captured["geom"], captured["cfg"], jnp.asarray(region),
+        jnp.asarray(captured["twists"][sl]),
+        jnp.asarray(captured["rises"][sl]),
+        jnp.asarray(ch), jnp.asarray(cc), jnp.asarray(cv),
+        jnp.asarray(phc), jnp.asarray(pv),
+        jnp.asarray(np.zeros((B, 3), np.float32)),
+        jnp.asarray(lo), jnp.asarray(hi), n_iter=2,
+    )
+    np.testing.assert_allclose(p_nat, np.asarray(p_jax), atol=1e-2)
+    np.testing.assert_allclose(s_nat, np.asarray(s_jax), atol=1e-3)
