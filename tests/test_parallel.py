@@ -466,3 +466,26 @@ def test_multihost_checkpoint_kill_and_resume(tmp_path):
     ref = reconstruct_grid(image, twists=tw, rises=ri, **kw)
     np.testing.assert_allclose(s0, np.asarray(ref.scores), rtol=0, atol=2e-5)
     assert res[0]["best_index"] == ref.best_index
+
+
+@pytest.mark.slow
+def test_multihost_three_process_bucketed_cpu():
+    """Three processes (odd count: unbalanced slices, round-robin
+    refinement/cross-bucket ownership with pid 2 owning fewer tasks)
+    must still reproduce the single-host bucketed result exactly."""
+    res = _spawn_mh_workers(3, ("bucketed",))
+    assert len(res) == 3
+    s = [np.asarray(r["scores"]) for r in res]
+    np.testing.assert_allclose(s[0], s[1], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(s[0], s[2], rtol=0, atol=1e-6)
+    assert res[0]["best_index"] == res[1]["best_index"] == res[2]["best_index"]
+    assert res[0]["effective"]["n_processes"] == 3
+
+    from tests._mh_worker import tiny_workload
+
+    from helicon_tpu.denovo3d import reconstruct_grid
+
+    image, tw, ri, kw = tiny_workload(bucketed=True)
+    ref = reconstruct_grid(image, twists=tw, rises=ri, **kw)
+    np.testing.assert_allclose(s[0], np.asarray(ref.scores), rtol=0, atol=2e-5)
+    assert res[0]["best_index"] == ref.best_index
